@@ -96,8 +96,10 @@ def test_sht_roundtrip(grid, atol):
     # SHT, incl. torch-harmonics). Compare only the exactly-resolved rows.
     cut = sht.lmax if grid == "legendre-gauss" else nlat - band
     np.testing.assert_allclose(coeffs2[:cut], coeffs[:cut], atol=atol)
-    f2 = np.asarray(isht(jnp.asarray(coeffs2)))
-    np.testing.assert_allclose(f2, f, atol=atol)
+    if grid == "legendre-gauss":
+        # field-space roundtrip is only exact on the Gaussian grid
+        f2 = np.asarray(isht(jnp.asarray(coeffs2)))
+        np.testing.assert_allclose(f2, f, atol=atol)
 
 
 def test_sht_batch_and_channels_last_agree():
