@@ -1,0 +1,274 @@
+"""Horizontal and vertical coordinate systems
+(reference: fme/core/coordinates.py).
+
+Vertical: hybrid sigma-pressure (atmosphere), depth (ocean), null.
+Horizontal: lat-lon (Gaussian or equiangular); HEALPix arrives in a later
+round. Coordinates are plain Python objects holding numpy arrays on the
+host; jnp versions are materialized on demand for device math.
+"""
+
+import abc
+import dataclasses
+from datetime import timedelta
+
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.core.constants import GRAVITY
+from ace_tpu.core.metrics import spherical_area_weights
+
+
+@dataclasses.dataclass
+class DimSize:
+    name: str
+    size: int
+
+
+class VerticalCoordinate(abc.ABC):
+    @abc.abstractmethod
+    def __len__(self) -> int: ...
+
+    @abc.abstractmethod
+    def as_dict(self) -> dict: ...
+
+    @property
+    @abc.abstractmethod
+    def coords(self) -> dict[str, np.ndarray]: ...
+
+
+@dataclasses.dataclass
+class HybridSigmaPressureCoordinate(VerticalCoordinate):
+    """Interface pressures p(k) = ak + bk * ps
+    (reference: fme/core/coordinates.py:150).
+    """
+
+    ak: np.ndarray
+    bk: np.ndarray
+
+    def __post_init__(self):
+        self.ak = np.asarray(self.ak, dtype=np.float32)
+        self.bk = np.asarray(self.bk, dtype=np.float32)
+        if self.ak.ndim != 1 or self.bk.ndim != 1:
+            raise ValueError("ak and bk must be 1-dimensional")
+        if len(self.ak) != len(self.bk):
+            raise ValueError("ak and bk must have the same length")
+
+    def __len__(self):
+        return len(self.ak)
+
+    def __eq__(self, other):
+        if not isinstance(other, HybridSigmaPressureCoordinate):
+            return False
+        return np.allclose(self.ak, other.ak) and np.allclose(self.bk, other.bk)
+
+    def get_ak(self) -> jnp.ndarray:
+        return jnp.asarray(self.ak)
+
+    def get_bk(self) -> jnp.ndarray:
+        return jnp.asarray(self.bk)
+
+    @property
+    def coords(self) -> dict[str, np.ndarray]:
+        return {"ak": self.ak, "bk": self.bk}
+
+    def as_dict(self) -> dict:
+        return {"ak": self.ak.tolist(), "bk": self.bk.tolist()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HybridSigmaPressureCoordinate":
+        return cls(ak=np.asarray(d["ak"]), bk=np.asarray(d["bk"]))
+
+    def interface_pressure(self, surface_pressure: jnp.ndarray) -> jnp.ndarray:
+        """Pressure at layer interfaces; appends a trailing vertical axis."""
+        return (
+            jnp.asarray(self.ak)
+            + jnp.asarray(self.bk) * surface_pressure[..., None]
+        )
+
+    def vertical_integral(
+        self, integrand: jnp.ndarray, surface_pressure: jnp.ndarray
+    ) -> jnp.ndarray:
+        """(1/g) ∫ x dp over the column; removes the trailing vertical axis."""
+        if len(self.ak) != integrand.shape[-1] + 1:
+            raise ValueError(
+                f"integrand has {integrand.shape[-1]} layers but coordinate "
+                f"has {len(self.ak) - 1}"
+            )
+        pressure_thickness = jnp.diff(
+            self.interface_pressure(surface_pressure), axis=-1
+        )
+        return jnp.sum(integrand * pressure_thickness, axis=-1) / GRAVITY
+
+
+@dataclasses.dataclass
+class DepthCoordinate(VerticalCoordinate):
+    """Ocean depth coordinate with a static column mask
+    (reference: fme/core/coordinates.py:303).
+    """
+
+    idepth: np.ndarray
+    mask: np.ndarray  # [..., n_layers], 1 valid / 0 invalid
+    surface_mask: np.ndarray | None = None
+
+    def __post_init__(self):
+        self.idepth = np.asarray(self.idepth, dtype=np.float32)
+        self.mask = np.asarray(self.mask, dtype=np.float32)
+        if self.idepth.ndim != 1:
+            raise ValueError("idepth must be 1-dimensional")
+        if self.mask.shape[-1] != len(self.idepth) - 1:
+            raise ValueError(
+                "mask last dim must equal len(idepth) - 1 "
+                f"({self.mask.shape[-1]} vs {len(self.idepth) - 1})"
+            )
+
+    def __len__(self):
+        return len(self.idepth)
+
+    @property
+    def coords(self) -> dict[str, np.ndarray]:
+        return {"idepth": self.idepth}
+
+    def as_dict(self) -> dict:
+        return {"idepth": self.idepth.tolist(), "mask": self.mask.tolist()}
+
+    def get_mask(self) -> jnp.ndarray:
+        return jnp.asarray(self.mask)
+
+    def get_idepth(self) -> jnp.ndarray:
+        return jnp.asarray(self.idepth)
+
+    def depth_integral(self, integrand: jnp.ndarray) -> jnp.ndarray:
+        """∫ x dz over valid layers; removes the trailing vertical axis."""
+        dz = jnp.diff(jnp.asarray(self.idepth))
+        masked = jnp.nan_to_num(integrand * jnp.asarray(self.mask))
+        return jnp.sum(masked * dz, axis=-1)
+
+
+@dataclasses.dataclass
+class NullVerticalCoordinate(VerticalCoordinate):
+    """No vertical coordinate (reference: fme/core/coordinates.py:440)."""
+
+    def __len__(self):
+        return 0
+
+    @property
+    def coords(self) -> dict[str, np.ndarray]:
+        return {}
+
+    def as_dict(self) -> dict:
+        return {}
+
+
+@dataclasses.dataclass
+class LatLonCoordinates:
+    """A lat-lon (possibly Gaussian) grid
+    (reference: fme/core/coordinates.py:609).
+    """
+
+    lat: np.ndarray
+    lon: np.ndarray
+    loaded_lat_name: str = "lat"
+    loaded_lon_name: str = "lon"
+
+    def __post_init__(self):
+        self.lat = np.asarray(self.lat, dtype=np.float64)
+        self.lon = np.asarray(self.lon, dtype=np.float64)
+
+    def __eq__(self, other):
+        if not isinstance(other, LatLonCoordinates):
+            return False
+        return (
+            self.lat.shape == other.lat.shape
+            and self.lon.shape == other.lon.shape
+            and np.allclose(self.lat, other.lat)
+            and np.allclose(self.lon, other.lon)
+        )
+
+    @property
+    def shape(self) -> tuple[int, int]:
+        return (len(self.lat), len(self.lon))
+
+    @property
+    def area_weights(self) -> jnp.ndarray:
+        return spherical_area_weights(self.lat, len(self.lon))
+
+    @property
+    def dims(self) -> list[str]:
+        return ["lat", "lon"]
+
+    @property
+    def loaded_sizes(self) -> list[DimSize]:
+        return [
+            DimSize(self.loaded_lat_name, len(self.lat)),
+            DimSize(self.loaded_lon_name, len(self.lon)),
+        ]
+
+    @property
+    def coords(self) -> dict[str, np.ndarray]:
+        return {"lat": self.lat, "lon": self.lon}
+
+    @property
+    def grid(self) -> str:
+        """Infer the latitude grid type ("legendre-gauss" or "equiangular")."""
+        from ace_tpu.ops.quadrature import legendre_gauss_weights
+
+        nlat = len(self.lat)
+        cost, _ = legendre_gauss_weights(nlat)
+        gauss_lats = np.rad2deg(np.arcsin(cost))
+        if np.allclose(
+            np.sort(np.asarray(self.lat)), gauss_lats, atol=1e-2
+        ):
+            return "legendre-gauss"
+        return "equiangular"
+
+    def as_dict(self) -> dict:
+        return {"lat": self.lat.tolist(), "lon": self.lon.tolist()}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "LatLonCoordinates":
+        return cls(lat=np.asarray(d["lat"]), lon=np.asarray(d["lon"]))
+
+    def get_gridded_operations(self):
+        from ace_tpu.core.gridded_ops import LatLonOperations
+
+        return LatLonOperations(self.area_weights)
+
+
+def gaussian_latitudes(nlat: int) -> np.ndarray:
+    """Gaussian (Legendre) latitudes in degrees, south-to-north ascending."""
+    from ace_tpu.ops.quadrature import legendre_gauss_weights
+
+    cost, _ = legendre_gauss_weights(nlat)
+    return np.rad2deg(np.arcsin(cost))
+
+
+def equiangular_latitudes(nlat: int) -> np.ndarray:
+    """Equiangular cell-center latitudes in degrees, ascending."""
+    return np.linspace(-90.0, 90.0, nlat)
+
+
+def serialize_vertical_coordinate(vc: VerticalCoordinate) -> dict:
+    if isinstance(vc, HybridSigmaPressureCoordinate):
+        return {"type": "hybrid_sigma_pressure", "data": vc.as_dict()}
+    if isinstance(vc, DepthCoordinate):
+        return {"type": "depth", "data": vc.as_dict()}
+    return {"type": "null", "data": {}}
+
+
+def deserialize_vertical_coordinate(state: dict) -> VerticalCoordinate:
+    if state["type"] == "hybrid_sigma_pressure":
+        return HybridSigmaPressureCoordinate.from_dict(state["data"])
+    if state["type"] == "depth":
+        d = state["data"]
+        return DepthCoordinate(
+            idepth=np.asarray(d["idepth"]), mask=np.asarray(d["mask"])
+        )
+    return NullVerticalCoordinate()
+
+
+def encode_timestep(timestep: timedelta) -> float:
+    return timestep.total_seconds()
+
+
+def decode_timestep(seconds: float) -> timedelta:
+    return timedelta(seconds=seconds)

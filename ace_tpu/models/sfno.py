@@ -1,0 +1,345 @@
+"""Spherical Fourier Neural Operator, TPU-native (flax.linen, channels-last).
+
+Re-design of the reference SFNO (fme/ace/models/modulus/sfnonet.py:255,
+s2convolutions.py:47) for JAX/XLA on TPU:
+
+- data layout is [batch, lat, lon, channel] so every pointwise layer is a
+  lane-dim contraction on the MXU and no NCHW<->NHWC transposes exist;
+- SHT/iSHT are matmul-based (ace_tpu/ops/sht.py) and always float32;
+- the complex spectral filter is expressed as real einsums batched over l,
+  which XLA maps to MXU matmuls (out[..,l,m,o] = sum_i x[..,l,m,i] w[i,o,l]);
+- blocks run in a configurable compute dtype (bfloat16 by default via the
+  Step layer) with the transforms pinned to float32, mirroring the
+  reference's autocast behavior.
+
+The architecture semantics (block wiring, skips, norms, scale_factor grids,
+operator types "diagonal"/"dhconv") match the reference so that converted
+checkpoints are weight-compatible.
+"""
+
+import functools
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.models.layers import (
+    MLP,
+    DropPath,
+    InstanceNorm,
+    LayerNorm2d,
+    trunc_normal_init,
+)
+from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+
+_ACTIVATIONS = {
+    "gelu": nn.gelu,
+    "relu": nn.relu,
+    "silu": nn.silu,
+}
+
+
+class SpectralConvS2(nn.Module):
+    """Driscoll-Healy spectral convolution on S2 (reference:
+    fme/ace/models/modulus/s2convolutions.py:47 SpectralConvS2).
+
+    forward_transform/inverse_transform are channels-last SHT objects.
+    ``operator_type``: "diagonal" (w[i,o,l,m]) or "dhconv" (w[i,o,l]).
+    Returns (filtered, residual) where residual is the (possibly re-gridded)
+    input, as in the reference.
+    """
+
+    forward_transform: Any
+    inverse_transform: Any
+    in_channels: int
+    out_channels: int
+    operator_type: str = "diagonal"
+    separable: bool = False
+    use_bias: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        in_dtype = x.dtype
+        modes_lat = self.inverse_transform.lmax
+        modes_lon = self.inverse_transform.mmax
+        scale_residual = (
+            self.forward_transform.nlat != self.inverse_transform.nlat
+            or self.forward_transform.nlon != self.inverse_transform.nlon
+            or self.forward_transform.grid != self.inverse_transform.grid
+        )
+
+        residual = x
+        coeffs = self.forward_transform(x.astype(jnp.float32))
+        if scale_residual:
+            residual = self.inverse_transform(coeffs).astype(in_dtype)
+
+        if self.separable:
+            weight_shape = [self.in_channels]
+        else:
+            weight_shape = [self.in_channels, self.out_channels]
+        if self.operator_type == "diagonal":
+            weight_shape += [modes_lat, modes_lon]
+        elif self.operator_type == "dhconv":
+            weight_shape += [modes_lat]
+        else:
+            raise ValueError(f"Unsupported operator type {self.operator_type}")
+
+        scale = 1.0 / (self.in_channels * self.out_channels)
+        w = self.param(
+            "weight",
+            nn.initializers.normal(stddev=scale),
+            (*weight_shape, 2),
+            jnp.float32,
+        )
+        wr, wi = w[..., 0], w[..., 1]
+        xr = jnp.real(coeffs)[..., : modes_lat, : modes_lon, :]
+        xi = jnp.imag(coeffs)[..., : modes_lat, : modes_lon, :]
+
+        if self.operator_type == "dhconv":
+            eq = "...lmi,iol->...lmo" if not self.separable else "...lmi,il->...lmi"
+        else:
+            eq = "...lmi,iolm->...lmo" if not self.separable else "...lmi,ilm->...lmi"
+        ein = functools.partial(jnp.einsum, eq, preferred_element_type=jnp.float32)
+        outr = ein(xr, wr) - ein(xi, wi)
+        outi = ein(xr, wi) + ein(xi, wr)
+
+        # re-pad to the transform's full (lmax, mmax) if truncated
+        lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
+        pad = [(0, 0)] * outr.ndim
+        pad[-3] = (0, lmax - modes_lat)
+        pad[-2] = (0, mmax - modes_lon)
+        outr = jnp.pad(outr, pad)
+        outi = jnp.pad(outi, pad)
+
+        out = self.inverse_transform(jax.lax.complex(outr, outi))
+        if self.use_bias:
+            bias = self.param(
+                "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32
+            )
+            out = out + bias
+        return out.astype(in_dtype), residual
+
+
+class FourierNeuralOperatorBlock(nn.Module):
+    """One SFNO block (reference: fme/ace/models/modulus/sfnonet.py:123)."""
+
+    forward_transform: Any
+    inverse_transform: Any
+    embed_dim: int
+    operator_type: str = "diagonal"
+    mlp_ratio: float = 2.0
+    drop_rate: float = 0.0
+    drop_path: float = 0.0
+    activation: str = "gelu"
+    normalization: str = "instance_norm"  # or "layer_norm", "none"
+    inner_skip: str = "linear"
+    outer_skip: str = "identity"
+    use_mlp: bool = True
+    separable: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    def _norm(self, spatial_shape, name):
+        if self.normalization == "instance_norm":
+            return InstanceNorm(name=name)
+        elif self.normalization == "layer_norm":
+            return LayerNorm2d(spatial_shape=spatial_shape, name=name)
+        elif self.normalization == "none":
+            return lambda x: x
+        raise NotImplementedError(
+            f"normalization {self.normalization} not implemented"
+        )
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = _ACTIVATIONS[self.activation]
+        in_shape = (self.forward_transform.nlat, self.forward_transform.nlon)
+        out_shape = (self.inverse_transform.nlat, self.inverse_transform.nlon)
+
+        x_norm = self._norm(in_shape, "norm0")(x)
+        x, residual = SpectralConvS2(
+            forward_transform=self.forward_transform,
+            inverse_transform=self.inverse_transform,
+            in_channels=self.embed_dim,
+            out_channels=self.embed_dim,
+            operator_type=self.operator_type,
+            separable=self.separable,
+            use_bias=True,
+            name="filter",
+        )(x_norm)
+
+        if self.inner_skip == "linear":
+            x = x + nn.Dense(
+                self.embed_dim,
+                kernel_init=trunc_normal_init(),
+                dtype=self.dtype,
+                name="inner_skip",
+            )(residual)
+        elif self.inner_skip == "identity":
+            x = x + residual
+
+        x = act(x)
+
+        x = self._norm(out_shape, "norm1")(x)
+
+        if self.use_mlp:
+            x = MLP(
+                hidden_features=int(self.embed_dim * self.mlp_ratio),
+                out_features=self.embed_dim,
+                act=act,
+                drop_rate=self.drop_rate,
+                dtype=self.dtype,
+                name="mlp",
+            )(x, deterministic=deterministic)
+
+        x = DropPath(self.drop_path)(x, deterministic=deterministic)
+
+        if self.outer_skip == "linear":
+            x = x + nn.Dense(
+                self.embed_dim,
+                kernel_init=trunc_normal_init(),
+                dtype=self.dtype,
+                name="outer_skip",
+            )(residual)
+        elif self.outer_skip == "identity":
+            x = x + residual
+        return x
+
+
+class SphericalFourierNeuralOperatorNet(nn.Module):
+    """The SFNO backbone (reference: fme/ace/models/modulus/sfnonet.py:255).
+
+    Input/output: [batch, nlat, nlon, channels] (channels-last).
+    """
+
+    img_shape: tuple[int, int]
+    in_chans: int
+    out_chans: int
+    embed_dim: int = 256
+    num_layers: int = 12
+    operator_type: str = "diagonal"
+    scale_factor: int = 1
+    residual_filter_factor: int = 1
+    hard_thresholding_fraction: float = 1.0
+    normalization_layer: str = "instance_norm"
+    use_mlp: bool = True
+    mlp_ratio: float = 2.0
+    activation_function: str = "gelu"
+    encoder_layers: int = 1
+    pos_embed: bool = True
+    big_skip: bool = True
+    separable: bool = False
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    data_grid: str = "legendre-gauss"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        nlat, nlon = self.img_shape
+        self.h = int(nlat // self.scale_factor)
+        self.w = int(nlon // self.scale_factor)
+        modes_lat = int(self.h * self.hard_thresholding_fraction)
+        modes_lon = int((self.w // 2 + 1) * self.hard_thresholding_fraction)
+
+        kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True)
+        self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
+        self.itrans_up = InverseRealSHT(nlat, nlon, grid=self.data_grid, **kw)
+        self.trans = RealSHT(self.h, self.w, grid="legendre-gauss", **kw)
+        self.itrans = InverseRealSHT(self.h, self.w, grid="legendre-gauss", **kw)
+
+        if self.residual_filter_factor > 1:
+            mlr = int(nlat // self.residual_filter_factor)
+            mmr = int(nlon // self.residual_filter_factor // 2 + 1)
+            self.residual_filter_down = RealSHT(
+                nlat, nlon, lmax=mlr, mmax=mmr, grid=self.data_grid,
+                channels_last=True,
+            )
+            self.residual_filter_up = InverseRealSHT(
+                nlat, nlon, lmax=mlr, mmax=mmr, grid=self.data_grid,
+                channels_last=True,
+            )
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = _ACTIVATIONS[self.activation_function]
+        nlat, nlon = self.img_shape
+
+        if self.big_skip:
+            if self.residual_filter_factor > 1:
+                residual = self.residual_filter_up(
+                    self.residual_filter_down(x.astype(jnp.float32))
+                ).astype(x.dtype)
+            else:
+                residual = x
+
+        # encoder: 1x1 convs = Dense over channels
+        h = x.astype(self.dtype)
+        for i in range(self.encoder_layers):
+            h = nn.Dense(
+                self.embed_dim,
+                kernel_init=trunc_normal_init(),
+                dtype=self.dtype,
+                name=f"encoder_{i}",
+            )(h)
+            h = act(h)
+        h = nn.Dense(
+            self.embed_dim,
+            use_bias=False,
+            kernel_init=trunc_normal_init(),
+            dtype=self.dtype,
+            name="encoder_out",
+        )(h)
+
+        if self.pos_embed:
+            pe = self.param(
+                "pos_embed",
+                trunc_normal_init(std=0.02),
+                (1, nlat, nlon, self.embed_dim),
+                jnp.float32,
+            )
+            h = h + pe.astype(h.dtype)
+
+        if self.drop_rate > 0.0:
+            h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
+
+        dpr = np.linspace(0, self.drop_path_rate, self.num_layers)
+        for i in range(self.num_layers):
+            first, last = i == 0, i == self.num_layers - 1
+            h = FourierNeuralOperatorBlock(
+                forward_transform=self.trans_down if first else self.trans,
+                inverse_transform=self.itrans_up if last else self.itrans,
+                embed_dim=self.embed_dim,
+                operator_type=self.operator_type,
+                mlp_ratio=self.mlp_ratio,
+                drop_rate=self.drop_rate,
+                drop_path=float(dpr[i]),
+                activation=self.activation_function,
+                normalization=self.normalization_layer,
+                inner_skip="linear",
+                outer_skip="identity",
+                use_mlp=self.use_mlp,
+                separable=self.separable,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(h, deterministic=deterministic)
+
+        if self.big_skip:
+            h = jnp.concatenate([h, residual.astype(h.dtype)], axis=-1)
+
+        for i in range(self.encoder_layers):
+            h = nn.Dense(
+                self.embed_dim,
+                kernel_init=trunc_normal_init(),
+                dtype=self.dtype,
+                name=f"decoder_{i}",
+            )(h)
+            h = act(h)
+        out = nn.Dense(
+            self.out_chans,
+            use_bias=False,
+            kernel_init=trunc_normal_init(),
+            dtype=self.dtype,
+            name="decoder_out",
+        )(h)
+        return out.astype(jnp.float32)
