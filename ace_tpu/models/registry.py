@@ -1,0 +1,240 @@
+"""Module (architecture) registry (reference: fme/core/registry/module.py).
+
+Each registered config builds a flax.linen module from channel counts and
+dataset info. The built module's contract:
+
+    module.apply(params, x, deterministic=..., rngs=...) with
+    x: [batch, nlat, nlon, n_in_channels] -> [batch, nlat, nlon, n_out]
+
+(channels-last; the reference uses [b, c, h, w]).
+"""
+
+import abc
+import dataclasses
+from typing import Any
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.registry import Registry, Selector
+from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+
+
+@dataclasses.dataclass
+class ModuleConfig(abc.ABC):
+    @abc.abstractmethod
+    def build(
+        self,
+        n_in_channels: int,
+        n_out_channels: int,
+        dataset_info: DatasetInfo,
+    ) -> nn.Module: ...
+
+
+class ModuleSelector(Selector):
+    _registry: Registry = Registry()
+
+    @classmethod
+    def get_registry(cls) -> Registry:
+        return cls._registry
+
+    @classmethod
+    def register(cls, name: str):
+        return cls._registry.register(name)
+
+    def build(self, n_in_channels, n_out_channels, dataset_info) -> nn.Module:
+        return self.instance.build(n_in_channels, n_out_channels, dataset_info)
+
+
+@ModuleSelector.register("SphericalFourierNeuralOperatorNet")
+@dataclasses.dataclass
+class SphericalFourierNeuralOperatorBuilder(ModuleConfig):
+    """SFNO builder with the reference's YAML field surface
+    (reference: fme/ace/registry/sfno.py:14).
+    """
+
+    spectral_transform: str = "sht"
+    filter_type: str = "linear"
+    operator_type: str = "diagonal"
+    scale_factor: int = 1
+    residual_filter_factor: int = 1
+    embed_dim: int = 256
+    num_layers: int = 12
+    hard_thresholding_fraction: float = 1.0
+    normalization_layer: str = "instance_norm"
+    use_mlp: bool = True
+    mlp_ratio: float = 2.0
+    activation_function: str = "gelu"
+    encoder_layers: int = 1
+    pos_embed: bool = True
+    big_skip: bool = True
+    rank: float = 1.0
+    factorization: str | None = None
+    separable: bool = False
+    complex_network: bool = True
+    complex_activation: str = "real"
+    spectral_layers: int = 1
+    checkpointing: int = 0
+    drop_rate: float = 0.0
+    drop_path_rate: float = 0.0
+    data_grid: str = "legendre-gauss"
+    compute_dtype: str = "float32"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        if self.spectral_transform != "sht":
+            raise NotImplementedError(
+                "only spectral_transform='sht' is supported"
+            )
+        if self.filter_type != "linear":
+            raise NotImplementedError("only filter_type='linear' is supported")
+        return SphericalFourierNeuralOperatorNet(
+            img_shape=dataset_info.img_shape,
+            in_chans=n_in_channels,
+            out_chans=n_out_channels,
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            operator_type=self.operator_type,
+            scale_factor=self.scale_factor,
+            residual_filter_factor=self.residual_filter_factor,
+            hard_thresholding_fraction=self.hard_thresholding_fraction,
+            normalization_layer=self.normalization_layer,
+            use_mlp=self.use_mlp,
+            mlp_ratio=self.mlp_ratio,
+            activation_function=self.activation_function,
+            encoder_layers=self.encoder_layers,
+            pos_embed=self.pos_embed,
+            big_skip=self.big_skip,
+            separable=self.separable,
+            drop_rate=self.drop_rate,
+            drop_path_rate=self.drop_path_rate,
+            data_grid=self.data_grid,
+            dtype=jnp.dtype(self.compute_dtype),
+        )
+
+
+@ModuleSelector.register("SFNO-v0.1.0")
+@dataclasses.dataclass
+class SFNO_V0_1_0(ModuleConfig):
+    """SFNO at the makani-0.1.0 config surface (reference:
+    fme/ace/registry/sfno.py:66). Built on the same TPU SFNO backbone;
+    makani-specific extras (repeat_layers, frequency pos-embed) land in a
+    later round.
+    """
+
+    spectral_transform: str = "sht"
+    filter_type: str = "linear"
+    operator_type: str = "dhconv"
+    scale_factor: int = 16
+    embed_dim: int = 256
+    num_layers: int = 12
+    repeat_layers: int = 1
+    hard_thresholding_fraction: float = 1.0
+    normalization_layer: str = "instance_norm"
+    use_mlp: bool = True
+    mlp_ratio: float = 2.0
+    activation_function: str = "gelu"
+    encoder_layers: int = 1
+    pos_embed: str = "direct"
+    big_skip: bool = True
+    rank: float = 1.0
+    factorization: str | None = None
+    separable: bool = False
+    complex_activation: str = "real"
+    spectral_layers: int = 1
+    checkpointing: int = 0
+    data_grid: str = "legendre-gauss"
+    compute_dtype: str = "float32"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        if self.repeat_layers != 1:
+            raise NotImplementedError("repeat_layers > 1 not yet supported")
+        return SphericalFourierNeuralOperatorNet(
+            img_shape=dataset_info.img_shape,
+            in_chans=n_in_channels,
+            out_chans=n_out_channels,
+            embed_dim=self.embed_dim,
+            num_layers=self.num_layers,
+            operator_type=self.operator_type,
+            scale_factor=self.scale_factor,
+            hard_thresholding_fraction=self.hard_thresholding_fraction,
+            normalization_layer=self.normalization_layer,
+            use_mlp=self.use_mlp,
+            mlp_ratio=self.mlp_ratio,
+            activation_function=self.activation_function,
+            encoder_layers=self.encoder_layers,
+            pos_embed=self.pos_embed != "none",
+            big_skip=self.big_skip,
+            separable=self.separable,
+            data_grid=self.data_grid,
+            dtype=jnp.dtype(self.compute_dtype),
+        )
+
+
+class _PrebuiltStore:
+    """Process-global store for externally-constructed modules selected via
+    the "prebuilt" registry entry (reference: fme/ace/registry/prebuilt.py,
+    used heavily by tests).
+    """
+
+    modules: dict[str, nn.Module] = {}
+
+
+def register_prebuilt_module(key: str, module: nn.Module):
+    _PrebuiltStore.modules[key] = module
+
+
+@ModuleSelector.register("prebuilt")
+@dataclasses.dataclass
+class PreBuiltBuilder(ModuleConfig):
+    module_key: str = "default"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        return _PrebuiltStore.modules[self.module_key]
+
+
+class LinearModule(nn.Module):
+    """Trivial per-point linear net (test/baseline module, reference
+    analog: fme/core/models/mlp/mlp.py).
+    """
+
+    out_channels: int
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        return nn.Dense(self.out_channels, name="linear")(x)
+
+
+class MLPModule(nn.Module):
+    """Small per-point MLP baseline (reference: fme/core/models/mlp)."""
+
+    hidden_channels: int
+    out_channels: int
+    num_hidden_layers: int = 1
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        for i in range(self.num_hidden_layers):
+            x = nn.gelu(nn.Dense(self.hidden_channels, name=f"hidden_{i}")(x))
+        return nn.Dense(self.out_channels, name="out")(x)
+
+
+@ModuleSelector.register("MLP")
+@dataclasses.dataclass
+class MLPBuilder(ModuleConfig):
+    hidden_channels: int = 32
+    num_hidden_layers: int = 1
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        return MLPModule(
+            hidden_channels=self.hidden_channels,
+            out_channels=n_out_channels,
+            num_hidden_layers=self.num_hidden_layers,
+        )
+
+
+@ModuleSelector.register("Linear")
+@dataclasses.dataclass
+class LinearBuilder(ModuleConfig):
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        return LinearModule(out_channels=n_out_channels)

@@ -1,0 +1,216 @@
+"""Autoregressive rollout engine over any StepABC
+(reference: fme/ace/stepper/single_module.py:803 Stepper).
+
+TPU-native design: the rollout is a ``jax.lax.scan`` over time with
+time-major forcing slices as scan inputs, so the whole multi-step rollout
+compiles to a single XLA while-loop — no per-step dispatch, and
+``jax.checkpoint`` policies can be applied to the scanned body for
+rollout-length memory scaling (the reference uses per-step activation
+checkpointing, fme/core/optimization.py:40).
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.step.base import StepABC, StepArgs, StepperState, StepSelector
+from ace_tpu.core.typing_ import TensorDict, TensorMapping
+
+TIME_DIM = 1
+
+
+@dataclasses.dataclass
+class PrognosticState:
+    """Prognostic fields with a size-``n_ic_timesteps`` time dim, usable as
+    an initial condition (reference: fme/ace/data_loading/batch_data.py:125).
+    """
+
+    data: TensorDict  # [batch, n_ic_timesteps, ...]
+    stepper_state: StepperState = dataclasses.field(default_factory=dict)
+
+
+def _time_major(x: jax.Array) -> jax.Array:
+    return jnp.moveaxis(x, TIME_DIM, 0)
+
+
+def _batch_major(x: jax.Array) -> jax.Array:
+    return jnp.moveaxis(x, 0, TIME_DIM)
+
+
+class Stepper:
+    """Rollout engine: threads prognostic state, per-sample stepper state
+    and PRNG keys through an XLA-compiled scan over forward steps.
+    """
+
+    def __init__(self, step: StepABC, params: Any = None):
+        self.step = step
+        self.params = params
+
+    @property
+    def prognostic_names(self) -> list[str]:
+        return self.step.prognostic_names
+
+    @property
+    def out_names(self) -> list[str]:
+        return self.step.output_names
+
+    @property
+    def forcing_window_names(self) -> list[str]:
+        """All variables the forcing window must provide."""
+        input_only = set(self.step.input_names) - set(self.step.output_names)
+        return sorted(input_only | set(self.step.next_step_input_names))
+
+    @property
+    def n_ic_timesteps(self) -> int:
+        return self.step.n_ic_timesteps
+
+    @property
+    def dataset_info(self) -> DatasetInfo:
+        return self.step.dataset_info
+
+    def init_params(self, rng: jax.Array):
+        self.params = self.step.init_params(rng)
+        return self.params
+
+    def get_initial_state(self, ic: PrognosticState) -> PrognosticState:
+        """Seed stepper state (corrector references) from the IC if absent."""
+        if ic.stepper_state:
+            return ic
+        ic_squeezed = {
+            k: v[:, -1] if v.ndim > 3 else v for k, v in ic.data.items()
+        }
+        return PrognosticState(
+            data=ic.data,
+            stepper_state=self.step.init_stepper_state(ic_squeezed),
+        )
+
+    def predict_fn(
+        self,
+        params: Any,
+        ic_data: TensorMapping,
+        forcing: TensorMapping,
+        stepper_state: StepperState,
+        rng: jax.Array,
+        deterministic: bool = True,
+    ) -> tuple[TensorDict, TensorDict, StepperState]:
+        """Pure rollout function (jit/grad/shard_map-compatible).
+
+        Args:
+            params: module parameter pytree.
+            ic_data: prognostic fields, each [batch, n_ic, ...spatial].
+            forcing: forcing fields, each [batch, n_forward+1, ...spatial]
+                (index 0 aligns with the IC).
+            stepper_state: per-sample state (from ``init_stepper_state``).
+            rng: PRNG key consumed one split per step.
+
+        Returns:
+            (outputs, diagnostics, final_stepper_state); outputs are
+            [batch, n_forward, ...spatial] for every output variable.
+        """
+        step = self.step
+        prognostic_names = step.prognostic_names
+        input_only = sorted(set(step.input_names) - set(step.output_names))
+        nsf = set(step.next_step_forcing_names)
+        nsi = step.next_step_input_names
+
+        state0 = {k: ic_data[k][:, -1] for k in prognostic_names}
+
+        xs_in = {
+            k: _time_major(forcing[k][:, 1:] if k in nsf else forcing[k][:, :-1])
+            for k in input_only
+        }
+        xs_next = {k: _time_major(forcing[k][:, 1:]) for k in nsi}
+
+        def body(carry, xs):
+            state, st_state, key = carry
+            key, sub = jax.random.split(key)
+            forcing_t, next_t = xs
+            out = step.step(
+                params,
+                StepArgs(
+                    input={**state, **forcing_t},
+                    next_step_input_data=next_t,
+                    stepper_state=st_state,
+                    rng=sub,
+                    deterministic=deterministic,
+                ),
+            )
+            new_state = {k: out.output[k] for k in prognostic_names}
+            return (new_state, out.stepper_state, key), (
+                out.output,
+                out.corrector_diagnostics,
+            )
+
+        (_, final_state, _), (outputs, diags) = jax.lax.scan(
+            body, (state0, stepper_state, rng), (xs_in, xs_next)
+        )
+        outputs = {k: _batch_major(v) for k, v in outputs.items()}
+        diags = {k: _batch_major(v) for k, v in diags.items()}
+        return outputs, diags, final_state
+
+    def predict(
+        self,
+        initial_condition: PrognosticState,
+        forcing: TensorMapping,
+        rng: jax.Array | None = None,
+        params: Any = None,
+    ) -> tuple[TensorDict, PrognosticState]:
+        """Convenience inference rollout using stored params.
+
+        ``forcing`` arrays are [batch, n_forward + n_ic, ...spatial].
+        Returns output dict [batch, n_forward, ...] and the final
+        PrognosticState.
+        """
+        params = params if params is not None else self.params
+        if params is None:
+            raise ValueError("Stepper has no params; call init_params first")
+        ic = self.get_initial_state(initial_condition)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        forcing_subset = {
+            k: forcing[k] for k in self.forcing_window_names if k in forcing
+        }
+        missing = set(self.forcing_window_names) - set(forcing_subset)
+        if missing:
+            raise ValueError(f"forcing data missing variables {sorted(missing)}")
+        outputs, diags, final_state = self.predict_fn(
+            params, ic.data, forcing_subset, ic.stepper_state, rng
+        )
+        next_ic = PrognosticState(
+            data={
+                k: outputs[k][:, -self.n_ic_timesteps :]
+                for k in self.prognostic_names
+            },
+            stepper_state=final_state,
+        )
+        return outputs, next_ic
+
+
+@dataclasses.dataclass
+class StepperConfig:
+    """Top-level stepper configuration
+    (reference: fme/ace/stepper/single_module.py:525 StepperConfig).
+    """
+
+    step: StepSelector
+
+    def get_stepper(self, dataset_info: DatasetInfo) -> Stepper:
+        return Stepper(step=self.step.get_step(dataset_info))
+
+    @property
+    def in_names(self) -> list[str]:
+        return self.step.input_names
+
+    @property
+    def out_names(self) -> list[str]:
+        return self.step.output_names
+
+    def get_state(self) -> dict:
+        return {"step": self.step.get_state()}
+
+    @classmethod
+    def from_state(cls, state: dict) -> "StepperConfig":
+        return cls(step=StepSelector.from_state(state["step"]))

@@ -1,0 +1,279 @@
+"""Step + Stepper rollout tests (reference model: fme/core/step/test_*.py
+and fme/ace/stepper tests — step semantics, forcing insertion, rollout
+consistency between scan and a python loop).
+"""
+
+from datetime import timedelta
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.core.coordinates import (
+    HybridSigmaPressureCoordinate,
+    LatLonCoordinates,
+    gaussian_latitudes,
+)
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.step.base import StepArgs, StepSelector
+from ace_tpu.core.step.single_module import SingleModuleStepConfig  # noqa: F401
+from ace_tpu.stepper.stepper import PrognosticState, Stepper, StepperConfig
+
+NLAT, NLON = 8, 16
+
+
+def _dataset_info():
+    lats = gaussian_latitudes(NLAT)
+    lons = np.linspace(0, 360, NLON, endpoint=False)
+    return DatasetInfo(
+        horizontal_coordinates=LatLonCoordinates(lat=lats, lon=lons),
+        vertical_coordinate=HybridSigmaPressureCoordinate(
+            ak=np.asarray([100.0, 1000.0, 0.0]),
+            bk=np.asarray([0.0, 0.4, 1.0]),
+        ),
+        timestep=timedelta(hours=6),
+    )
+
+
+def _step_config(**kwargs):
+    defaults = dict(
+        builder={"type": "Linear", "config": {}},
+        in_names=["prog", "forcing_var"],
+        out_names=["prog", "diag"],
+        normalization={
+            "network": {
+                "means": {"prog": 0.0, "forcing_var": 0.0, "diag": 0.0},
+                "stds": {"prog": 1.0, "forcing_var": 1.0, "diag": 1.0},
+            }
+        },
+    )
+    defaults.update(kwargs)
+    from ace_tpu.core.config import from_dict
+
+    return from_dict(SingleModuleStepConfig, defaults)
+
+
+def _selector(**kwargs):
+    from ace_tpu.core.config import to_dict
+
+    cfg = _step_config(**kwargs)
+    d = to_dict(cfg)
+    return StepSelector(type="single_module", config=d)
+
+
+def test_step_names():
+    cfg = _step_config()
+    assert cfg.prognostic_names == ["prog"]
+    assert cfg.forcing_names == ["forcing_var"]
+    assert cfg.diagnostic_names == ["diag"]
+    assert set(cfg.next_step_input_names) == {"forcing_var"}
+
+
+def test_single_step_runs():
+    step = _step_config().get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    args = StepArgs(
+        input={
+            "prog": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    out = step.step(params, args)
+    assert set(out.output) == {"prog", "diag"}
+    assert out.output["prog"].shape == (2, NLAT, NLON)
+
+
+def test_rollout_scan_matches_python_loop():
+    stepper = StepperConfig(step=_selector()).get_stepper(_dataset_info())
+    params = stepper.init_params(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(1)
+    n_steps = 4
+    ic = PrognosticState(
+        data={"prog": jnp.asarray(rng.randn(2, 1, NLAT, NLON), jnp.float32)}
+    )
+    forcing = {
+        "forcing_var": jnp.asarray(
+            rng.randn(2, n_steps + 1, NLAT, NLON), jnp.float32
+        )
+    }
+    outputs, next_ic = stepper.predict(ic, forcing)
+    assert outputs["prog"].shape == (2, n_steps, NLAT, NLON)
+
+    # python-loop reference rollout
+    step = stepper.step
+    state = {"prog": ic.data["prog"][:, -1]}
+    expected = []
+    for t in range(n_steps):
+        out = step.step(
+            params,
+            StepArgs(
+                input={**state, "forcing_var": forcing["forcing_var"][:, t]},
+                next_step_input_data={
+                    "forcing_var": forcing["forcing_var"][:, t + 1]
+                },
+                stepper_state={},
+            ),
+        )
+        state = {"prog": out.output["prog"]}
+        expected.append(out.output["prog"])
+    expected = jnp.stack(expected, axis=1)
+    np.testing.assert_allclose(
+        np.asarray(outputs["prog"]), np.asarray(expected), atol=1e-5
+    )
+    np.testing.assert_allclose(
+        np.asarray(next_ic.data["prog"][:, 0]),
+        np.asarray(expected[:, -1]),
+        atol=1e-6,
+    )
+
+
+def test_next_step_forcing_names_use_future_slice():
+    stepper = StepperConfig(
+        step=_selector(next_step_forcing_names=["forcing_var"])
+    ).get_stepper(_dataset_info())
+    params = stepper.init_params(jax.random.PRNGKey(2))
+    rng = np.random.RandomState(2)
+    n_steps = 2
+    ic = PrognosticState(
+        data={"prog": jnp.asarray(rng.randn(1, 1, NLAT, NLON), jnp.float32)}
+    )
+    forcing_arr = jnp.asarray(rng.randn(1, n_steps + 1, NLAT, NLON), jnp.float32)
+    outputs, _ = stepper.predict(ic, {"forcing_var": forcing_arr})
+
+    # manual: at step t the input forcing should be slice t+1
+    step = stepper.step
+    out = step.step(
+        params,
+        StepArgs(
+            input={"prog": ic.data["prog"][:, -1],
+                   "forcing_var": forcing_arr[:, 1]},
+            next_step_input_data={"forcing_var": forcing_arr[:, 1]},
+            stepper_state={},
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(outputs["prog"][:, 0]),
+        np.asarray(out.output["prog"]),
+        atol=1e-6,
+    )
+
+
+def test_ocean_prescription_in_rollout():
+    sel = _selector(
+        in_names=["prog", "surface_temperature"],
+        out_names=["prog", "surface_temperature"],
+        normalization={
+            "network": {
+                "means": {
+                    "prog": 0.0,
+                    "surface_temperature": 0.0,
+                },
+                "stds": {
+                    "prog": 1.0,
+                    "surface_temperature": 1.0,
+                },
+            }
+        },
+        ocean={
+            "surface_temperature_name": "surface_temperature",
+            "ocean_fraction_name": "ocean_fraction",
+        },
+    )
+    stepper = StepperConfig(step=sel).get_stepper(_dataset_info())
+    stepper.init_params(jax.random.PRNGKey(3))
+    assert "ocean_fraction" in stepper.forcing_window_names
+    assert "surface_temperature" in stepper.forcing_window_names
+    rng = np.random.RandomState(3)
+    n_steps = 3
+    ic = PrognosticState(
+        data={
+            "prog": jnp.asarray(rng.randn(1, 1, NLAT, NLON), jnp.float32),
+            "surface_temperature": jnp.asarray(
+                rng.randn(1, 1, NLAT, NLON), jnp.float32
+            ),
+        }
+    )
+    forcing = {
+        "ocean_fraction": jnp.asarray(
+            (rng.rand(1, n_steps + 1, NLAT, NLON) > 0.5).astype(np.float32)
+        ),
+        "surface_temperature": jnp.asarray(
+            rng.randn(1, n_steps + 1, NLAT, NLON), jnp.float32
+        ),
+    }
+    outputs, _ = stepper.predict(ic, forcing)
+    # where ocean_fraction rounds to 1, output SST must equal the forcing SST
+    for t in range(n_steps):
+        mask = np.round(np.asarray(forcing["ocean_fraction"][:, t + 1])) == 1
+        np.testing.assert_allclose(
+            np.asarray(outputs["surface_temperature"][:, t])[mask],
+            np.asarray(forcing["surface_temperature"][:, t + 1])[mask],
+            atol=1e-6,
+        )
+
+
+def test_corrector_state_threads_through_rollout():
+    """Dry-air conservation must hold at every step of a scan rollout."""
+    in_names = ["PRESsfc", "specific_total_water_0", "specific_total_water_1",
+                "forcing_var"]
+    out_names = ["PRESsfc", "specific_total_water_0", "specific_total_water_1"]
+    stats = {n: 0.0 for n in set(in_names) | set(out_names)}
+    # keep denormalized outputs at physical magnitudes so the water-weighted
+    # dry-air solve stays well-conditioned (as it is for real data)
+    stds = {n: 1e-3 for n in set(in_names) | set(out_names)}
+    stds["PRESsfc"] = 100.0
+    stds["forcing_var"] = 1.0
+    means = dict(stats)
+    means["PRESsfc"] = 1.0e5
+    sel = _selector(
+        in_names=in_names,
+        out_names=out_names,
+        normalization={"network": {"means": means, "stds": stds}},
+        corrector={"conserve_dry_air": True},
+    )
+    stepper = StepperConfig(step=sel).get_stepper(_dataset_info())
+    stepper.init_params(jax.random.PRNGKey(4))
+    rng = np.random.RandomState(4)
+    n_steps = 3
+    ic_data = {
+        "PRESsfc": jnp.asarray(
+            1e5 + 100 * rng.randn(1, 1, NLAT, NLON), jnp.float32
+        ),
+        "specific_total_water_0": jnp.asarray(
+            np.abs(1e-3 * rng.randn(1, 1, NLAT, NLON)), jnp.float32
+        ),
+        "specific_total_water_1": jnp.asarray(
+            np.abs(1e-3 * rng.randn(1, 1, NLAT, NLON)), jnp.float32
+        ),
+    }
+    ic = PrognosticState(data=ic_data)
+    forcing = {
+        "forcing_var": jnp.asarray(
+            rng.randn(1, n_steps + 1, NLAT, NLON), jnp.float32
+        )
+    }
+    outputs, next_ic = stepper.predict(ic, forcing)
+
+    from ace_tpu.core.atmosphere_data import AtmosphereData
+
+    info = _dataset_info()
+    ops = info.gridded_operations
+    vc = info.atmosphere_vertical_coordinate
+    target = float(ops.area_weighted_mean(
+        AtmosphereData(
+            {k: v[:, 0] for k, v in ic_data.items()}, vc
+        ).surface_pressure_due_to_dry_air
+    )[0])
+    for t in range(n_steps):
+        step_data = {k: outputs[k][:, t] for k in out_names}
+        val = float(ops.area_weighted_mean(
+            AtmosphereData(step_data, vc).surface_pressure_due_to_dry_air
+        )[0])
+        assert abs(val - target) / abs(target) < 1e-5, (t, val, target)
+    # final stepper state still carries the IC reference
+    assert "corrector" in next_ic.stepper_state
