@@ -1,0 +1,224 @@
+"""Training stepper: multi-step rollout loss + optimizer update as one
+jitted function (reference: fme/ace/stepper/single_module.py:1559
+TrainStepper, train_on_batch :1598).
+
+TPU-native design: the rollout-with-loss is a single ``lax.scan`` whose
+body can be wrapped in ``jax.checkpoint`` (the reference's per-step
+activation checkpointing, fme/core/optimization.py:40); the whole
+(loss -> grad -> optimizer update) pipeline is one XLA program, so a
+training step is one device launch. Under a data-parallel mesh the same
+function runs SPMD with gradients reduced by XLA (psum from sharding
+constraints) — no DDP wrapper exists or is needed.
+"""
+
+import dataclasses
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+
+from ace_tpu.core.loss import StepLossConfig
+from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
+from ace_tpu.core.step.base import StepArgs
+from ace_tpu.core.typing_ import TensorDict, TensorMapping
+from ace_tpu.ops.sht import RealSHT
+from ace_tpu.stepper.stepper import Stepper, _batch_major, _time_major
+
+
+@dataclasses.dataclass
+class StepperTrainConfig:
+    """Training-specific stepper options
+    (reference: fme/ace/train/train_config.py stepper_training block).
+
+    n_forward_steps: rollout length for the training loss.
+    n_ensemble: ensemble members per sample for CRPS/EnergyScore training.
+    remat: apply jax.checkpoint to the scanned step body (activation
+        rematerialization; the TPU analog of
+        CheckpointConfig.after_n_forward_steps).
+    """
+
+    loss: StepLossConfig = dataclasses.field(default_factory=StepLossConfig)
+    n_forward_steps: int = 1
+    n_ensemble: int = 1
+    remat: bool = False
+
+
+class TrainStepper:
+    """Composes a Stepper with a loss and an optimizer into pure train/valid
+    step functions.
+    """
+
+    def __init__(
+        self,
+        stepper: Stepper,
+        train_config: StepperTrainConfig,
+        optimization_config: OptimizationConfig,
+        ema_config: EMAConfig | None = None,
+        max_epochs: int = 1,
+        steps_per_epoch: int = 1,
+    ):
+        self.stepper = stepper
+        self.train_config = train_config
+        step = stepper.step
+        info = step.dataset_info
+        sht = None
+        if train_config.loss.is_ensemble_loss:
+            nlat, nlon = info.img_shape
+            grid = info.horizontal_coordinates.grid
+            sht = RealSHT(nlat, nlon, grid=grid, channels_last=True)
+        # loss normalizer: network stats with residual stds for prognostics
+        loss_normalizer = step.config.normalization.build_loss_normalizer(
+            step.config._normalize_names,
+            residual_scaled_names=step.prognostic_names,
+        )
+        self.step_loss = train_config.loss.build(
+            info.gridded_operations,
+            out_names=step.output_names,
+            normalizer=loss_normalizer,
+            sht=sht,
+        )
+        self.optimization = optimization_config.build(
+            max_epochs=max_epochs, steps_per_epoch=steps_per_epoch
+        )
+        self.ema = ema_config.build() if ema_config is not None else None
+        self._train_step_fn: Callable | None = None
+        self._loss_fn: Callable | None = None
+
+    # ----- pure functions -----
+
+    def loss_fn(self, params, batch: TensorMapping, rng: jax.Array):
+        """Rollout loss over n_forward_steps.
+
+        batch: dict of [B, n_forward+1, ...spatial] containing all input,
+        forcing and target variables (index 0 = IC).
+        Returns (total_loss, metrics_dict).
+        """
+        step = self.stepper.step
+        cfg = self.train_config
+        n_steps = cfg.n_forward_steps
+        prognostic_names = step.prognostic_names
+        input_only = sorted(set(step.input_names) - set(step.output_names))
+        nsf = set(step.next_step_forcing_names)
+        nsi = step.next_step_input_names
+        out_names = step.output_names
+        n_ens = cfg.n_ensemble
+
+        def expand_ens(x):
+            # fold ensemble into batch: [B, ...] -> [B*E, ...]
+            if n_ens == 1:
+                return x
+            return jnp.repeat(x, n_ens, axis=0)
+
+        state0 = {
+            k: expand_ens(batch[k][:, 0]) for k in prognostic_names
+        }
+        stepper_state = step.init_stepper_state(state0)
+        xs_in = {
+            k: _time_major(expand_ens(
+                batch[k][:, 1 : n_steps + 1] if k in nsf
+                else batch[k][:, 0:n_steps]
+            ))
+            for k in input_only
+        }
+        xs_next = {
+            k: _time_major(expand_ens(batch[k][:, 1 : n_steps + 1]))
+            for k in nsi
+        }
+        xs_target = {
+            k: _time_major(batch[k][:, 1 : n_steps + 1]) for k in out_names
+        }
+        xs_idx = jnp.arange(n_steps)
+
+        def body(carry, xs):
+            state, st_state, key, loss_sum = carry
+            key, sub = jax.random.split(key)
+            forcing_t, next_t, target_t, idx = xs
+            out = step.step(
+                params,
+                StepArgs(
+                    input={**state, **forcing_t},
+                    next_step_input_data=next_t,
+                    stepper_state=st_state,
+                    rng=sub,
+                    deterministic=False,
+                ),
+            )
+            gen = {k: out.output[k] for k in out_names}
+            if n_ens > 1:
+                # unfold ensemble for the probabilistic loss:
+                # [B*E, ...] -> [B, E, ...]; target gets a size-1 ens axis
+                gen_l = {
+                    k: v.reshape(-1, n_ens, *v.shape[1:])
+                    for k, v in gen.items()
+                }
+                tgt_l = {k: v[:, None] for k, v in target_t.items()}
+            else:
+                gen_l, tgt_l = gen, target_t
+            step_loss = self.step_loss(gen_l, tgt_l, idx)
+            new_state = {k: out.output[k] for k in prognostic_names}
+            return (
+                (new_state, out.stepper_state, key, loss_sum + step_loss.total),
+                step_loss.total,
+            )
+
+        body_fn = jax.checkpoint(body) if cfg.remat else body
+
+        (_, _, _, total), per_step = jax.lax.scan(
+            body_fn,
+            (state0, stepper_state, rng, jnp.zeros(())),
+            (xs_in, xs_next, xs_target, xs_idx),
+        )
+        metrics = {"loss": total}
+        for i in range(n_steps):
+            metrics[f"loss_step_{i}"] = per_step[i]
+        return total, metrics
+
+    def build_train_step(self, donate: bool = True):
+        """Returns jitted fn(params, opt_state, batch, rng) ->
+        (new_params, new_opt_state, metrics).
+        """
+
+        def train_step(params, opt_state, batch, rng):
+            (loss, metrics), grads = jax.value_and_grad(
+                self.loss_fn, has_aux=True
+            )(params, batch, rng)
+            updates, new_opt_state = self.optimization.tx.update(
+                grads, opt_state, params
+            )
+            import optax
+
+            new_params = optax.apply_updates(params, updates)
+            metrics["grad_norm"] = optax.global_norm(grads)
+            return new_params, new_opt_state, metrics
+
+        return jax.jit(
+            train_step, donate_argnums=(0, 1) if donate else ()
+        )
+
+    def build_valid_step(self):
+        def valid_step(params, batch, rng):
+            _, metrics = self.loss_fn(params, batch, rng)
+            return metrics
+
+        return jax.jit(valid_step)
+
+    # ----- convenience (stateful driver API) -----
+
+    def init(self, rng: jax.Array):
+        params = self.stepper.init_params(rng)
+        opt_state = self.optimization.init(params)
+        if self.ema is not None:
+            self.ema.init(params)
+        return params, opt_state
+
+    @property
+    def effective_loss_scaling(self) -> TensorDict:
+        """Final per-variable loss scaling: loss-normalizer stds divided by
+        variable weights (reference: single_module.py effective_loss_scaling).
+        """
+        weights = self.train_config.loss.weights
+        normalizer = self.step_loss.loss.normalizer
+        return {
+            k: normalizer.stds[k] / weights.get(k, 1.0)
+            for k in self.stepper.step.output_names
+        }

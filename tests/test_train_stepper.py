@@ -1,0 +1,181 @@
+"""Training-step tests: loss decreases on a learnable synthetic problem,
+ensemble CRPS path runs, remat matches non-remat
+(reference test model: fme/ace/stepper tests + fme/core/test_loss.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ace_tpu.core.config import from_dict
+from ace_tpu.core.loss import (
+    LpLoss,
+    MSELoss,
+    StepLossConfig,
+    WeightedMappingLoss,
+    get_crps,
+)
+from ace_tpu.core.normalizer import StandardNormalizer
+from ace_tpu.core.optimization import EMAConfig, OptimizationConfig, SchedulerConfig
+from ace_tpu.core.step.base import StepSelector
+from ace_tpu.stepper.stepper import StepperConfig
+from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
+
+from tests.test_step_stepper import _dataset_info, _step_config, NLAT, NLON
+
+
+def _train_stepper(n_forward_steps=2, n_ensemble=1, loss_type="MSE",
+                   remat=False, **step_kwargs):
+    from ace_tpu.core.config import to_dict
+
+    sel = StepSelector(
+        type="single_module", config=to_dict(_step_config(**step_kwargs))
+    )
+    stepper = StepperConfig(step=sel).get_stepper(_dataset_info())
+    kwargs = {}
+    if loss_type == "EnsembleLoss":
+        kwargs = {"crps_weight": 0.9, "energy_score_weight": 0.1}
+    train_cfg = StepperTrainConfig(
+        loss=from_dict(StepLossConfig, {"type": loss_type, "kwargs": kwargs}),
+        n_forward_steps=n_forward_steps,
+        n_ensemble=n_ensemble,
+        remat=remat,
+    )
+    return TrainStepper(
+        stepper, train_cfg, OptimizationConfig(lr=1e-2), EMAConfig()
+    )
+
+
+def _batch(rng, n_steps, batch=2):
+    return {
+        "prog": jnp.asarray(
+            rng.randn(batch, n_steps + 1, NLAT, NLON), jnp.float32
+        ),
+        "forcing_var": jnp.asarray(
+            rng.randn(batch, n_steps + 1, NLAT, NLON), jnp.float32
+        ),
+        "diag": jnp.asarray(
+            rng.randn(batch, n_steps + 1, NLAT, NLON), jnp.float32
+        ),
+    }
+
+
+def test_train_step_decreases_loss():
+    ts = _train_stepper(n_forward_steps=2)
+    params, opt_state = ts.init(jax.random.PRNGKey(0))
+    train_step = ts.build_train_step(donate=False)
+    rng = np.random.RandomState(0)
+    # learnable target: diag = forcing, prog persists
+    n_steps = 2
+    base = rng.randn(4, n_steps + 1, NLAT, NLON).astype(np.float32)
+    batch = {
+        "prog": jnp.asarray(base),
+        "forcing_var": jnp.asarray(base * 0.5),
+        "diag": jnp.asarray(base * 0.5),
+    }
+    losses = []
+    key = jax.random.PRNGKey(1)
+    for i in range(20):
+        key, sub = jax.random.split(key)
+        params, opt_state, metrics = train_step(params, opt_state, batch, sub)
+        losses.append(float(metrics["loss"]))
+    assert losses[-1] < losses[0] * 0.9, losses
+
+
+def test_per_step_losses_reported():
+    ts = _train_stepper(n_forward_steps=3)
+    params, opt_state = ts.init(jax.random.PRNGKey(0))
+    _, metrics = ts.loss_fn(
+        params, _batch(np.random.RandomState(1), 3), jax.random.PRNGKey(0)
+    )
+    assert {"loss", "loss_step_0", "loss_step_1", "loss_step_2"} <= set(metrics)
+    total = sum(float(metrics[f"loss_step_{i}"]) for i in range(3))
+    np.testing.assert_allclose(float(metrics["loss"]), total, rtol=1e-5)
+
+
+def test_remat_matches_no_remat():
+    ts1 = _train_stepper(n_forward_steps=2, remat=False)
+    ts2 = _train_stepper(n_forward_steps=2, remat=True)
+    params, _ = ts1.init(jax.random.PRNGKey(7))
+    batch = _batch(np.random.RandomState(2), 2)
+    rng = jax.random.PRNGKey(3)
+    l1, _ = ts1.loss_fn(params, batch, rng)
+    l2, _ = ts2.loss_fn(params, batch, rng)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    g1 = jax.grad(lambda p: ts1.loss_fn(p, batch, rng)[0])(params)
+    g2 = jax.grad(lambda p: ts2.loss_fn(p, batch, rng)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1), jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_ensemble_loss_path_runs():
+    ts = _train_stepper(n_forward_steps=1, n_ensemble=2,
+                        loss_type="EnsembleLoss")
+    params, opt_state = ts.init(jax.random.PRNGKey(0))
+    loss, metrics = ts.loss_fn(
+        params, _batch(np.random.RandomState(3), 1), jax.random.PRNGKey(0)
+    )
+    assert np.isfinite(float(loss))
+
+
+def test_crps_basics():
+    # perfect deterministic forecast has zero CRPS
+    target = jnp.zeros((2, 1, 4))
+    gen = jnp.zeros((2, 3, 4))
+    np.testing.assert_allclose(np.asarray(get_crps(gen, target)), 0.0)
+    # CRPS penalizes biased ensembles more than spread ones
+    rng = np.random.RandomState(0)
+    spread = jnp.asarray(rng.randn(2, 8, 100), jnp.float32)
+    biased = jnp.ones((2, 8, 100)) * 3.0
+    target = jnp.zeros((2, 1, 100))
+    assert float(get_crps(spread, target).mean()) < float(
+        get_crps(biased, target).mean()
+    )
+
+
+def test_weighted_mapping_loss_weights():
+    norm = StandardNormalizer({"a": 0.0, "b": 0.0}, {"a": 1.0, "b": 1.0})
+    loss = WeightedMappingLoss(
+        MSELoss(), {"a": 2.0}, ["a", "b"], norm
+    )
+    pred = {"a": jnp.ones((2, 4, 4)), "b": jnp.ones((2, 4, 4))}
+    targ = {"a": jnp.zeros((2, 4, 4)), "b": jnp.zeros((2, 4, 4))}
+    out = loss(pred, targ)
+    # weight 2 on inputs -> 4x loss for "a"
+    np.testing.assert_allclose(float(out.per_channel["a"]), 4.0, rtol=1e-6)
+    np.testing.assert_allclose(float(out.per_channel["b"]), 1.0, rtol=1e-6)
+    np.testing.assert_allclose(float(out.total), 2.5, rtol=1e-6)
+
+
+def test_lploss_relative():
+    loss = LpLoss(p=2)
+    x = jnp.ones((2, 4, 4, 1)) * 2.0
+    y = jnp.ones((2, 4, 4, 1))
+    np.testing.assert_allclose(np.asarray(loss(x, y)), 1.0, rtol=1e-6)
+
+
+def test_scheduler_cosine():
+    cfg = SchedulerConfig(type="CosineAnnealingLR", kwargs={"T_max": 10})
+    sched = cfg.build(1.0, max_epochs=10, steps_per_epoch=5)
+    assert abs(float(sched(0)) - 1.0) < 1e-6
+    assert float(sched(50)) < 1e-6  # 10 epochs in
+    mid = float(sched(25))  # 5 epochs
+    assert abs(mid - 0.5) < 1e-6
+
+
+def test_ema_tracks_params():
+    ts = _train_stepper()
+    params, _ = ts.init(jax.random.PRNGKey(0))
+    moved = jax.tree_util.tree_map(lambda p: p + 1.0, params)
+    for _ in range(5):
+        ts.ema(moved)
+    # EMA should be strictly between original and moved params
+    leaf = jax.tree_util.tree_leaves(params)[0]
+    ema_leaf = jax.tree_util.tree_leaves(ts.ema.ema_params)[0]
+    moved_leaf = jax.tree_util.tree_leaves(moved)[0]
+    diff0 = float(jnp.abs(ema_leaf - leaf).mean())
+    diff1 = float(jnp.abs(ema_leaf - moved_leaf).mean())
+    # ramp-up decay is small early, so EMA moves quickly toward
+    # the new params but must not reach them exactly
+    assert diff0 > diff1 > 1e-5
