@@ -1,0 +1,93 @@
+"""Device mesh and sharding layout (reference: fme/core/distributed/).
+
+The reference runs a 3-D (data, h, w) DeviceMesh with DDP over data and
+2-D spatial decomposition of the lat-lon grid over (h, w), with distributed
+SHT all-to-alls inside layers (model_torch_distributed.py:112-158). The
+TPU-native replacement is one ``jax.sharding.Mesh`` with NamedSharding
+annotations; XLA's SPMD partitioner inserts the all-to-all/all-reduce
+collectives inside the SHT einsum chain and the psum for data-parallel
+gradients — there is no wrapper module and no hand-written process-group
+logic.
+
+Batch layout: [batch, (time,) lat, lon, (channel)] ->
+PartitionSpec("data", None, "h", "w", None)-style specs via
+``batch_spec(ndim)``.
+"""
+
+import dataclasses
+from contextlib import contextmanager
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+DATA_AXIS = "data"
+H_AXIS = "h"
+W_AXIS = "w"
+
+
+@dataclasses.dataclass
+class MeshConfig:
+    """Mesh shape configuration (reference env vars FME_DISTRIBUTED_H/W,
+    fme/core/distributed/model_torch_distributed.py:112).
+
+    data_parallel = -1 means "all remaining devices".
+    """
+
+    data_parallel: int = -1
+    h: int = 1
+    w: int = 1
+
+    def build(self, devices=None) -> Mesh:
+        devices = devices if devices is not None else jax.devices()
+        n = len(devices)
+        spatial = self.h * self.w
+        if n % spatial != 0:
+            raise ValueError(
+                f"{n} devices not divisible by spatial h*w={spatial}"
+            )
+        data = self.data_parallel if self.data_parallel > 0 else n // spatial
+        if data * spatial != n:
+            raise ValueError(
+                f"mesh ({data}, {self.h}, {self.w}) != {n} devices"
+            )
+        arr = np.asarray(devices).reshape(data, self.h, self.w)
+        return Mesh(arr, (DATA_AXIS, H_AXIS, W_AXIS))
+
+
+def single_device_mesh() -> Mesh:
+    return Mesh(
+        np.asarray(jax.devices()[:1]).reshape(1, 1, 1),
+        (DATA_AXIS, H_AXIS, W_AXIS),
+    )
+
+
+def batch_spec(ndim: int, has_channel: bool = False) -> P:
+    """PartitionSpec for a [batch, ..., lat, lon(, channel)] array: batch
+    over "data", lat over "h", lon over "w".
+    """
+    n_spatial_end = 3 if has_channel else 2
+    middle = ndim - 1 - n_spatial_end
+    spec = [DATA_AXIS] + [None] * middle + [H_AXIS, W_AXIS]
+    if has_channel:
+        spec.append(None)
+    return P(*spec)
+
+
+def shard_batch(batch: dict, mesh: Mesh) -> dict:
+    """Place a dict of [B, ..., H, W] arrays onto the mesh."""
+    out = {}
+    for k, v in batch.items():
+        sharding = NamedSharding(mesh, batch_spec(v.ndim))
+        out[k] = jax.device_put(v, sharding)
+    return out
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+@contextmanager
+def use_mesh(mesh: Mesh):
+    with jax.set_mesh(mesh):
+        yield mesh
