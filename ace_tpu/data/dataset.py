@@ -1,0 +1,282 @@
+"""Dataset layer: lazy window reads over multi-file netCDF/HDF5 or zarr
+stores (reference: fme/core/dataset/xarray.py XarrayDataConfig/
+XarrayDataset).
+
+A sample is a contiguous window of ``n_timesteps`` steps of every
+requested variable, read on the host as numpy, shaped [T, H, W]. Static
+fields are broadcast along time; the derived static fields x/y/z
+(Euclidean coordinates of the grid) are synthesized on demand
+(reference: xarray.py:202 StaticDerivedData).
+"""
+
+import dataclasses
+import datetime
+import glob
+import os
+
+import numpy as np
+
+from ace_tpu.core.coordinates import (
+    HybridSigmaPressureCoordinate,
+    LatLonCoordinates,
+    NullVerticalCoordinate,
+)
+from ace_tpu.core.dataset_info import DatasetInfo, VariableMetadata
+from ace_tpu.core.typing_ import Slice
+from ace_tpu.data.store import FileDataset, open_file_dataset
+from ace_tpu.data.time import TimeCoord
+
+LAT_NAMES = ("lat", "latitude", "grid_yt", "y")
+LON_NAMES = ("lon", "longitude", "grid_xt", "x")
+STATIC_DERIVED_NAMES = ("x", "y", "z")
+
+STATIC_DERIVED_METADATA = {
+    "x": VariableMetadata(units="", long_name="Euclidean x-coordinate"),
+    "y": VariableMetadata(units="", long_name="Euclidean y-coordinate"),
+    "z": VariableMetadata(units="", long_name="Euclidean z-coordinate"),
+}
+
+
+@dataclasses.dataclass
+class XarrayDataConfig:
+    """Dataset config with the reference's YAML surface
+    (reference: fme/core/dataset/xarray.py:403).
+
+    Parameters:
+        data_path: directory containing data files (or a zarr group path).
+        file_pattern: glob for files inside data_path.
+        engine: "netcdf4" (HDF5) or "zarr"; inferred when None.
+        n_repeats: repeat the time series this many times.
+        subset: index subset of the time dimension.
+        spatial_dimensions: only "latlon" currently.
+        renamed_variables: mapping from on-disk name -> desired name.
+        fill_nans: optional constant to replace NaNs with.
+    """
+
+    data_path: str
+    file_pattern: str = "*.nc"
+    engine: str | None = None
+    n_repeats: int = 1
+    subset: Slice = dataclasses.field(default_factory=Slice)
+    spatial_dimensions: str = "latlon"
+    renamed_variables: dict[str, str] | None = None
+    fill_nans: float | None = None
+
+    def build(self) -> "XarrayDataset":
+        return XarrayDataset(self)
+
+
+def _find_dim(names, candidates):
+    for c in candidates:
+        if c in names:
+            return c
+    return None
+
+
+class XarrayDataset:
+    """Multi-file time-concatenated dataset with lazy window reads."""
+
+    def __init__(self, config: XarrayDataConfig):
+        self.config = config
+        path = config.data_path
+        if os.path.isdir(path) and os.path.exists(
+            os.path.join(path, ".zgroup")
+        ):
+            files = [path]
+        else:
+            files = sorted(glob.glob(os.path.join(path, config.file_pattern)))
+            if os.path.isfile(path):
+                files = [path]
+        if not files:
+            raise FileNotFoundError(
+                f"no files matching {config.file_pattern!r} in {path}"
+            )
+        self._files: list[FileDataset] = [
+            open_file_dataset(f, config.engine) for f in files
+        ]
+        self._rename = dict(config.renamed_variables or {})
+
+        # global time index
+        times = [f.read_time() for f in self._files]
+        self._file_offsets = np.concatenate(
+            [[0], np.cumsum([len(t) for t in times])]
+        )
+        all_time = times[0]
+        for t in times[1:]:
+            all_time = all_time.concat(t)
+        if config.n_repeats > 1:
+            # repeat the series forward in time with the same spacing
+            span = all_time.values[-1] - all_time.values[0] + int(
+                np.diff(all_time.values)[0] if len(all_time) > 1 else 0
+            )
+            reps = [all_time.values + i * span
+                    for i in range(config.n_repeats)]
+            all_time = TimeCoord(np.concatenate(reps), all_time.calendar)
+        self._base_n_times = int(self._file_offsets[-1])
+        self.all_time = TimeCoord(
+            all_time.values[config.subset.slice], all_time.calendar
+        )
+        self._subset_indices = np.arange(
+            self._base_n_times * config.n_repeats
+        )[config.subset.slice]
+
+        first = self._files[0]
+        # horizontal coordinates
+        lat_name = _find_dim(first.keys(), LAT_NAMES)
+        lon_name = _find_dim(first.keys(), LON_NAMES)
+        if lat_name is None or lon_name is None:
+            raise ValueError("could not find lat/lon coordinate variables")
+        self._lat_name, self._lon_name = lat_name, lon_name
+        self.horizontal_coordinates = LatLonCoordinates(
+            lat=first[lat_name].read(()),
+            lon=first[lon_name].read(()),
+            loaded_lat_name=lat_name,
+            loaded_lon_name=lon_name,
+        )
+        # vertical coordinate from ak_N/bk_N scalars
+        ak = {k: float(first[k].read(())) for k in first.keys()
+              if k.startswith("ak_") and k[3:].isdigit()}
+        bk = {k: float(first[k].read(())) for k in first.keys()
+              if k.startswith("bk_") and k[3:].isdigit()}
+        if ak and bk:
+            self.vertical_coordinate = HybridSigmaPressureCoordinate(
+                ak=np.asarray(
+                    [ak[k] for k in sorted(ak, key=lambda s: int(s[3:]))]
+                ),
+                bk=np.asarray(
+                    [bk[k] for k in sorted(bk, key=lambda s: int(s[3:]))]
+                ),
+            )
+        else:
+            self.vertical_coordinate = NullVerticalCoordinate()
+
+        if len(self.all_time) > 1:
+            self.timestep = datetime.timedelta(
+                seconds=self.all_time.timestep_seconds()
+            )
+        else:
+            self.timestep = None
+
+        # variable inventory: time-varying [time, lat, lon] and static
+        self._time_dependent: dict[str, str] = {}
+        self._static: dict[str, str] = {}
+        self.variable_metadata: dict[str, VariableMetadata] = {}
+        spatial = {lat_name, lon_name}
+        for name, var in first.variables.items():
+            out_name = self._rename.get(name, name)
+            has_time = "time" in var.dims
+            is_spatial = len(var.shape) >= 2
+            if has_time and is_spatial:
+                self._time_dependent[out_name] = name
+            elif is_spatial or (not has_time and len(var.shape) in (2,)):
+                self._static[out_name] = name
+            elif not has_time and len(var.shape) == 2:
+                self._static[out_name] = name
+            if var.attrs.get("units") or var.attrs.get("long_name"):
+                self.variable_metadata[out_name] = VariableMetadata(
+                    units=var.attrs.get("units", ""),
+                    long_name=var.attrs.get("long_name", ""),
+                )
+        self.variable_metadata.update(STATIC_DERIVED_METADATA)
+
+    @property
+    def names(self) -> list[str]:
+        return sorted(
+            set(self._time_dependent)
+            | set(self._static)
+            | set(STATIC_DERIVED_NAMES)
+        )
+
+    @property
+    def n_times(self) -> int:
+        return len(self.all_time)
+
+    @property
+    def dataset_info(self) -> DatasetInfo:
+        return DatasetInfo(
+            horizontal_coordinates=self.horizontal_coordinates,
+            vertical_coordinate=self.vertical_coordinate,
+            timestep=self.timestep,
+            variable_metadata=self.variable_metadata,
+        )
+
+    def _static_derived(self, name: str) -> np.ndarray:
+        lat = np.deg2rad(self.horizontal_coordinates.lat)
+        lon = np.deg2rad(self.horizontal_coordinates.lon)
+        lat2d, lon2d = np.meshgrid(lat, lon, indexing="ij")
+        if name == "x":
+            return (np.cos(lat2d) * np.cos(lon2d)).astype(np.float32)
+        if name == "y":
+            return (np.cos(lat2d) * np.sin(lon2d)).astype(np.float32)
+        if name == "z":
+            return np.sin(lat2d).astype(np.float32)
+        raise KeyError(name)
+
+    def _read_window(self, disk_name: str, start: int, n: int) -> np.ndarray:
+        """Read [start, start+n) of a time-dependent variable across files."""
+        pieces = []
+        remaining = n
+        idx = start
+        while remaining > 0:
+            file_i = int(
+                np.searchsorted(self._file_offsets, idx, side="right") - 1
+            )
+            local = idx - int(self._file_offsets[file_i])
+            avail = int(self._file_offsets[file_i + 1]) - idx
+            take = min(avail, remaining)
+            pieces.append(
+                self._files[file_i][disk_name].read(
+                    (slice(local, local + take),)
+                )
+            )
+            idx += take
+            remaining -= take
+        out = pieces[0] if len(pieces) == 1 else np.concatenate(pieces, axis=0)
+        return out
+
+    def get_window(
+        self, start: int, n_timesteps: int, names: list[str]
+    ) -> tuple[dict[str, np.ndarray], TimeCoord]:
+        """Read a [n_timesteps, H, W] window for each name starting at
+        global time index ``start`` (within the subset index space).
+        """
+        if start + n_timesteps > self.n_times:
+            raise IndexError(
+                f"window [{start}, {start + n_timesteps}) exceeds dataset "
+                f"length {self.n_times}"
+            )
+        global_idx = self._subset_indices[start : start + n_timesteps]
+        base_idx = global_idx % self._base_n_times
+        contiguous = bool(
+            np.all(np.diff(base_idx) == 1)
+        ) if len(base_idx) > 1 else True
+        shape2d = self.horizontal_coordinates.shape
+        out: dict[str, np.ndarray] = {}
+        for name in names:
+            if name in self._time_dependent:
+                disk = self._time_dependent[name]
+                if contiguous:
+                    arr = self._read_window(disk, int(base_idx[0]), n_timesteps)
+                else:
+                    arr = np.concatenate(
+                        [self._read_window(disk, int(i), 1) for i in base_idx],
+                        axis=0,
+                    )
+            elif name in self._static:
+                arr = np.broadcast_to(
+                    self._files[0][self._static[name]].read(()),
+                    (n_timesteps, *shape2d),
+                ).copy()
+            elif name in STATIC_DERIVED_NAMES:
+                arr = np.broadcast_to(
+                    self._static_derived(name), (n_timesteps, *shape2d)
+                ).copy()
+            else:
+                raise KeyError(
+                    f"variable {name!r} not in dataset (has {self.names})"
+                )
+            arr = np.asarray(arr, dtype=np.float32)
+            if self.config.fill_nans is not None:
+                arr = np.nan_to_num(arr, nan=self.config.fill_nans)
+            out[name] = arr
+        return out, self.all_time[start : start + n_timesteps]

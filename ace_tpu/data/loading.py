@@ -1,0 +1,246 @@
+"""Batch carriers and data loading
+(reference: fme/ace/data_loading/batch_data.py, dataloader.py,
+gridded_data.py).
+
+TPU-native notes: there are no torch DataLoader worker processes; windows
+are read by a thread pool (HDF5/zarr reads release the GIL) and assembled
+into pinned host numpy, then ``jax.device_put`` with a NamedSharding moves
+each batch to the mesh (the reference's to_device + scatter_spatial,
+gridded_data.py:76-80). Prefetching overlaps read/transfer with compute.
+"""
+
+import concurrent.futures
+import dataclasses
+import queue
+import threading
+from typing import Iterator
+
+import jax
+import numpy as np
+
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.data.dataset import XarrayDataConfig, XarrayDataset
+from ace_tpu.data.requirements import DataRequirements
+from ace_tpu.data.time import TimeCoord
+from ace_tpu.core.typing_ import TensorDict
+
+
+@dataclasses.dataclass
+class BatchData:
+    """A batch: dict of [batch, time, lat, lon] arrays + times
+    (reference: fme/ace/data_loading/batch_data.py:193).
+    """
+
+    data: TensorDict
+    time: TimeCoord  # values shaped [batch, time]
+
+    @property
+    def n_timesteps(self) -> int:
+        return self.time.values.shape[1]
+
+    def to_device(self, sharding=None) -> "BatchData":
+        if sharding is None:
+            data = {k: jax.device_put(v) for k, v in self.data.items()}
+        else:
+            data = {k: jax.device_put(v, sharding) for k, v in self.data.items()}
+        return BatchData(data=data, time=self.time)
+
+    def get_start(self, prognostic_names, n_ic_timesteps: int):
+        from ace_tpu.stepper.stepper import PrognosticState
+
+        return PrognosticState(
+            data={
+                k: self.data[k][:, :n_ic_timesteps] for k in prognostic_names
+            }
+        )
+
+    def get_end(self, prognostic_names, n_ic_timesteps: int):
+        from ace_tpu.stepper.stepper import PrognosticState
+
+        return PrognosticState(
+            data={
+                k: self.data[k][:, -n_ic_timesteps:] for k in prognostic_names
+            }
+        )
+
+
+@dataclasses.dataclass
+class PairedData:
+    """Prediction and reference data at matching times
+    (reference: batch_data.py:994).
+    """
+
+    prediction: TensorDict
+    reference: TensorDict
+    time: TimeCoord
+
+
+class WindowDataset:
+    """Maps sample index -> contiguous time window
+    (reference: XarrayDataset sample semantics, xarray.py:534).
+    """
+
+    def __init__(self, dataset: XarrayDataset, requirements: DataRequirements):
+        self.dataset = dataset
+        self.names = requirements.names
+        self.n_timesteps = requirements.n_timesteps
+
+    def __len__(self) -> int:
+        return max(0, self.dataset.n_times - self.n_timesteps + 1)
+
+    def __getitem__(self, idx: int) -> tuple[dict, TimeCoord]:
+        return self.dataset.get_window(idx, self.n_timesteps, self.names)
+
+    @property
+    def dataset_info(self) -> DatasetInfo:
+        return self.dataset.dataset_info
+
+
+def _collate(samples: list[tuple[dict, TimeCoord]]) -> BatchData:
+    names = samples[0][0].keys()
+    data = {
+        k: np.stack([s[0][k] for s in samples], axis=0) for k in names
+    }
+    time = TimeCoord(
+        np.stack([s[1].values for s in samples], axis=0),
+        samples[0][1].calendar,
+    )
+    return BatchData(data=data, time=time)
+
+
+class DataLoader:
+    """Threaded, prefetching batch loader with epoch-seeded shuffling
+    (reference: fme/ace/data_loading/dataloader.py + DistributedSampler
+    semantics in fme/core/distributed).
+    """
+
+    def __init__(
+        self,
+        dataset: WindowDataset,
+        batch_size: int,
+        shuffle: bool = True,
+        num_workers: int = 4,
+        prefetch: int = 2,
+        seed: int = 0,
+        drop_last: bool = True,
+        sharding=None,
+    ):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.shuffle = shuffle
+        self.num_workers = max(1, num_workers)
+        self.prefetch = prefetch
+        self.seed = seed
+        self.drop_last = drop_last
+        self.sharding = sharding
+        self.epoch = 0
+
+    def set_epoch(self, epoch: int):
+        self.epoch = epoch
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        if self.drop_last:
+            return n // self.batch_size
+        return (n + self.batch_size - 1) // self.batch_size
+
+    def _index_batches(self, start_batch: int = 0) -> list[np.ndarray]:
+        indices = np.arange(len(self.dataset))
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            rng.shuffle(indices)
+        n_batches = len(self)
+        batches = [
+            indices[i * self.batch_size : (i + 1) * self.batch_size]
+            for i in range(n_batches)
+        ]
+        return batches[start_batch:]
+
+    def __iter__(self) -> Iterator[BatchData]:
+        return self.iter_batches()
+
+    def iter_batches(self, start_batch: int = 0) -> Iterator[BatchData]:
+        batches = self._index_batches(start_batch)
+        if not batches:
+            return
+        out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = threading.Event()
+
+        def produce():
+            with concurrent.futures.ThreadPoolExecutor(
+                self.num_workers
+            ) as pool:
+                for batch_idx in batches:
+                    if stop.is_set():
+                        break
+                    samples = list(
+                        pool.map(self.dataset.__getitem__, batch_idx)
+                    )
+                    out_q.put(_collate(samples))
+            out_q.put(None)
+
+        producer = threading.Thread(target=produce, daemon=True)
+        producer.start()
+        try:
+            while True:
+                item = out_q.get()
+                if item is None:
+                    break
+                yield item.to_device(self.sharding)
+        finally:
+            stop.set()
+
+
+@dataclasses.dataclass
+class DataLoaderConfig:
+    """Training data loader config (reference:
+    fme/ace/data_loading/config.py:15).
+    """
+
+    dataset: XarrayDataConfig
+    batch_size: int = 1
+    num_data_workers: int = 4
+    prefetch_factor: int = 2
+
+    def build(self, requirements: DataRequirements, train: bool = True,
+              sharding=None, seed: int = 0) -> "GriddedData":
+        xr_dataset = self.dataset.build()
+        window = WindowDataset(xr_dataset, requirements)
+        loader = DataLoader(
+            window,
+            batch_size=self.batch_size,
+            shuffle=train,
+            num_workers=self.num_data_workers,
+            prefetch=self.prefetch_factor,
+            seed=seed,
+            sharding=sharding,
+        )
+        return GriddedData(loader=loader, dataset=xr_dataset)
+
+
+class GriddedData:
+    """Loader + dataset metadata bundle
+    (reference: fme/ace/data_loading/gridded_data.py:24).
+    """
+
+    def __init__(self, loader: DataLoader, dataset: XarrayDataset):
+        self.loader = loader
+        self.dataset = dataset
+
+    @property
+    def dataset_info(self) -> DatasetInfo:
+        return self.dataset.dataset_info
+
+    @property
+    def n_batches(self) -> int:
+        return len(self.loader)
+
+    @property
+    def n_samples(self) -> int:
+        return len(self.loader.dataset)
+
+    def set_epoch(self, epoch: int):
+        self.loader.set_epoch(epoch)
+
+    def __iter__(self):
+        return iter(self.loader)

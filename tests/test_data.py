@@ -1,0 +1,148 @@
+"""Dataset/store/loader tests (reference model: fme/core/dataset/test_xarray.py
+and fme/ace/data_loading tests — window reads, multi-file concat, loader
+shuffling/sharding).
+"""
+
+import numpy as np
+import pytest
+
+from ace_tpu.core.config import from_dict
+from ace_tpu.data.dataset import XarrayDataConfig
+from ace_tpu.data.loading import DataLoader, DataLoaderConfig, WindowDataset
+from ace_tpu.data.requirements import DataRequirements
+from ace_tpu.data.store import (
+    decode_cf_time,
+    open_file_dataset,
+    write_h5,
+    write_zarr,
+)
+from ace_tpu.data.time import TimeCoord
+from ace_tpu.testing import SyntheticData, save_nd_file, save_stats_files
+
+NAMES = ["var_a", "var_b", "PRESsfc"]
+
+
+def test_cf_time_decode():
+    tc = decode_cf_time(
+        np.asarray([0.0, 6.0, 12.0]),
+        "hours since 2000-01-01 00:00:00", "noleap",
+    )
+    comp = tc.components()
+    assert list(comp["hour"]) == [0, 6, 12]
+    assert tc.calendar == "noleap"
+
+
+@pytest.mark.parametrize("fmt", ["h5", "zarr"])
+def test_store_roundtrip(tmp_path, fmt):
+    path = tmp_path / ("d.nc" if fmt == "h5" else "d.zarr")
+    rng = np.random.RandomState(0)
+    arr = rng.randn(4, 3, 5).astype(np.float32)
+    time = TimeCoord.from_range("2001-06-01", 4, 3600)
+    writer = write_h5 if fmt == "h5" else write_zarr
+    writer(
+        str(path), {"temp": arr}, {"temp": ("time", "lat", "lon")},
+        coords={"lat": np.arange(3.0), "lon": np.arange(5.0)},
+        attrs={"temp": {"units": "K"}}, time=time,
+    )
+    ds = open_file_dataset(str(path))
+    assert ds["temp"].dims == ("time", "lat", "lon")
+    np.testing.assert_allclose(ds["temp"].read(()), arr)
+    np.testing.assert_allclose(
+        ds["temp"].read((slice(1, 3),)), arr[1:3]
+    )
+    assert ds["temp"].attrs["units"] == "K"
+    t2 = ds.read_time()
+    np.testing.assert_array_equal(t2.values, time.values)
+
+
+@pytest.mark.parametrize("fmt", ["h5", "zarr"])
+def test_dataset_window_reads(tmp_path, fmt):
+    data = SyntheticData(tmp_path, NAMES, n_time=10, n_files=3, fmt=fmt)
+    cfg = XarrayDataConfig(
+        data_path=str(data.data_dir),
+        file_pattern="*.nc" if fmt == "h5" else "*.zarr",
+    )
+    ds = cfg.build()
+    assert ds.n_times == 10
+    assert ds.timestep.total_seconds() == 21600
+    # window crossing a file boundary (files have 3,3,4 steps)
+    window, time = ds.get_window(2, 4, ["var_a", "x"])
+    assert window["var_a"].shape == (4, 8, 16)
+    assert window["x"].shape == (4, 8, 16)
+    assert len(time) == 4
+    # compare with single-step reads
+    for j in range(4):
+        w1, _ = ds.get_window(2 + j, 1, ["var_a"])
+        np.testing.assert_array_equal(window["var_a"][j], w1["var_a"][0])
+    # vertical coordinate detected
+    assert len(ds.vertical_coordinate) == 3  # nz=2 -> 3 interfaces
+    info = ds.dataset_info
+    assert info.img_shape == (8, 16)
+    assert "var_a" in info.variable_metadata
+
+
+def test_dataset_subset(tmp_path):
+    data = SyntheticData(tmp_path, NAMES, n_time=10)
+    cfg = from_dict(XarrayDataConfig, {
+        "data_path": str(data.data_dir),
+        "subset": {"start": 2, "stop": 8},
+    })
+    ds = cfg.build()
+    assert ds.n_times == 6
+
+
+def test_loader_batches_and_shuffling(tmp_path):
+    data = SyntheticData(tmp_path, NAMES, n_time=12)
+    cfg = XarrayDataConfig(data_path=str(data.data_dir))
+    gridded = DataLoaderConfig(
+        dataset=cfg, batch_size=3, num_data_workers=2
+    ).build(DataRequirements(names=["var_a", "var_b"], n_timesteps=2))
+    assert gridded.n_samples == 11
+    assert gridded.n_batches == 3
+    batches = list(gridded)
+    assert len(batches) == 3
+    b = batches[0]
+    assert b.data["var_a"].shape == (3, 2, 8, 16)
+    assert b.time.values.shape == (3, 2)
+    # epoch changes shuffle order; same epoch reproduces
+    gridded.set_epoch(0)
+    first = [np.asarray(b.data["var_a"]) for b in gridded]
+    gridded.set_epoch(0)
+    again = [np.asarray(b.data["var_a"]) for b in gridded]
+    for a, c in zip(first, again):
+        np.testing.assert_array_equal(a, c)
+    gridded.set_epoch(1)
+    other = [np.asarray(b.data["var_a"]) for b in gridded]
+    assert any(
+        not np.array_equal(a, c) for a, c in zip(first, other)
+    )
+
+
+def test_loader_unshuffled_windows_are_sequential(tmp_path):
+    data = SyntheticData(tmp_path, NAMES, n_time=6)
+    ds = XarrayDataConfig(data_path=str(data.data_dir)).build()
+    window = WindowDataset(
+        ds, DataRequirements(names=["var_a"], n_timesteps=2)
+    )
+    loader = DataLoader(window, batch_size=1, shuffle=False, num_workers=1)
+    seen = [b.time.values[0, 0] for b in loader]
+    assert list(seen) == sorted(seen)
+
+
+def test_stats_files_load(tmp_path):
+    save_stats_files(tmp_path / "m.nc", tmp_path / "s.nc", NAMES)
+    from ace_tpu.core.normalizer import get_normalizer
+
+    norm = get_normalizer(tmp_path / "m.nc", tmp_path / "s.nc", NAMES)
+    assert set(norm.names) == set(NAMES)
+
+
+def test_n_repeats(tmp_path):
+    data = SyntheticData(tmp_path, NAMES, n_time=4)
+    cfg = XarrayDataConfig(data_path=str(data.data_dir), n_repeats=3)
+    ds = cfg.build()
+    assert ds.n_times == 12
+    w0, t0 = ds.get_window(0, 2, ["var_a"])
+    w1, t1 = ds.get_window(4, 2, ["var_a"])
+    np.testing.assert_array_equal(w0["var_a"], w1["var_a"])
+    assert t1.values[0] > t0.values[-1]
