@@ -1,0 +1,37 @@
+"""CLI plumbing: YAML + --override dotlists, experiment-dir preparation
+(reference: fme/core/cli.py:82 prepare_config, :90 prepare_directory,
+:111 get_parser).
+"""
+
+import argparse
+import os
+from typing import Any
+
+import yaml
+
+from ace_tpu.core.config import update_dict_with_dotlist
+
+
+def prepare_config(path: str, override: list[str] | None = None) -> dict[str, Any]:
+    with open(path) as f:
+        data = yaml.safe_load(f)
+    return update_dict_with_dotlist(data, override)
+
+
+def prepare_directory(experiment_dir: str, config_data: dict[str, Any]):
+    """Create the experiment dir and snapshot the resolved config into it."""
+    os.makedirs(experiment_dir, exist_ok=True)
+    with open(os.path.join(experiment_dir, "config.yaml"), "w") as f:
+        yaml.safe_dump(config_data, f)
+
+
+def get_parser() -> argparse.ArgumentParser:
+    parser = argparse.ArgumentParser()
+    parser.add_argument("yaml_config", type=str, help="path to YAML config")
+    parser.add_argument(
+        "--override",
+        nargs="*",
+        default=None,
+        help="dotlist overrides, e.g. a.b=1 c=hello",
+    )
+    return parser

@@ -16,7 +16,12 @@ import jax
 import jax.numpy as jnp
 
 from ace_tpu.core.dataset_info import DatasetInfo
-from ace_tpu.core.step.base import StepABC, StepArgs, StepperState, StepSelector
+from ace_tpu.core.step import (  # noqa: F401 — imports register step types
+    StepABC,
+    StepArgs,
+    StepperState,
+    StepSelector,
+)
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
 
 TIME_DIM = 1

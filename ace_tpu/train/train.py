@@ -1,0 +1,32 @@
+"""Training entry point: ``python -m ace_tpu.train <config.yaml>``
+(reference: fme/ace/train/train.py:73,95).
+"""
+
+import logging
+
+from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
+from ace_tpu.core.config import from_dict
+from ace_tpu.core.timing import GlobalTimer
+from ace_tpu.train.trainer import TrainConfig
+
+
+def run_train_from_config(config: TrainConfig):
+    config.logging.configure(config.experiment_dir)
+    trainer = config.build_trainer()
+    trainer.train()
+    GlobalTimer.get_instance().log_durations()
+    return trainer
+
+
+def main(argv=None):
+    parser = get_parser()
+    args = parser.parse_args(argv)
+    data = prepare_config(args.yaml_config, args.override)
+    config = from_dict(TrainConfig, data)
+    prepare_directory(config.experiment_dir, data)
+    logging.info("Starting training")
+    return run_train_from_config(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,318 @@
+"""Training orchestration: epoch loop, validation, EMA, checkpoint zoo,
+resume (reference: fme/core/generics/trainer.py:219 Trainer,
+fme/ace/train/train_config.py:328 TrainConfig).
+
+The per-batch work is one jitted XLA program (see TrainStepper); this
+module is the host-side driver: data iteration, EMA tracking, metric
+logging, atomic checkpointing and preemption-safe resume.
+"""
+
+import dataclasses
+import logging
+import os
+from typing import Any
+
+import jax
+import numpy as np
+
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
+from ace_tpu.core.timing import GlobalTimer
+from ace_tpu.core.typing_ import Slice
+from ace_tpu.core.wandb import DiskMetricLogger, WandB
+from ace_tpu.data.loading import DataLoaderConfig, GriddedData
+from ace_tpu.data.requirements import DataRequirements
+from ace_tpu.stepper.checkpoint import (
+    load_train_checkpoint,
+    save_train_checkpoint,
+)
+from ace_tpu.stepper.stepper import StepperConfig
+from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
+
+
+@dataclasses.dataclass
+class LoggingConfig:
+    """(reference: fme/core/logging_utils.py:31)."""
+
+    log_to_screen: bool = True
+    log_to_file: bool = True
+    log_to_wandb: bool = False
+    project: str = "ace_tpu"
+    entity: str | None = None
+
+    def configure(self, experiment_dir: str):
+        handlers: list[logging.Handler] = []
+        if self.log_to_screen:
+            handlers.append(logging.StreamHandler())
+        if self.log_to_file:
+            os.makedirs(experiment_dir, exist_ok=True)
+            handlers.append(
+                logging.FileHandler(os.path.join(experiment_dir, "out.log"))
+            )
+        logging.basicConfig(
+            level=logging.INFO,
+            format="%(asctime)s %(levelname)s %(message)s",
+            handlers=handlers,
+            force=True,
+        )
+        WandB.get_instance().configure(self.log_to_wandb)
+
+
+class CheckpointPaths:
+    """(reference: fme/core/generics/trainer.py:193)."""
+
+    def __init__(self, experiment_dir: str):
+        self.checkpoint_dir = os.path.join(experiment_dir, "training_checkpoints")
+
+    @property
+    def latest_checkpoint_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "ckpt.msgpack")
+
+    @property
+    def best_checkpoint_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "best_ckpt.msgpack")
+
+    @property
+    def ema_checkpoint_path(self) -> str:
+        return os.path.join(self.checkpoint_dir, "ema_ckpt.msgpack")
+
+    def epoch_checkpoint_path(self, epoch: int) -> str:
+        return os.path.join(self.checkpoint_dir, f"ckpt_{epoch:04d}.msgpack")
+
+
+@dataclasses.dataclass
+class TrainConfig:
+    """Top-level training config (reference:
+    fme/ace/train/train_config.py:328; subset of fields this round).
+    """
+
+    train_loader: DataLoaderConfig
+    validation_loader: DataLoaderConfig
+    stepper: StepperConfig
+    optimization: OptimizationConfig
+    max_epochs: int
+    experiment_dir: str
+    stepper_training: StepperTrainConfig = dataclasses.field(
+        default_factory=StepperTrainConfig
+    )
+    ema: EMAConfig = dataclasses.field(default_factory=EMAConfig)
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    save_checkpoint: bool = True
+    validate_using_ema: bool = True
+    log_train_every_n_batches: int = 10
+    checkpoint_save_epochs: Slice | None = None
+    seed: int = 0
+
+    @property
+    def n_forward_steps(self) -> int:
+        return self.stepper_training.n_forward_steps
+
+    def build_trainer(self) -> "Trainer":
+        requirements = DataRequirements(
+            names=sorted(
+                set(self.stepper.step.input_names)
+                | set(self.stepper.step.output_names)
+            ),
+            n_timesteps=self.n_forward_steps + 1,
+        )
+        train_data = self.train_loader.build(
+            requirements, train=True, seed=self.seed
+        )
+        valid_data = self.validation_loader.build(
+            requirements, train=False, seed=self.seed
+        )
+        dataset_info = train_data.dataset_info
+        stepper = self.stepper.get_stepper(dataset_info)
+        train_stepper = TrainStepper(
+            stepper,
+            self.stepper_training,
+            self.optimization,
+            self.ema,
+            max_epochs=self.max_epochs,
+            steps_per_epoch=max(1, train_data.n_batches),
+        )
+        return Trainer(self, train_stepper, train_data, valid_data)
+
+
+class Trainer:
+    def __init__(
+        self,
+        config: TrainConfig,
+        train_stepper: TrainStepper,
+        train_data: GriddedData,
+        valid_data: GriddedData,
+    ):
+        self.config = config
+        self.train_stepper = train_stepper
+        self.train_data = train_data
+        self.valid_data = valid_data
+        self.paths = CheckpointPaths(config.experiment_dir)
+        self.num_batches_seen = 0
+        self.start_epoch = 0
+        self.best_validation_loss = float("inf")
+        self._disk_logger = DiskMetricLogger(
+            os.path.join(config.experiment_dir, "metrics.jsonl")
+        )
+        self.params = None
+        self.opt_state = None
+        self._train_step = train_stepper.build_train_step(donate=False)
+        self._valid_step = train_stepper.build_valid_step()
+        self._rng = jax.random.PRNGKey(config.seed)
+
+    @property
+    def stepper(self):
+        return self.train_stepper.stepper
+
+    def _next_rng(self):
+        self._rng, sub = jax.random.split(self._rng)
+        return sub
+
+    def train(self):
+        if self.params is None:
+            if os.path.exists(self.paths.latest_checkpoint_path):
+                self.restore(self.paths.latest_checkpoint_path)
+            else:
+                self.params, self.opt_state = self.train_stepper.init(
+                    self._next_rng()
+                )
+        timer = GlobalTimer.get_instance()
+        for epoch in range(self.start_epoch, self.config.max_epochs):
+            logging.info(f"Epoch {epoch} starting")
+            with timer.context("train_one_epoch"):
+                train_metrics = self.train_one_epoch(epoch)
+            with timer.context("validation"):
+                valid_metrics = self.validate()
+            all_metrics = {
+                **{f"train/{k}": v for k, v in train_metrics.items()},
+                **{f"val/{k}": v for k, v in valid_metrics.items()},
+                "epoch": epoch,
+                "lr": self.train_stepper.optimization.learning_rate,
+            }
+            self._disk_logger.log(all_metrics, step=self.num_batches_seen)
+            WandB.get_instance().log(all_metrics, step=self.num_batches_seen)
+            logging.info(
+                f"Epoch {epoch}: train loss {train_metrics['loss']:.5f}, "
+                f"valid loss {valid_metrics['loss']:.5f}"
+            )
+            if self.config.save_checkpoint:
+                self.save_all_checkpoints(
+                    epoch, float(valid_metrics["loss"])
+                )
+        return self.params
+
+    def train_one_epoch(self, epoch: int) -> dict[str, float]:
+        self.train_data.set_epoch(epoch)
+        totals: dict[str, float] = {}
+        count = 0
+        wandb = WandB.get_instance()
+        for batch in self.train_data:
+            self.params, self.opt_state, metrics = self._train_step(
+                self.params, self.opt_state, batch.data, self._next_rng()
+            )
+            self.train_stepper.optimization._count += 1
+            if self.train_stepper.ema is not None:
+                if self.train_stepper.ema.ema_params is None:
+                    self.train_stepper.ema.init(self.params)
+                self.train_stepper.ema(self.params)
+            self.num_batches_seen += 1
+            count += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+            if count % self.config.log_train_every_n_batches == 0:
+                wandb.log(
+                    {"train_batch/loss": float(metrics["loss"])},
+                    step=self.num_batches_seen,
+                )
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def _validation_params(self):
+        if (
+            self.config.validate_using_ema
+            and self.train_stepper.ema is not None
+            and self.train_stepper.ema.ema_params is not None
+        ):
+            return self.train_stepper.ema.ema_params
+        return self.params
+
+    def validate(self) -> dict[str, float]:
+        params = self._validation_params()
+        totals: dict[str, float] = {}
+        count = 0
+        for batch in self.valid_data:
+            metrics = self._valid_step(params, batch.data, self._next_rng())
+            count += 1
+            for k, v in metrics.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
+        return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def save_all_checkpoints(self, epoch: int, valid_loss: float):
+        extra = {
+            "epoch": epoch + 1,
+            "num_batches_seen": self.num_batches_seen,
+            "best_validation_loss": min(
+                self.best_validation_loss, valid_loss
+            ),
+            "ema": self.train_stepper.ema.get_state()
+            if self.train_stepper.ema
+            else None,
+            "optimization": self.train_stepper.optimization.get_state(),
+        }
+        stepper = self.stepper
+        stepper.params = self.params
+        save_train_checkpoint(
+            self.paths.latest_checkpoint_path, stepper, self.config.stepper,
+            opt_state=self.opt_state,
+            ema_params=self.train_stepper.ema.ema_params
+            if self.train_stepper.ema
+            else None,
+            extra=extra,
+        )
+        if valid_loss < self.best_validation_loss:
+            self.best_validation_loss = valid_loss
+            save_train_checkpoint(
+                self.paths.best_checkpoint_path, stepper,
+                self.config.stepper, extra=extra,
+            )
+        if self.train_stepper.ema is not None:
+            ema_stepper_params = self.params
+            stepper.params = self.train_stepper.ema.ema_params
+            save_train_checkpoint(
+                self.paths.ema_checkpoint_path, stepper,
+                self.config.stepper, extra=extra,
+            )
+            stepper.params = ema_stepper_params
+        if self.config.checkpoint_save_epochs is not None and (
+            self.config.checkpoint_save_epochs.contains(epoch)
+        ):
+            save_train_checkpoint(
+                self.paths.epoch_checkpoint_path(epoch), stepper,
+                self.config.stepper, extra=extra,
+            )
+
+    def restore(self, path: str):
+        """Resume from a training checkpoint
+        (reference: trainer.py:935 restore).
+        """
+        logging.info(f"Restoring from {path}")
+        out = load_train_checkpoint(path)
+        self.params = out["stepper"].params
+        self.opt_state = self.train_stepper.optimization.init(self.params)
+        if "optimizer_state_dict" in out:
+            from flax import serialization
+
+            self.opt_state = serialization.from_state_dict(
+                self.opt_state, out["optimizer_state_dict"]
+            )
+            self.train_stepper.optimization.state = self.opt_state
+        if "ema_params" in out and self.train_stepper.ema is not None:
+            self.train_stepper.ema.ema_params = out["ema_params"]
+        extra = out.get("extra", {})
+        self.start_epoch = extra.get("epoch", 0)
+        self.num_batches_seen = extra.get("num_batches_seen", 0)
+        self.best_validation_loss = extra.get(
+            "best_validation_loss", float("inf")
+        )
+        if extra.get("ema") and self.train_stepper.ema is not None:
+            self.train_stepper.ema.load_state(extra["ema"])
+        if extra.get("optimization"):
+            self.train_stepper.optimization.load_state(extra["optimization"])

@@ -60,3 +60,16 @@ def per_test_timeout(request):
     yield
     signal.alarm(0)
     signal.signal(signal.SIGALRM, old)
+
+
+@pytest.fixture(autouse=True)
+def reset_singletons():
+    """Reset global singletons between tests
+    (reference: conftest.py:183-199 reset_* fixtures).
+    """
+    yield
+    from ace_tpu.core.timing import GlobalTimer
+    from ace_tpu.core.wandb import WandB
+
+    GlobalTimer.reset()
+    WandB.reset()
