@@ -1,0 +1,270 @@
+"""Streaming inference aggregators (reference: fme/ace/aggregator/inference/
+— time-mean maps/RMSE (time_mean.py), zonal means (zonal_mean.py),
+spherical power spectra (spectrum.py), global-mean time series, budget
+diagnostics).
+
+Aggregators consume paired (prediction, target) batches window by window
+and maintain O(1)-memory running reductions on device; `get_logs` returns
+scalars, `get_diagnostics` returns named arrays for netCDF output.
+"""
+
+import dataclasses
+from typing import Any
+
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.core.gridded_ops import GriddedOperations
+from ace_tpu.core.typing_ import TensorDict, TensorMapping
+from ace_tpu.ops.sht import RealSHT
+
+
+class TimeMeanAggregator:
+    """Running time-mean maps of gen and target; final bias/RMSE of the
+    time-mean (reference: inference/time_mean.py).
+    """
+
+    def __init__(self, ops: GriddedOperations):
+        self._ops = ops
+        self._gen_sum: TensorDict = {}
+        self._target_sum: TensorDict = {}
+        self._n = 0
+
+    def record_batch(self, gen: TensorMapping, target: TensorMapping | None):
+        n_time = next(iter(gen.values())).shape[1]
+        self._n += n_time
+        for k, v in gen.items():
+            s = jnp.sum(v, axis=1)
+            self._gen_sum[k] = self._gen_sum.get(k, 0.0) + s
+        if target is not None:
+            for k, v in target.items():
+                if k in gen:
+                    s = jnp.sum(v, axis=1)
+                    self._target_sum[k] = self._target_sum.get(k, 0.0) + s
+
+    def get_logs(self, label: str = "time_mean") -> dict[str, float]:
+        logs = {}
+        for k in self._gen_sum:
+            gen_mean = self._gen_sum[k] / self._n
+            if k in self._target_sum:
+                target_mean = self._target_sum[k] / self._n
+                logs[f"{label}/rmse/{k}"] = float(
+                    jnp.mean(self._ops.area_weighted_rmse(
+                        target_mean, gen_mean, name=k
+                    ))
+                )
+                logs[f"{label}/bias/{k}"] = float(
+                    jnp.mean(self._ops.area_weighted_mean_bias(
+                        target_mean, gen_mean, name=k
+                    ))
+                )
+        return logs
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {}
+        for k in self._gen_sum:
+            out[f"gen_map-{k}"] = np.asarray(
+                jnp.mean(self._gen_sum[k] / self._n, axis=0)
+            )
+            if k in self._target_sum:
+                out[f"bias_map-{k}"] = np.asarray(jnp.mean(
+                    (self._gen_sum[k] - self._target_sum[k]) / self._n, axis=0
+                ))
+        return out
+
+
+class GlobalMeanTimeSeriesAggregator:
+    """Area-weighted global-mean time series of every variable
+    (reference: inference/main.py scalar time series).
+    """
+
+    def __init__(self, ops: GriddedOperations):
+        self._ops = ops
+        self._gen: dict[str, list[np.ndarray]] = {}
+        self._target: dict[str, list[np.ndarray]] = {}
+
+    def record_batch(self, gen: TensorMapping, target: TensorMapping | None):
+        for k, v in gen.items():
+            val = np.asarray(
+                jnp.mean(self._ops.area_weighted_mean(v, name=k), axis=0)
+            )
+            self._gen.setdefault(k, []).append(val)
+        if target is not None:
+            for k, v in target.items():
+                if k in gen:
+                    val = np.asarray(jnp.mean(
+                        self._ops.area_weighted_mean(v, name=k), axis=0
+                    ))
+                    self._target.setdefault(k, []).append(val)
+
+    def get_logs(self, label: str = "mean") -> dict[str, float]:
+        logs = {}
+        for k, chunks in self._gen.items():
+            series = np.concatenate(chunks)
+            logs[f"{label}/final/{k}"] = float(series[-1])
+            if k in self._target:
+                tseries = np.concatenate(self._target[k])
+                logs[f"{label}/series_rmse/{k}"] = float(
+                    np.sqrt(np.mean((series - tseries) ** 2))
+                )
+        return logs
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {}
+        for k, chunks in self._gen.items():
+            out[f"gen_series-{k}"] = np.concatenate(chunks)
+        for k, chunks in self._target.items():
+            out[f"target_series-{k}"] = np.concatenate(chunks)
+        return out
+
+
+class ZonalMeanAggregator:
+    """Time-mean zonal means (reference: inference/zonal_mean.py)."""
+
+    def __init__(self):
+        self._gen_sum: TensorDict = {}
+        self._n = 0
+
+    def record_batch(self, gen: TensorMapping, target=None):
+        n_time = next(iter(gen.values())).shape[1]
+        self._n += n_time
+        for k, v in gen.items():
+            s = jnp.sum(jnp.mean(v, axis=-1), axis=1)  # mean lon, sum time
+            self._gen_sum[k] = self._gen_sum.get(k, 0.0) + s
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        return {
+            f"zonal_mean-{k}": np.asarray(jnp.mean(v / self._n, axis=0))
+            for k, v in self._gen_sum.items()
+        }
+
+
+class SpectrumAggregator:
+    """Mean spherical power spectrum over time
+    (reference: inference/spectrum.py:22 PairedSphericalPowerSpectrum).
+    """
+
+    def __init__(self, nlat: int, nlon: int, grid: str = "legendre-gauss"):
+        self._sht = RealSHT(nlat, nlon, grid=grid)
+        self._gen_sum: TensorDict = {}
+        self._target_sum: TensorDict = {}
+        self._n = 0
+
+    def _power(self, field) -> jnp.ndarray:
+        coeffs = self._sht(field)
+        weights = jnp.full((coeffs.shape[-1],), 2.0).at[0].set(1.0)
+        power = jnp.sum(jnp.abs(coeffs) ** 2 * weights, axis=-1)
+        # average over batch and time
+        return jnp.mean(power, axis=tuple(range(power.ndim - 1)))
+
+    def record_batch(self, gen: TensorMapping, target: TensorMapping | None):
+        self._n += 1
+        for k, v in gen.items():
+            self._gen_sum[k] = self._gen_sum.get(k, 0.0) + self._power(v)
+        if target is not None:
+            for k, v in target.items():
+                if k in gen:
+                    self._target_sum[k] = (
+                        self._target_sum.get(k, 0.0) + self._power(v)
+                    )
+
+    def get_logs(self, label: str = "spectrum") -> dict[str, float]:
+        logs = {}
+        for k in self._gen_sum:
+            if k in self._target_sum:
+                gen_s = np.asarray(self._gen_sum[k] / self._n)
+                tgt_s = np.asarray(self._target_sum[k] / self._n)
+                # log-space mean abs error over resolved wavenumbers
+                eps = 1e-20
+                logs[f"{label}/log_error/{k}"] = float(np.mean(np.abs(
+                    np.log(gen_s[1:] + eps) - np.log(tgt_s[1:] + eps)
+                )))
+        return logs
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {
+            f"gen_power-{k}": np.asarray(v / self._n)
+            for k, v in self._gen_sum.items()
+        }
+        out.update({
+            f"target_power-{k}": np.asarray(v / self._n)
+            for k, v in self._target_sum.items()
+        })
+        return out
+
+
+@dataclasses.dataclass
+class InferenceAggregatorConfig:
+    """(reference: fme/ace/aggregator config surface, subset)."""
+
+    log_global_mean_time_series: bool = True
+    log_zonal_mean_images: bool = True
+    log_spectra: bool = True
+
+    def build(self, dataset_info, n_timesteps: int,
+              record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
+        return InferenceEvaluatorAggregator(
+            dataset_info=dataset_info,
+            config=self,
+        )
+
+
+class InferenceEvaluatorAggregator:
+    """Multiplexes the inference aggregators
+    (reference: fme/ace/aggregator/inference/main.py:526).
+    """
+
+    def __init__(self, dataset_info, config=None):
+        config = config or InferenceAggregatorConfig()
+        ops = dataset_info.gridded_operations
+        nlat, nlon = dataset_info.img_shape
+        self._aggregators: dict[str, Any] = {
+            "time_mean": TimeMeanAggregator(ops),
+        }
+        if config.log_global_mean_time_series:
+            self._aggregators["mean"] = GlobalMeanTimeSeriesAggregator(ops)
+        if config.log_zonal_mean_images:
+            self._aggregators["zonal_mean"] = ZonalMeanAggregator()
+        if config.log_spectra:
+            grid = dataset_info.horizontal_coordinates.grid
+            self._aggregators["spectrum"] = SpectrumAggregator(
+                nlat, nlon, grid
+            )
+        self._n_steps = 0
+
+    def record_batch(self, gen: TensorMapping,
+                     target: TensorMapping | None = None):
+        self._n_steps += next(iter(gen.values())).shape[1]
+        for agg in self._aggregators.values():
+            agg.record_batch(gen, target)
+
+    def get_logs(self) -> dict[str, float]:
+        logs: dict[str, float] = {"n_forward_steps": self._n_steps}
+        for label, agg in self._aggregators.items():
+            if hasattr(agg, "get_logs"):
+                logs.update(agg.get_logs(label))
+        return logs
+
+    def flush_diagnostics(self, output_dir: str):
+        """Write reduced diagnostics to HDF5 files
+        (reference: fme/core/diagnostics.py:39).
+        """
+        import os
+
+        from ace_tpu.data.store import write_h5
+
+        os.makedirs(output_dir, exist_ok=True)
+        for label, agg in self._aggregators.items():
+            if not hasattr(agg, "get_diagnostics"):
+                continue
+            diags = agg.get_diagnostics()
+            if not diags:
+                continue
+            dims = {}
+            for k, v in diags.items():
+                dims[k] = tuple(f"dim{i}" for i in range(np.ndim(v)))
+            write_h5(
+                os.path.join(output_dir, f"{label}_diagnostics.nc"),
+                {k: np.asarray(v) for k, v in diags.items()},
+                dims,
+            )

@@ -1,0 +1,93 @@
+"""Evaluator entry: rollout vs target data with paired aggregation
+(reference: fme/ace/inference/evaluator.py:168,333).
+"""
+
+import dataclasses
+import logging
+import os
+
+import jax
+
+from ace_tpu.aggregator.inference import InferenceAggregatorConfig
+from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
+from ace_tpu.core.config import from_dict
+from ace_tpu.core.timing import GlobalTimer
+from ace_tpu.data.inference import InferenceDataLoaderConfig
+from ace_tpu.inference.data_writer import DataWriterConfig
+from ace_tpu.inference.loop import run_inference
+from ace_tpu.stepper.checkpoint import load_stepper
+from ace_tpu.stepper.insolation import DerivedForcingsConfig
+from ace_tpu.stepper.stepper import PrognosticState
+from ace_tpu.train.trainer import LoggingConfig
+
+
+@dataclasses.dataclass
+class EvaluatorConfig:
+    """(reference: fme/ace/inference/evaluator.py:168)."""
+
+    experiment_dir: str
+    checkpoint_path: str
+    n_forward_steps: int
+    loader: InferenceDataLoaderConfig
+    forward_steps_in_memory: int = 10
+    data_writer: DataWriterConfig = dataclasses.field(
+        default_factory=DataWriterConfig
+    )
+    aggregator: InferenceAggregatorConfig = dataclasses.field(
+        default_factory=InferenceAggregatorConfig
+    )
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    derived_forcings: DerivedForcingsConfig = dataclasses.field(
+        default_factory=DerivedForcingsConfig
+    )
+
+
+def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
+    config.logging.configure(config.experiment_dir)
+    stepper = load_stepper(config.checkpoint_path)
+    data = config.loader.build(
+        forcing_names=stepper.forcing_window_names,
+        prognostic_names=stepper.prognostic_names,
+        n_forward_steps=config.n_forward_steps,
+        forward_steps_in_memory=config.forward_steps_in_memory,
+    )
+    stepper.dataset_info.assert_compatible_with(data.dataset_info)
+    ic_batch = data.initial_condition(stepper.prognostic_names)
+    ic = PrognosticState(
+        data={k: jax.device_put(v) for k, v in ic_batch.data.items()}
+    )
+    info = data.dataset_info
+    aggregator = config.aggregator.build(
+        info, n_timesteps=config.n_forward_steps
+    )
+    writer = config.data_writer.build(config.experiment_dir, info)
+    deriver = config.derived_forcings.build(stepper.dataset_info)
+    # target variables available in the dataset
+    target_names = [
+        n for n in stepper.out_names if n in data.dataset.names
+    ]
+    summary = run_inference(
+        stepper, ic, data, writer=writer, aggregator=aggregator,
+        target_names=target_names, forcing_deriver=deriver,
+    )
+    summary["logs"] = aggregator.get_logs()
+    aggregator.flush_diagnostics(
+        os.path.join(config.experiment_dir, "diagnostics")
+    )
+    writer.close()
+    GlobalTimer.get_instance().log_durations()
+    return summary
+
+
+def main(argv=None):
+    parser = get_parser()
+    args = parser.parse_args(argv)
+    data = prepare_config(args.yaml_config, args.override)
+    config = from_dict(EvaluatorConfig, data)
+    prepare_directory(config.experiment_dir, data)
+    logging.info("Starting evaluator")
+    return run_evaluator_from_config(config)
+
+
+if __name__ == "__main__":
+    main()

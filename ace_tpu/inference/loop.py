@@ -1,0 +1,104 @@
+"""Generic inference loop (reference: fme/core/generics/inference.py:25
+Looper, :117 run_inference).
+
+Pulls forcing windows, runs the scan-compiled rollout per window, threads
+the PrognosticState between windows, computes derived variables, and feeds
+writers/aggregators. Reports total_steps_per_second
+(reference: fme/ace/inference/inference.py:455-465).
+"""
+
+import logging
+import time as _time
+
+import jax
+import numpy as np
+
+from ace_tpu.core.derived_variables import compute_derived_quantities
+from ace_tpu.core.timing import GlobalTimer
+from ace_tpu.data.inference import InferenceGriddedData
+from ace_tpu.data.time import TimeCoord
+from ace_tpu.stepper.stepper import PrognosticState, Stepper
+
+
+def run_inference(
+    stepper: Stepper,
+    initial_condition: PrognosticState,
+    forcing_data: InferenceGriddedData,
+    writer=None,
+    aggregator=None,
+    compute_derived_variables: bool = True,
+    target_names: list[str] | None = None,
+    forcing_deriver=None,
+) -> dict:
+    """Run an autoregressive rollout over streaming forcing windows.
+
+    When ``target_names`` is given, reference data at matching times is
+    read from the forcing dataset and passed to the aggregator (paired
+    evaluation; reference: fme/ace/inference/evaluator.py).
+    """
+    timer = GlobalTimer.get_instance()
+    info = stepper.dataset_info
+    vc = info.atmosphere_vertical_coordinate
+    state = stepper.get_initial_state(initial_condition)
+    rng = jax.random.PRNGKey(0)
+    n_steps_done = 0
+    t_start = _time.time()
+    target_iter = (
+        forcing_data.target_windows(target_names) if target_names else None
+    )
+    for window, k in forcing_data.windows():
+        with timer.context("data_loading"):
+            forcing_np = window.data
+            window_time = window.time
+            if forcing_deriver is not None:
+                forcing_np = forcing_deriver(window_time, dict(forcing_np))
+        with timer.context("forward_prediction"):
+            rng, sub = jax.random.split(rng)
+            outputs, state = stepper.predict(state, forcing_np, rng=sub)
+            jax.block_until_ready(outputs)
+        with timer.context("compute_derived_variables"):
+            if compute_derived_variables and vc is not None:
+                outputs = compute_derived_quantities(
+                    outputs, vc, info.timestep,
+                    forcing_data={
+                        k_: np.asarray(v)[:, 1:]
+                        for k_, v in forcing_np.items()
+                    },
+                )
+        out_time = TimeCoord(
+            window_time.values[:, 1:], window_time.calendar
+        )
+        if writer is not None:
+            with timer.context("data_writer"):
+                writer.append_batch(
+                    {k_: np.asarray(v) for k_, v in outputs.items()},
+                    out_time,
+                )
+        if aggregator is not None:
+            with timer.context("aggregator"):
+                target = None
+                if target_iter is not None:
+                    target_window, _ = next(target_iter)
+                    target = {
+                        k_: v[:, 1:] for k_, v in target_window.data.items()
+                    }
+                aggregator.record_batch(outputs, target)
+        n_steps_done += out_time.values.shape[1]
+        logging.info(
+            f"window {k}: {n_steps_done}/{forcing_data.n_forward_steps} "
+            "steps done"
+        )
+    elapsed = _time.time() - t_start
+    total_steps = n_steps_done * forcing_data.n_initial_conditions
+    summary = {
+        "total_steps": total_steps,
+        "total_steps_per_second": total_steps / max(elapsed, 1e-9),
+        "final_state": state,
+    }
+    logging.info(
+        f"inference: {total_steps} steps at "
+        f"{summary['total_steps_per_second']:.2f} steps/s"
+    )
+    if writer is not None:
+        writer.flush()
+    return summary

@@ -1,0 +1,165 @@
+"""End-to-end inference/evaluator integration tests: train a tiny model,
+checkpoint it, run the inference and evaluator entry points over synthetic
+forcing data, verify outputs/diagnostics/restart files
+(reference model: fme/ace/inference/test_inference.py, test_evaluator.py).
+"""
+
+import os
+
+import numpy as np
+import pytest
+import yaml
+
+from ace_tpu.testing import SyntheticData
+from tests.test_train_integration import ALL_NAMES, _config
+
+N_FORWARD = 6
+
+
+@pytest.fixture(scope="module")
+def trained(tmp_path_factory):
+    tmp_path = tmp_path_factory.mktemp("trained")
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=12)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    main([str(config_path)])
+    ckpt = os.path.join(
+        cfg["experiment_dir"], "training_checkpoints", "ckpt.msgpack"
+    )
+    return tmp_path, data, ckpt
+
+
+def test_inference_entry(trained, tmp_path):
+    tmp_trained, data, ckpt = trained
+    out_dir = str(tmp_path / "inference")
+    config = {
+        "experiment_dir": out_dir,
+        "checkpoint_path": ckpt,
+        "n_forward_steps": N_FORWARD,
+        "forward_steps_in_memory": 2,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "forcing_loader": {
+            "dataset": {"data_path": str(data.data_dir)},
+            "start_indices": {"list": [0, 1]},
+        },
+    }
+    config_path = tmp_path / "inf.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.inference.inference import main
+
+    summary = main([str(config_path)])
+    assert summary["total_steps"] == N_FORWARD * 2
+    assert summary["total_steps_per_second"] > 0
+    # outputs written with full time axis
+    from ace_tpu.data.store import open_file_dataset
+
+    ds = open_file_dataset(
+        os.path.join(out_dir, "autoregressive_predictions.nc")
+    )
+    assert ds["prog_a"].shape == (2, N_FORWARD, 8, 16)
+    assert np.isfinite(ds["prog_a"].read(())).all()
+    # restart + diagnostics exist
+    assert os.path.exists(os.path.join(out_dir, "restart.nc"))
+    assert os.path.exists(
+        os.path.join(out_dir, "diagnostics", "time_mean_diagnostics.nc")
+    )
+    # windows stream continuously: times strictly increasing
+    t = ds["time"].read(())
+    assert (np.diff(t, axis=1) > 0).all()
+
+
+def test_inference_windowing_invariance(trained, tmp_path):
+    """Rollout results must not depend on forward_steps_in_memory."""
+    tmp_trained, data, ckpt = trained
+    results = {}
+    for fsm in (2, 3, 6):
+        out_dir = str(tmp_path / f"inf_{fsm}")
+        config = {
+            "experiment_dir": out_dir,
+            "checkpoint_path": ckpt,
+            "n_forward_steps": N_FORWARD,
+            "forward_steps_in_memory": fsm,
+            "logging": {"log_to_screen": False, "log_to_file": False},
+            "forcing_loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0]},
+            },
+        }
+        config_path = tmp_path / f"inf_{fsm}.yaml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(config, f)
+        from ace_tpu.inference.inference import main
+
+        main([str(config_path)])
+        from ace_tpu.data.store import open_file_dataset
+
+        ds = open_file_dataset(
+            os.path.join(out_dir, "autoregressive_predictions.nc")
+        )
+        results[fsm] = ds["prog_a"].read(())
+    np.testing.assert_allclose(results[2], results[6], atol=1e-5)
+    np.testing.assert_allclose(results[3], results[6], atol=1e-5)
+
+
+def test_evaluator_entry(trained, tmp_path):
+    tmp_trained, data, ckpt = trained
+    out_dir = str(tmp_path / "evaluator")
+    config = {
+        "experiment_dir": out_dir,
+        "checkpoint_path": ckpt,
+        "n_forward_steps": 4,
+        "forward_steps_in_memory": 2,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "loader": {
+            "dataset": {"data_path": str(data.data_dir)},
+            "start_indices": {
+                "n_initial_conditions": 2, "first": 0, "interval": 2,
+            },
+        },
+        "data_writer": {"save_prediction_files": False},
+    }
+    config_path = tmp_path / "eval.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.inference.evaluator import main
+
+    summary = main([str(config_path)])
+    logs = summary["logs"]
+    # paired metrics exist for variables present in the target dataset
+    rmse_keys = [k for k in logs if k.startswith("time_mean/rmse/")]
+    assert rmse_keys, logs.keys()
+    assert all(np.isfinite(logs[k]) for k in rmse_keys)
+    assert any(k.startswith("spectrum/") for k in logs)
+
+
+def test_validate_config_entry(trained, tmp_path):
+    tmp_trained, data, ckpt = trained
+    config = {
+        "experiment_dir": str(tmp_path / "x"),
+        "checkpoint_path": ckpt,
+        "n_forward_steps": 2,
+        "forcing_loader": {"dataset": {"data_path": str(data.data_dir)}},
+    }
+    config_path = tmp_path / "inf.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    from ace_tpu.validate_config import main
+
+    main([str(config_path), "--config_type", "inference"])
+    # invalid config raises
+    config["bogus_key"] = 1
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    import pytest as _pytest
+
+    from ace_tpu.core.config import ConfigError
+
+    with _pytest.raises(ConfigError):
+        main([str(config_path), "--config_type", "inference"])
