@@ -1,0 +1,140 @@
+"""Mesh-decomposition regression tests on the virtual 8-device CPU mesh
+(reference model: fme/core/distributed/parallel_tests/test_regression.py —
+any (data, h, w) decomposition must reproduce single-device results for
+forward, loss, and gradient).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ace_tpu.core.config import to_dict
+from ace_tpu.core.step.base import StepSelector
+from ace_tpu.parallel.mesh import MeshConfig, batch_spec
+from ace_tpu.stepper.stepper import StepperConfig
+from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+
+from tests.test_step_stepper import NLAT, NLON, _dataset_info, _step_config
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 (virtual) devices"
+)
+
+MESH_SHAPES = [(8, 1, 1), (2, 2, 2), (1, 2, 4), (4, 2, 1), (1, 1, 8)]
+
+
+def _sfno_forward(mesh_cfg):
+    model = SphericalFourierNeuralOperatorNet(
+        img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=16,
+        num_layers=2, operator_type="dhconv",
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(8, 16, 32, 3), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    if mesh_cfg is None:
+        return np.asarray(fwd(params, x))
+    mesh = MeshConfig(*mesh_cfg).build()
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(
+            x, NamedSharding(mesh, batch_spec(x.ndim, has_channel=True))
+        )
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        return np.asarray(fwd(ps, xs))
+
+
+@pytest.mark.parametrize("mesh_shape", MESH_SHAPES)
+def test_sfno_forward_mesh_invariance(mesh_shape):
+    """SFNO forward must be identical (to fp tolerance) on any mesh."""
+    reference = _sfno_forward(None)
+    result = _sfno_forward(mesh_shape)
+    np.testing.assert_allclose(result, reference, atol=2e-4)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4)])
+def test_rollout_mesh_invariance(mesh_shape):
+    """Multi-step rollout with corrector must match across decompositions."""
+    from tests.test_step_stepper import _selector
+    from ace_tpu.stepper.stepper import PrognosticState
+
+    stepper = StepperConfig(step=_selector()).get_stepper(_dataset_info())
+    params = stepper.init_params(jax.random.PRNGKey(1))
+    rng = np.random.RandomState(1)
+    n_steps = 3
+    ic_np = rng.randn(8, 1, NLAT, NLON).astype(np.float32)
+    forcing_np = rng.randn(8, n_steps + 1, NLAT, NLON).astype(np.float32)
+
+    # single-device reference
+    out_ref, _ = stepper.predict(
+        PrognosticState(data={"prog": jnp.asarray(ic_np)}),
+        {"forcing_var": jnp.asarray(forcing_np)},
+    )
+    ref = np.asarray(out_ref["prog"])
+
+    mesh = MeshConfig(*mesh_shape).build()
+    with jax.set_mesh(mesh):
+        ic = PrognosticState(data={"prog": jax.device_put(
+            jnp.asarray(ic_np), NamedSharding(mesh, batch_spec(4))
+        )})
+        forcing = {"forcing_var": jax.device_put(
+            jnp.asarray(forcing_np), NamedSharding(mesh, batch_spec(4))
+        )}
+        stepper.params = jax.device_put(params, NamedSharding(mesh, P()))
+        out, _ = stepper.predict(ic, forcing)
+        np.testing.assert_allclose(
+            np.asarray(out["prog"]), ref, atol=1e-4
+        )
+
+
+def test_train_step_gradient_mesh_invariance():
+    """Gradients under a (2,2,2) mesh match single-device gradients
+    (the reference's backward+SGD regression, test_regression.py).
+    """
+    from ace_tpu.core.loss import StepLossConfig
+    from ace_tpu.core.optimization import OptimizationConfig
+    from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
+    from tests.test_step_stepper import _selector
+
+    def make_ts():
+        stepper = StepperConfig(step=_selector()).get_stepper(_dataset_info())
+        return TrainStepper(
+            stepper,
+            StepperTrainConfig(
+                loss=StepLossConfig(type="AreaWeightedMSE"),
+                n_forward_steps=2,
+            ),
+            OptimizationConfig(lr=1e-3),
+        )
+
+    rng = np.random.RandomState(2)
+    batch_np = {
+        k: rng.randn(8, 3, NLAT, NLON).astype(np.float32)
+        for k in ["prog", "forcing_var", "diag"]
+    }
+    ts = make_ts()
+    params, _ = ts.init(jax.random.PRNGKey(3))
+    key = jax.random.PRNGKey(4)
+    batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+    g_ref = jax.grad(lambda p: ts.loss_fn(p, batch, key)[0])(params)
+
+    mesh = MeshConfig(2, 2, 2).build()
+    with jax.set_mesh(mesh):
+        batch_sharded = {
+            k: jax.device_put(
+                jnp.asarray(v), NamedSharding(mesh, batch_spec(4))
+            )
+            for k, v in batch_np.items()
+        }
+        params_r = jax.device_put(params, NamedSharding(mesh, P()))
+        g_mesh = jax.jit(
+            jax.grad(lambda p: ts.loss_fn(p, batch_sharded, key)[0])
+        )(params_r)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(g_ref), jax.tree_util.tree_leaves(g_mesh)
+    ):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=5e-5
+        )
