@@ -174,7 +174,11 @@ class SingleModuleStep(StepABC):
         packed = self.in_packer.pack(
             {k: input_norm[k] for k in config.in_names}
         )
-        rngs = None if args.rng is None else {"dropout": args.rng}
+        if args.rng is None:
+            rngs = None
+        else:
+            k_drop, k_noise = jax.random.split(args.rng)
+            rngs = {"dropout": k_drop, "noise": k_noise}
         out_packed = self.module.apply(
             params, packed, deterministic=args.deterministic, rngs=rngs
         )

@@ -1,0 +1,324 @@
+"""Noise-conditioned (stochastic) SFNO — the ACE2-ERA5 baseline
+architecture (reference: fme/ace/registry/stochastic_sfno.py
+NoiseConditionedModel, fme/core/models/conditional_sfno/sfnonet.py,
+layers.py ConditionalLayerNorm :143, ChannelLayerNorm :95).
+
+Noise fields (gaussian or SHT-synthesized isotropic) condition the layer
+norms of every block: scale = 1 + W_s(noise), bias = W_b(noise), both
+zero-initialized so the net starts as a deterministic SFNO. Ensemble
+members for CRPS/EnergyScore training differ only through the "noise" PRNG
+stream.
+
+Channels-last layout throughout ([batch, lat, lon, channel]).
+"""
+
+import math
+from typing import Any
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.models.layers import MLP, trunc_normal_init
+from ace_tpu.models.sfno import _ACTIVATIONS, SpectralConvS2
+from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+
+
+class ChannelLayerNorm(nn.Module):
+    """Per-pixel layer norm over the channel axis
+    (reference: conditional_sfno/layers.py:95).
+    """
+
+    eps: float = 1e-5
+    elementwise_affine: bool = False
+
+    @nn.compact
+    def __call__(self, x):
+        orig_dtype = x.dtype
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=-1, keepdims=True)
+        var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if self.elementwise_affine:
+            weight = self.param(
+                "weight", nn.initializers.ones, (x.shape[-1],), jnp.float32
+            )
+            bias = self.param(
+                "bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32
+            )
+            y = y * weight + bias
+        return y.astype(orig_dtype)
+
+
+class ConditionalLayerNorm(nn.Module):
+    """Layer norm with scale/bias conditioned on per-pixel noise channels
+    (reference: conditional_sfno/layers.py:143; AdaSpeech-style).
+    """
+
+    n_channels: int
+    embed_dim_noise: int = 0
+    global_layer_norm: bool = False
+    eps: float = 1e-5
+    elementwise_affine: bool = False
+
+    @nn.compact
+    def __call__(self, x, noise=None):
+        if self.global_layer_norm:
+            # normalize over (lat, lon, channel) jointly
+            orig_dtype = x.dtype
+            x32 = x.astype(jnp.float32)
+            mean = jnp.mean(x32, axis=(-3, -2, -1), keepdims=True)
+            var = jnp.mean(
+                (x32 - mean) ** 2, axis=(-3, -2, -1), keepdims=True
+            )
+            y = ((x32 - mean) * jax.lax.rsqrt(var + self.eps)).astype(
+                orig_dtype
+            )
+            if self.elementwise_affine:
+                weight = self.param(
+                    "weight", nn.initializers.ones, (self.n_channels,),
+                    jnp.float32,
+                )
+                bias_p = self.param(
+                    "bias", nn.initializers.zeros, (self.n_channels,),
+                    jnp.float32,
+                )
+                y = y * weight + bias_p
+        else:
+            y = ChannelLayerNorm(
+                eps=self.eps, elementwise_affine=self.elementwise_affine,
+                name="norm",
+            )(x)
+        scale = jnp.ones((), dtype=y.dtype)
+        bias = jnp.zeros((), dtype=y.dtype)
+        if self.embed_dim_noise > 0:
+            if noise is None:
+                raise ValueError("noise conditioning requires noise input")
+            # zero-init so conditioning starts as identity
+            w_scale = nn.Dense(
+                self.n_channels, use_bias=False,
+                kernel_init=nn.initializers.zeros, name="w_scale_2d",
+            )
+            w_bias = nn.Dense(
+                self.n_channels, use_bias=False,
+                kernel_init=nn.initializers.zeros, name="w_bias_2d",
+            )
+            scale = scale + w_scale(noise.astype(y.dtype))
+            bias = bias + w_bias(noise.astype(y.dtype))
+        return y * scale + bias
+
+
+class ConditionalFNOBlock(nn.Module):
+    """FNO block with noise-conditioned norms
+    (reference: conditional_sfno/sfnonet.py:388 block forward).
+    """
+
+    forward_transform: Any
+    inverse_transform: Any
+    embed_dim: int
+    embed_dim_noise: int
+    operator_type: str = "dhconv"
+    mlp_ratio: float = 2.0
+    activation: str = "gelu"
+    use_mlp: bool = True
+    inner_skip: str = "linear"
+    outer_skip: str = "identity"
+    global_layer_norm: bool = False
+    affine_norms: bool = False
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, noise, deterministic: bool = True):
+        act = _ACTIVATIONS[self.activation]
+        x_norm = ConditionalLayerNorm(
+            n_channels=self.embed_dim,
+            embed_dim_noise=self.embed_dim_noise,
+            global_layer_norm=self.global_layer_norm,
+            elementwise_affine=self.affine_norms,
+            name="norm0",
+        )(x, noise)
+        x_f, residual = SpectralConvS2(
+            forward_transform=self.forward_transform,
+            inverse_transform=self.inverse_transform,
+            in_channels=self.embed_dim,
+            out_channels=self.embed_dim,
+            operator_type=self.operator_type,
+            use_bias=True,
+            name="filter",
+        )(x_norm)
+        if self.inner_skip == "linear":
+            x_f = x_f + nn.Dense(
+                self.embed_dim, kernel_init=trunc_normal_init(),
+                dtype=self.dtype, name="inner_skip",
+            )(residual)
+        elif self.inner_skip == "identity":
+            x_f = x_f + residual
+        x_f = act(x_f)
+        x_f = ConditionalLayerNorm(
+            n_channels=self.embed_dim,
+            embed_dim_noise=self.embed_dim_noise,
+            global_layer_norm=self.global_layer_norm,
+            elementwise_affine=self.affine_norms,
+            name="norm1",
+        )(x_f, noise)
+        if self.use_mlp:
+            x_f = MLP(
+                hidden_features=int(self.embed_dim * self.mlp_ratio),
+                out_features=self.embed_dim,
+                act=act,
+                dtype=self.dtype,
+                name="mlp",
+            )(x_f, deterministic=deterministic)
+        if self.outer_skip == "linear":
+            x_f = x_f + nn.Dense(
+                self.embed_dim, kernel_init=trunc_normal_init(),
+                dtype=self.dtype, name="outer_skip",
+            )(residual)
+        elif self.outer_skip == "identity":
+            x_f = x_f + residual
+        return x_f
+
+
+class NoiseConditionedSFNO(nn.Module):
+    """Stochastic SFNO: noise-conditioned norms, per-call sampled noise
+    (reference: stochastic_sfno.py:52 NoiseConditionedModel + the
+    conditional SFNO net :508).
+
+    Noise is drawn from the flax "noise" PRNG collection each call
+    (``rngs={"noise": key}``); with no rng provided the model runs with
+    zero noise (deterministic mean behavior at init).
+    """
+
+    img_shape: tuple[int, int]
+    in_chans: int
+    out_chans: int
+    embed_dim: int = 256
+    noise_embed_dim: int = 256
+    noise_type: str = "gaussian"  # or "isotropic"
+    num_layers: int = 12
+    operator_type: str = "dhconv"
+    hard_thresholding_fraction: float = 1.0
+    mlp_ratio: float = 2.0
+    activation_function: str = "gelu"
+    encoder_layers: int = 1
+    use_mlp: bool = True
+    pos_embed: bool = True
+    big_skip: bool = True
+    normalize_big_skip: bool = False
+    affine_norms: bool = False
+    global_layer_norm: bool = False
+    filter_residual: bool = False
+    filter_output: bool = False
+    residual_filter_factor: int = 1
+    data_grid: str = "legendre-gauss"
+    dtype: jnp.dtype = jnp.float32
+
+    def setup(self):
+        nlat, nlon = self.img_shape
+        modes_lat = int(nlat * self.hard_thresholding_fraction)
+        modes_lon = int((nlon // 2 + 1) * self.hard_thresholding_fraction)
+        kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True)
+        self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
+        self.itrans_up = InverseRealSHT(nlat, nlon, grid=self.data_grid, **kw)
+        self._lmax, self._mmax = modes_lat, modes_lon
+
+    def _make_noise(self, batch: int):
+        nlat, nlon = self.img_shape
+        if not self.has_rng("noise"):
+            return jnp.zeros(
+                (batch, nlat, nlon, self.noise_embed_dim), jnp.float32
+            )
+        key = self.make_rng("noise")
+        if self.noise_type == "gaussian":
+            return jax.random.normal(
+                key, (batch, nlat, nlon, self.noise_embed_dim), jnp.float32
+            )
+        # isotropic: white spherical-harmonic coefficients synthesized to
+        # the grid with unit pointwise variance (reference:
+        # stochastic_sfno.py:21 isotropic_noise)
+        lmax, mmax = self._lmax, self._mmax
+        kr, ki = jax.random.split(key)
+        shape = (batch, lmax, mmax, self.noise_embed_dim)
+        real = jax.random.normal(kr, shape, jnp.float32)
+        imag = jax.random.normal(ki, shape, jnp.float32)
+        imag = imag.at[:, :, 0].set(0.0)
+        sqrt2 = math.sqrt(2.0)
+        real = real.at[:, :, 1:].divide(sqrt2)
+        imag = imag.at[:, :, 1:].divide(sqrt2)
+        scale = math.sqrt(4.0 * math.pi) / lmax
+        return self.itrans_up(jax.lax.complex(real, imag) * scale)
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = _ACTIVATIONS[self.activation_function]
+        nlat, nlon = self.img_shape
+        noise = self._make_noise(x.shape[0])
+
+        if self.big_skip:
+            residual = x
+            if self.filter_residual or self.residual_filter_factor > 1:
+                residual = self.itrans_up(
+                    self.trans_down(residual.astype(jnp.float32))
+                ).astype(x.dtype)
+            if self.normalize_big_skip:
+                residual = ConditionalLayerNorm(
+                    n_channels=self.in_chans,
+                    embed_dim_noise=self.noise_embed_dim,
+                    elementwise_affine=self.affine_norms,
+                    name="norm_big_skip",
+                )(residual, noise)
+
+        h = x.astype(self.dtype)
+        for i in range(self.encoder_layers):
+            h = nn.Dense(
+                self.embed_dim, kernel_init=trunc_normal_init(),
+                dtype=self.dtype, name=f"encoder_{i}",
+            )(h)
+            h = act(h)
+        h = nn.Dense(
+            self.embed_dim, use_bias=False, kernel_init=trunc_normal_init(),
+            dtype=self.dtype, name="encoder_out",
+        )(h)
+
+        if self.pos_embed:
+            pe = self.param(
+                "pos_embed", trunc_normal_init(std=0.02),
+                (1, nlat, nlon, self.embed_dim), jnp.float32,
+            )
+            h = h + pe.astype(h.dtype)
+
+        for i in range(self.num_layers):
+            h = ConditionalFNOBlock(
+                forward_transform=self.trans_down,
+                inverse_transform=self.itrans_up,
+                embed_dim=self.embed_dim,
+                embed_dim_noise=self.noise_embed_dim,
+                operator_type=self.operator_type,
+                mlp_ratio=self.mlp_ratio,
+                activation=self.activation_function,
+                use_mlp=self.use_mlp,
+                global_layer_norm=self.global_layer_norm,
+                affine_norms=self.affine_norms,
+                dtype=self.dtype,
+                name=f"block_{i}",
+            )(h, noise, deterministic=deterministic)
+
+        if self.big_skip:
+            h = jnp.concatenate([h, residual.astype(h.dtype)], axis=-1)
+
+        for i in range(self.encoder_layers):
+            h = nn.Dense(
+                self.embed_dim, kernel_init=trunc_normal_init(),
+                dtype=self.dtype, name=f"decoder_{i}",
+            )(h)
+            h = act(h)
+        out = nn.Dense(
+            self.out_chans, use_bias=False, kernel_init=trunc_normal_init(),
+            dtype=self.dtype, name="decoder_out",
+        )(h)
+        if self.filter_output:
+            out = self.itrans_up(
+                self.trans_down(out.astype(jnp.float32))
+            )
+        return out.astype(jnp.float32)

@@ -238,3 +238,82 @@ class MLPBuilder(ModuleConfig):
 class LinearBuilder(ModuleConfig):
     def build(self, n_in_channels, n_out_channels, dataset_info):
         return LinearModule(out_channels=n_out_channels)
+
+
+@ModuleSelector.register("NoiseConditionedSFNO")
+@dataclasses.dataclass
+class NoiseConditionedSFNOBuilder(ModuleConfig):
+    """Noise-conditioned SFNO config with the reference's YAML surface
+    (reference: fme/ace/registry/stochastic_sfno.py:181
+    NoiseConditionedSFNOBuilder; the ACE2-ERA5 baseline architecture,
+    configs/baselines/era5/ace-train-config-1-step-pretrain.yaml:96-109).
+    """
+
+    spectral_transform: str = "sht"
+    filter_type: str = "linear"
+    operator_type: str = "dhconv"
+    residual_filter_factor: int = 1
+    embed_dim: int = 256
+    noise_embed_dim: int = 256
+    context_pos_embed_dim: int = 0
+    label_embed_dim: int = 0
+    noise_type: str = "gaussian"  # "gaussian" | "isotropic"
+    global_layer_norm: bool = False
+    num_layers: int = 12
+    use_mlp: bool = True
+    mlp_ratio: float = 2.0
+    activation_function: str = "gelu"
+    encoder_layers: int = 1
+    pos_embed: bool = True
+    big_skip: bool = True
+    rank: float = 1.0
+    factorization: None = None
+    separable: bool = False
+    complex_network: bool = True
+    complex_activation: str = "real"
+    spectral_layers: int = 1
+    checkpointing: int = 0
+    data_grid: str = "legendre-gauss"
+    filter_residual: bool = False
+    filter_output: bool = False
+    normalize_big_skip: bool = False
+    affine_norms: bool = False
+    filter_num_groups: int = 1
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.operator_type != "dhconv":
+            raise ValueError(
+                "Only 'dhconv' operator_type is supported for "
+                "NoiseConditionedSFNO models."
+            )
+        if self.separable:
+            raise ValueError("'separable' is not supported")
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        from ace_tpu.models.conditional_sfno import NoiseConditionedSFNO
+
+        return NoiseConditionedSFNO(
+            img_shape=dataset_info.img_shape,
+            in_chans=n_in_channels,
+            out_chans=n_out_channels,
+            embed_dim=self.embed_dim,
+            noise_embed_dim=self.noise_embed_dim,
+            noise_type=self.noise_type,
+            num_layers=self.num_layers,
+            operator_type=self.operator_type,
+            mlp_ratio=self.mlp_ratio,
+            activation_function=self.activation_function,
+            encoder_layers=self.encoder_layers,
+            use_mlp=self.use_mlp,
+            pos_embed=self.pos_embed,
+            big_skip=self.big_skip,
+            normalize_big_skip=self.normalize_big_skip,
+            affine_norms=self.affine_norms,
+            global_layer_norm=self.global_layer_norm,
+            filter_residual=self.filter_residual,
+            filter_output=self.filter_output,
+            residual_filter_factor=self.residual_filter_factor,
+            data_grid=self.data_grid,
+            dtype=jnp.dtype(self.compute_dtype),
+        )
