@@ -64,28 +64,65 @@ class BenchmarkABC(abc.ABC):
         """Return (jittable fn, args)."""
 
     def fingerprint(self, output) -> float:
-        """Numeric fingerprint of the output for regression checking."""
+        """Numeric fingerprint of the output for regression checking.
+
+        Reductions run on device (complex device->host transfers are not
+        supported by every backend); only a real scalar crosses to host.
+        """
+        import jax.numpy as jnp
+
         leaves = jax.tree_util.tree_leaves(output)
         total = 0.0
         for leaf in leaves:
-            arr = np.asarray(leaf)
-            if np.iscomplexobj(arr):
-                arr = np.abs(arr)
-            total += float(np.mean(np.abs(arr.astype(np.float64))))
+            total += float(
+                jnp.mean(jnp.abs(leaf).astype(jnp.float32))
+            )
         return total
 
-    def run(self, n_repeats: int = 10, check_regression: bool = True
-            ) -> BenchmarkResult:
+    def run(self, n_repeats: int = 10, check_regression: bool = True,
+            inner_iters: int = 10) -> BenchmarkResult:
+        """Time the kernel with an in-jit scan of ``inner_iters``
+        applications so per-dispatch overhead (notable over remote-TPU
+        tunnels) is amortized out of the per-iteration number.
+        """
+        import jax.numpy as jnp
+
         fn, args = self.get_fn()
         jitted = jax.jit(fn)
         t0 = time.perf_counter()
         out = jax.block_until_ready(jitted(*args))
         compile_ms = (time.perf_counter() - t0) * 1e3
+
+        def repeated(*args):
+            def body(acc, _):
+                # thread acc into the inputs so XLA cannot hoist the
+                # loop-invariant computation out of the scan
+                eps = acc * 1e-30
+                args_i = jax.tree_util.tree_map(
+                    lambda a: a + eps.astype(a.dtype)
+                    if hasattr(a, "dtype") else a,
+                    args,
+                )
+                result = fn(*args_i)
+                s = sum(
+                    jnp.sum(jnp.abs(leaf).astype(jnp.float32))
+                    for leaf in jax.tree_util.tree_leaves(result)
+                )
+                return acc + s, None
+            acc, _ = jax.lax.scan(
+                body, jnp.zeros((), jnp.float32), None, length=inner_iters
+            )
+            return acc
+
+        jit_rep = jax.jit(repeated)
+        jax.block_until_ready(jit_rep(*args))  # compile
         times = []
         for _ in range(n_repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(jitted(*args))
-            times.append((time.perf_counter() - t0) * 1e3)
+            jax.block_until_ready(jit_rep(*args))
+            times.append(
+                (time.perf_counter() - t0) * 1e3 / inner_iters
+            )
         fp = self.fingerprint(out)
         regression_ok = None
         if check_regression:

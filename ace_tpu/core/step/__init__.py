@@ -10,4 +10,4 @@ from ace_tpu.core.step.base import (  # noqa: F401
     StepSelector,
     StepperState,
 )
-from ace_tpu.core.step import single_module  # noqa: F401
+from ace_tpu.core.step import multi_call, separate_radiation, single_module  # noqa: F401

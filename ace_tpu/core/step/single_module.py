@@ -34,6 +34,83 @@ from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.models.registry import ModuleSelector
 
 
+def make_rngs(rng):
+    """Split a step rng into the flax PRNG collections used by modules."""
+    if rng is None:
+        return None
+    k_drop, k_noise = jax.random.split(rng)
+    return {"dropout": k_drop, "noise": k_noise}
+
+
+def step_with_adjustments(
+    args: StepArgs,
+    network_calls,
+    normalizer: StandardNormalizer,
+    corrector,
+    ocean,
+    residual_prediction: bool,
+    prognostic_names: list[str],
+    prescribed_prognostic_names: list[str],
+) -> StepOutput:
+    """Shared step pipeline around the network call(s): normalize ->
+    network -> denormalize -> corrector -> ocean -> prescribed overwrite
+    (reference: fme/core/step/single_module.py:595 step_with_adjustments).
+
+    ``network_calls(input_norm, rngs) -> output_norm`` runs the module(s) on
+    the normalized input dict.
+    """
+    input_data = args.input
+    next_step_input_data = args.next_step_input_data
+
+    input_norm = normalizer.normalize(dict(input_data))
+    output_norm = network_calls(input_norm, make_rngs(args.rng))
+    if residual_prediction:
+        # network output is added to the normalized input for prognostics
+        # (reference: single_module.py add_names semantics)
+        for name in prognostic_names:
+            output_norm[name] = output_norm[name] + input_norm[name]
+    output: TensorDict = normalizer.denormalize(output_norm)
+
+    stepper_state = dict(args.stepper_state)
+    diagnostics: TensorDict = {}
+    if corrector is not None:
+        result = corrector(
+            input_data, output, next_step_input_data,
+            stepper_state.get("corrector", {}),
+        )
+        output = result.corrected
+        diagnostics = result.delta
+        stepper_state["corrector"] = result.corrector_state
+
+    if ocean is not None:
+        overlap = {ocean.surface_temperature_name} & set(diagnostics)
+        if overlap:
+            raise ValueError(
+                "ocean-prescribed names overlap corrector-modified names: "
+                f"{sorted(overlap)}"
+            )
+        output = ocean(input_data, output, next_step_input_data)
+
+    for name in prescribed_prognostic_names:
+        if name not in next_step_input_data:
+            raise ValueError(
+                f"prescribed_prognostic_name {name!r} not in "
+                "next_step_input_data"
+            )
+        output = {**output, name: next_step_input_data[name]}
+    if prescribed_prognostic_names:
+        diagnostics = {
+            k: v for k, v in diagnostics.items()
+            if k not in prescribed_prognostic_names
+        }
+
+    return StepOutput(
+        output=output,
+        stepper_state=stepper_state,
+        corrector_diagnostics=diagnostics,
+    )
+
+
 @StepSelector.register("single_module")
 @StepSelector.register("default")
 @dataclasses.dataclass
@@ -167,67 +244,25 @@ class SingleModuleStep(StepABC):
 
     def step(self, params: Any, args: StepArgs) -> StepOutput:
         config = self._config
-        input_data = args.input
-        next_step_input_data = args.next_step_input_data
 
-        input_norm = self.normalizer.normalize(dict(input_data))
-        packed = self.in_packer.pack(
-            {k: input_norm[k] for k in config.in_names}
-        )
-        if args.rng is None:
-            rngs = None
-        else:
-            k_drop, k_noise = jax.random.split(args.rng)
-            rngs = {"dropout": k_drop, "noise": k_noise}
-        out_packed = self.module.apply(
-            params, packed, deterministic=args.deterministic, rngs=rngs
-        )
-        output_norm = self.out_packer.unpack(out_packed)
-        if config.residual_prediction:
-            # residual prediction: network output is added to the normalized
-            # input for prognostic variables (reference: single_module.py
-            # add_names semantics)
-            for name in self.prognostic_names:
-                output_norm[name] = output_norm[name] + input_norm[name]
-        output: TensorDict = self.normalizer.denormalize(output_norm)
-
-        stepper_state = dict(args.stepper_state)
-        diagnostics: TensorDict = {}
-        if self.corrector is not None:
-            result = self.corrector(
-                input_data, output, next_step_input_data,
-                stepper_state.get("corrector", {}),
+        def network_calls(input_norm, rngs):
+            packed = self.in_packer.pack(
+                {k: input_norm[k] for k in config.in_names}
             )
-            output = result.corrected
-            diagnostics = result.delta
-            stepper_state["corrector"] = result.corrector_state
+            out_packed = self.module.apply(
+                params, packed, deterministic=args.deterministic, rngs=rngs
+            )
+            return self.out_packer.unpack(out_packed)
 
-        if self.ocean is not None:
-            overlap = {self.ocean.surface_temperature_name} & set(diagnostics)
-            if overlap:
-                raise ValueError(
-                    "ocean-prescribed names overlap corrector-modified names: "
-                    f"{sorted(overlap)}"
-                )
-            output = self.ocean(input_data, output, next_step_input_data)
-
-        for name in config.prescribed_prognostic_names:
-            if name not in next_step_input_data:
-                raise ValueError(
-                    f"prescribed_prognostic_name {name!r} not in "
-                    "next_step_input_data"
-                )
-            output = {**output, name: next_step_input_data[name]}
-        if config.prescribed_prognostic_names:
-            diagnostics = {
-                k: v for k, v in diagnostics.items()
-                if k not in config.prescribed_prognostic_names
-            }
-
-        return StepOutput(
-            output=output,
-            stepper_state=stepper_state,
-            corrector_diagnostics=diagnostics,
+        return step_with_adjustments(
+            args=args,
+            network_calls=network_calls,
+            normalizer=self.normalizer,
+            corrector=self.corrector,
+            ocean=self.ocean,
+            residual_prediction=config.residual_prediction,
+            prognostic_names=self.prognostic_names,
+            prescribed_prognostic_names=config.prescribed_prognostic_names,
         )
 
     def get_state(self) -> dict[str, Any]:
