@@ -50,6 +50,23 @@ class InferenceConfig:
     derived_forcings: DerivedForcingsConfig = dataclasses.field(
         default_factory=DerivedForcingsConfig
     )
+    # restart file to use as the initial condition instead of the forcing
+    # dataset (used by segmented inference; reference: inference.py:514)
+    initial_condition_path: str | None = None
+
+
+def load_restart_initial_condition(path: str, names: list[str]):
+    """Read a restart.nc written by save_restart into an IC dict."""
+    from ace_tpu.data.store import open_file_dataset
+
+    ds = open_file_dataset(path)
+    data = {}
+    for name in names:
+        arr = np.asarray(ds[name].read(()), dtype=np.float32)
+        if arr.ndim == 3:  # [sample, lat, lon] -> add time dim
+            arr = arr[:, None]
+        data[name] = arr
+    return data
 
 
 def run_inference_from_config(config: InferenceConfig) -> dict:
@@ -64,9 +81,16 @@ def run_inference_from_config(config: InferenceConfig) -> dict:
     # training/inference dataset compatibility check
     # (reference: inference.py:413)
     stepper.dataset_info.assert_compatible_with(forcing_data.dataset_info)
-    ic_batch = forcing_data.initial_condition(stepper.prognostic_names)
+    if config.initial_condition_path is not None:
+        ic_data = load_restart_initial_condition(
+            config.initial_condition_path, stepper.prognostic_names
+        )
+    else:
+        ic_data = forcing_data.initial_condition(
+            stepper.prognostic_names
+        ).data
     ic = PrognosticState(
-        data={k: jax.device_put(v) for k, v in ic_batch.data.items()}
+        data={k: jax.device_put(v) for k, v in ic_data.items()}
     )
     info = forcing_data.dataset_info
     aggregator = config.aggregator.build(
@@ -100,13 +124,61 @@ def run_inference_from_config(config: InferenceConfig) -> dict:
     return summary
 
 
+def run_segmented_inference(config: InferenceConfig, segments: int):
+    """Chain segments via restart.nc (reference: inference.py:514
+    run_segmented_inference). Completed segments (restart.nc present) are
+    skipped, so interrupted multi-segment runs resume where they left off.
+    """
+    import copy
+
+    from ace_tpu.data.inference import ExplicitIndices
+
+    summary = None
+    for segment in range(segments):
+        segment_dir = os.path.join(
+            config.experiment_dir, f"segment_{segment:04d}"
+        )
+        restart_path = os.path.join(segment_dir, "restart.nc")
+        if os.path.exists(restart_path):
+            logging.info(f"Skipping completed segment {segment}")
+            continue
+        seg_config = copy.deepcopy(config)
+        seg_config.experiment_dir = segment_dir
+        if segment > 0:
+            prev_dir = os.path.join(
+                config.experiment_dir, f"segment_{segment - 1:04d}"
+            )
+            seg_config.initial_condition_path = os.path.join(
+                prev_dir, "restart.nc"
+            )
+            # shift IC start indices forward by the completed steps
+            base_starts = config.forcing_loader.start_indices.resolve(
+                config.forcing_loader.dataset.build().all_time
+            )
+            seg_config.forcing_loader.start_indices = ExplicitIndices(
+                list=[
+                    s + segment * config.n_forward_steps
+                    for s in base_starts
+                ]
+            )
+        logging.info(f"Running segment {segment}")
+        summary = run_inference_from_config(seg_config)
+    return summary
+
+
 def main(argv=None):
     parser = get_parser()
+    parser.add_argument(
+        "--segments", type=int, default=None,
+        help="run in N chained segments via restart files",
+    )
     args = parser.parse_args(argv)
     data = prepare_config(args.yaml_config, args.override)
     config = from_dict(InferenceConfig, data)
     prepare_directory(config.experiment_dir, data)
     logging.info("Starting inference")
+    if args.segments is not None:
+        return run_segmented_inference(config, args.segments)
     return run_inference_from_config(config)
 
 

@@ -163,3 +163,54 @@ def test_validate_config_entry(trained, tmp_path):
 
     with _pytest.raises(ConfigError):
         main([str(config_path), "--config_type", "inference"])
+
+
+def test_segmented_inference_matches_single_run(trained, tmp_path):
+    """N chained segments via restart.nc must reproduce one long rollout
+    (reference model: fme/ace/inference/test_segmented.py).
+    """
+    tmp_trained, data, ckpt = trained
+
+    def run(out_dir, n_steps, segments=None):
+        config = {
+            "experiment_dir": out_dir,
+            "checkpoint_path": ckpt,
+            "n_forward_steps": n_steps,
+            "forward_steps_in_memory": 2,
+            "logging": {"log_to_screen": False, "log_to_file": False},
+            "forcing_loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0]},
+            },
+        }
+        config_path = tmp_path / "seg.yaml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(config, f)
+        from ace_tpu.inference.inference import main
+
+        argv = [str(config_path)]
+        if segments:
+            argv += ["--segments", str(segments)]
+        main(argv)
+
+    run(str(tmp_path / "single"), 6)
+    run(str(tmp_path / "segmented"), 3, segments=2)
+
+    from ace_tpu.data.store import open_file_dataset
+
+    single = open_file_dataset(
+        os.path.join(
+            str(tmp_path / "single"), "autoregressive_predictions.nc"
+        )
+    )["prog_a"].read(())
+    seg_parts = [
+        open_file_dataset(
+            os.path.join(
+                str(tmp_path / "segmented"), f"segment_{i:04d}",
+                "autoregressive_predictions.nc",
+            )
+        )["prog_a"].read(())
+        for i in range(2)
+    ]
+    segmented = np.concatenate(seg_parts, axis=1)
+    np.testing.assert_allclose(segmented, single, atol=1e-5)
