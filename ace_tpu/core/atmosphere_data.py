@@ -163,7 +163,10 @@ class AtmosphereData:
                     + self._data["SNOWsfc"]
                 )
             except KeyError:
-                return jnp.zeros_like(self.surface_pressure)
+                try:
+                    return jnp.zeros_like(self.surface_pressure)
+                except KeyError:
+                    return jnp.zeros_like(self.precipitation_rate)
 
     def set_frozen_precipitation_rate(self, value):
         self._set("frozen_precipitation_rate", value)

@@ -1,0 +1,129 @@
+"""Ocean corrector tests (reference model: fme/core/corrector/test_ocean.py)."""
+
+from datetime import timedelta
+
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.core.coordinates import DepthCoordinate
+from ace_tpu.core.corrector.ocean import (
+    OceanCorrectorConfig,
+    OceanHeatContentBudgetConfig,
+    SeaIceFractionConfig,
+    SurfaceEnergyFluxCorrectionConfig,
+)
+from ace_tpu.core.gridded_ops import LatLonOperations
+from ace_tpu.core.metrics import spherical_area_weights
+from ace_tpu.core.ocean_data import OceanData
+
+NLAT, NLON, NZ = 6, 12, 2
+TIMESTEP = timedelta(days=5)
+
+
+def _ops():
+    return LatLonOperations(
+        spherical_area_weights(np.linspace(-60, 60, NLAT), NLON)
+    )
+
+
+def _depth():
+    return DepthCoordinate(
+        idepth=np.asarray([0.0, 10.0, 50.0]),
+        mask=np.ones((NLAT, NLON, NZ), np.float32),
+    )
+
+
+def _data(rng, batch=2):
+    shape = (batch, NLAT, NLON)
+    data = {
+        "sst": jnp.asarray(275.0 + 2 * rng.randn(*shape), jnp.float32),
+        "sea_ice_fraction": jnp.asarray(
+            rng.uniform(-0.3, 1.3, shape), jnp.float32
+        ),
+        "land_fraction": jnp.asarray(
+            rng.uniform(0, 0.3, shape), jnp.float32
+        ),
+        "hfds": jnp.asarray(10.0 * rng.randn(*shape), jnp.float32),
+        "sea_surface_fraction": jnp.asarray(
+            rng.uniform(0.7, 1.0, shape), jnp.float32
+        ),
+        "HI": jnp.asarray(np.abs(rng.randn(*shape)), jnp.float32),
+        # atmosphere flux terms for hfds correction
+        "LHTFLsfc": jnp.asarray(50 + 5 * rng.randn(*shape), jnp.float32),
+        "SHTFLsfc": jnp.asarray(20 + 2 * rng.randn(*shape), jnp.float32),
+        "PRATEsfc": jnp.asarray(np.abs(1e-4 * rng.randn(*shape)), jnp.float32),
+        "DSWRFsfc": jnp.asarray(300 + 10 * rng.randn(*shape), jnp.float32),
+        "USWRFsfc": jnp.asarray(50 + 5 * rng.randn(*shape), jnp.float32),
+        "DLWRFsfc": jnp.asarray(300 + 10 * rng.randn(*shape), jnp.float32),
+        "ULWRFsfc": jnp.asarray(350 + 10 * rng.randn(*shape), jnp.float32),
+    }
+    for k in range(NZ):
+        data[f"thetao_{k}"] = jnp.asarray(
+            278.0 + 2 * rng.randn(*shape), jnp.float32
+        )
+    return data
+
+
+def test_sea_ice_fraction_bounds():
+    rng = np.random.RandomState(0)
+    gen = _data(rng)
+    cfg = OceanCorrectorConfig(
+        sea_ice_fraction_correction=SeaIceFractionConfig(
+            sea_ice_fraction_name="sea_ice_fraction",
+            land_fraction_name="land_fraction",
+            zero_where_ice_free_names=["HI"],
+        )
+    )
+    corrector = cfg.build(_ops(), _depth(), TIMESTEP)
+    out = corrector(gen, gen, gen, {})
+    sif = np.asarray(out.corrected["sea_ice_fraction"])
+    assert sif.min() >= 0.0 and sif.max() <= 1.0
+    # ocean fraction never negative
+    ocean_frac = 1 - sif - np.asarray(gen["land_fraction"])
+    assert ocean_frac.min() >= -1e-6
+    # thickness zero where ice-free
+    hi = np.asarray(out.corrected["HI"])
+    assert np.all(hi[sif == 0.0] == 0.0)
+
+
+def test_ocean_heat_content_conservation():
+    rng = np.random.RandomState(1)
+    ops, depth = _ops(), _depth()
+    input_data = _data(rng)
+    gen = _data(rng)
+    cfg = OceanCorrectorConfig(
+        ocean_heat_content_correction=OceanHeatContentBudgetConfig(
+            method="scaled_temperature"
+        )
+    )
+    corrector = cfg.build(ops, depth, TIMESTEP)
+    out = corrector(input_data, gen, {k: v for k, v in input_data.items()
+                                      if k != "hfds"}, {})
+    gen_ohc = np.asarray(ops.area_weighted_mean(
+        OceanData(out.corrected, depth).ocean_heat_content
+    ))
+    input_ohc = np.asarray(ops.area_weighted_mean(
+        OceanData(input_data, depth).ocean_heat_content
+    ))
+    flux = np.asarray(ops.area_weighted_mean(
+        np.asarray(out.corrected["hfds"])
+        * np.asarray(input_data["sea_surface_fraction"])
+    ))
+    expected = input_ohc + flux * TIMESTEP.total_seconds()
+    np.testing.assert_allclose(gen_ohc, expected, rtol=1e-4)
+
+
+def test_hfds_correction_methods():
+    rng = np.random.RandomState(2)
+    input_data = _data(rng)
+    gen = _data(rng)
+    for method in ("residual_prediction", "prescribed"):
+        cfg = OceanCorrectorConfig(
+            surface_energy_flux_correction=SurfaceEnergyFluxCorrectionConfig(
+                method=method
+            )
+        )
+        corrector = cfg.build(_ops(), _depth(), TIMESTEP)
+        out = corrector(input_data, gen, input_data, {})
+        assert "hfds" in out.delta
+        assert np.isfinite(np.asarray(out.corrected["hfds"])).all()
