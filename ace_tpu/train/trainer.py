@@ -20,6 +20,7 @@ from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
 from ace_tpu.core.timing import GlobalTimer
 from ace_tpu.core.typing_ import Slice
 from ace_tpu.core.wandb import DiskMetricLogger, WandB
+from ace_tpu.data.inference import InferenceDataLoaderConfig
 from ace_tpu.data.loading import DataLoaderConfig, GriddedData
 from ace_tpu.data.requirements import DataRequirements
 from ace_tpu.stepper.checkpoint import (
@@ -28,6 +29,19 @@ from ace_tpu.stepper.checkpoint import (
 )
 from ace_tpu.stepper.stepper import StepperConfig
 from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
+
+
+@dataclasses.dataclass
+class InlineInferenceConfig:
+    """Inline autoregressive inference run each epoch for checkpoint
+    selection (reference: fme/ace/train/train_config.py inline inference +
+    trainer.py:842 inference_one_epoch; selects best_inference_ckpt).
+    """
+
+    loader: InferenceDataLoaderConfig
+    n_forward_steps: int = 2
+    forward_steps_in_memory: int = 2
+    epochs: Slice = dataclasses.field(default_factory=Slice)
 
 
 @dataclasses.dataclass
@@ -76,6 +90,12 @@ class CheckpointPaths:
     def ema_checkpoint_path(self) -> str:
         return os.path.join(self.checkpoint_dir, "ema_ckpt.msgpack")
 
+    @property
+    def best_inference_checkpoint_path(self) -> str:
+        return os.path.join(
+            self.checkpoint_dir, "best_inference_ckpt.msgpack"
+        )
+
     def epoch_checkpoint_path(self, epoch: int) -> str:
         return os.path.join(self.checkpoint_dir, f"ckpt_{epoch:04d}.msgpack")
 
@@ -101,6 +121,7 @@ class TrainConfig:
     validate_using_ema: bool = True
     log_train_every_n_batches: int = 10
     checkpoint_save_epochs: Slice | None = None
+    inference: InlineInferenceConfig | None = None
     seed: int = 0
 
     @property
@@ -150,6 +171,7 @@ class Trainer:
         self.num_batches_seen = 0
         self.start_epoch = 0
         self.best_validation_loss = float("inf")
+        self.best_inference_error = float("inf")
         self._disk_logger = DiskMetricLogger(
             os.path.join(config.experiment_dir, "metrics.jsonl")
         )
@@ -182,9 +204,16 @@ class Trainer:
                 train_metrics = self.train_one_epoch(epoch)
             with timer.context("validation"):
                 valid_metrics = self.validate()
+            inference_metrics: dict[str, float] = {}
+            if self.config.inference is not None and (
+                self.config.inference.epochs.contains(epoch)
+            ):
+                with timer.context("inline_inference"):
+                    inference_metrics = self.inference_one_epoch()
             all_metrics = {
                 **{f"train/{k}": v for k, v in train_metrics.items()},
                 **{f"val/{k}": v for k, v in valid_metrics.items()},
+                **{f"inference/{k}": v for k, v in inference_metrics.items()},
                 "epoch": epoch,
                 "lr": self.train_stepper.optimization.learning_rate,
             }
@@ -198,6 +227,16 @@ class Trainer:
                 self.save_all_checkpoints(
                     epoch, float(valid_metrics["loss"])
                 )
+                err = inference_metrics.get("inference_error")
+                if err is not None and err < self.best_inference_error:
+                    self.best_inference_error = err
+                    stepper = self.stepper
+                    stepper.params = self._validation_params()
+                    save_train_checkpoint(
+                        self.paths.best_inference_checkpoint_path,
+                        stepper, self.config.stepper,
+                    )
+                    stepper.params = self.params
         return self.params
 
     def train_one_epoch(self, epoch: int) -> dict[str, float]:
@@ -244,6 +283,49 @@ class Trainer:
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
         return {k: v / max(count, 1) for k, v in totals.items()}
+
+    def inference_one_epoch(self) -> dict[str, float]:
+        """Run inline autoregressive inference with the validation params
+        (reference: trainer.py:842); tracks best_inference_error for the
+        best-inference checkpoint.
+        """
+        import jax as _jax
+
+        from ace_tpu.aggregator.inference import InferenceEvaluatorAggregator
+        from ace_tpu.inference.loop import run_inference
+        from ace_tpu.stepper.stepper import PrognosticState
+
+        cfg = self.config.inference
+        stepper = self.stepper
+        data = cfg.loader.build(
+            forcing_names=stepper.forcing_window_names,
+            prognostic_names=stepper.prognostic_names,
+            n_forward_steps=cfg.n_forward_steps,
+            forward_steps_in_memory=cfg.forward_steps_in_memory,
+        )
+        ic_batch = data.initial_condition(stepper.prognostic_names)
+        ic = PrognosticState(
+            data={k: _jax.device_put(v) for k, v in ic_batch.data.items()}
+        )
+        aggregator = InferenceEvaluatorAggregator(data.dataset_info)
+        old_params = stepper.params
+        stepper.params = self._validation_params()
+        try:
+            target_names = [
+                n for n in stepper.out_names if n in data.dataset.names
+            ]
+            run_inference(
+                stepper, ic, data, aggregator=aggregator,
+                target_names=target_names,
+            )
+        finally:
+            stepper.params = old_params
+        logs = aggregator.get_logs()
+        rmses = [v for k, v in logs.items()
+                 if k.startswith("time_mean/rmse/")]
+        if rmses:
+            logs["inference_error"] = float(np.mean(rmses))
+        return {k: float(v) for k, v in logs.items()}
 
     def save_all_checkpoints(self, epoch: int, valid_loss: float):
         extra = {

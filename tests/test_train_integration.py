@@ -117,3 +117,39 @@ def test_loaded_checkpoint_predicts(tmp_path):
     outputs, _ = stepper.predict(ic, forcing)
     assert outputs["prog_a"].shape == (1, 3, 8, 16)
     assert bool(jnp.all(jnp.isfinite(outputs["diag_d"])))
+
+
+def test_inline_inference_selects_best_checkpoint(tmp_path):
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=12)
+    cfg = _config(tmp_path, data, max_epochs=2)
+    cfg["inference"] = {
+        "loader": {
+            "dataset": {"data_path": str(data.data_dir)},
+            "start_indices": {"list": [0]},
+        },
+        "n_forward_steps": 4,
+        "forward_steps_in_memory": 2,
+    }
+    config_path = tmp_path / "config.yaml"
+    import yaml as _yaml
+
+    with open(config_path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    trainer = main([str(config_path)])
+    assert np.isfinite(trainer.best_inference_error)
+    assert os.path.exists(
+        os.path.join(
+            cfg["experiment_dir"], "training_checkpoints",
+            "best_inference_ckpt.msgpack",
+        )
+    )
+    # inference metrics logged
+    import json
+
+    with open(os.path.join(cfg["experiment_dir"], "metrics.jsonl")) as f:
+        records = [json.loads(line) for line in f]
+    assert any(
+        k.startswith("inference/") for r in records for k in r
+    )
