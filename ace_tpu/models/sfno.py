@@ -101,7 +101,12 @@ class SpectralConvS2(nn.Module):
             eq = "...lmi,iol->...lmo" if not self.separable else "...lmi,il->...lmi"
         else:
             eq = "...lmi,iolm->...lmo" if not self.separable else "...lmi,ilm->...lmi"
-        ein = functools.partial(jnp.einsum, eq, preferred_element_type=jnp.float32)
+        # spectral filter weights act in fp32 space; HIGHEST avoids the
+        # default 1-pass bf16 decomposition (see ace_tpu/ops/sht.py)
+        ein = functools.partial(
+            jnp.einsum, eq, precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )
         outr = ein(xr, wr) - ein(xi, wi)
         outi = ein(xr, wi) + ein(xi, wr)
 

@@ -112,12 +112,20 @@ class RealSHT:
         return self._forward(x, "...kj,jm->...km", "...km,mlk->...lm")
 
     def _forward(self, x, dft_eq, leg_eq):
+        # Precision.HIGHEST: JAX's default on TPU decomposes f32 matmuls to
+        # ONE bf16 pass (~2e-2 relative error); HIGHEST uses the 6-pass
+        # decomposition for true fp32 accuracy at ~15% extra cost — the
+        # spectral transform must be exact (reference forces fp32,
+        # fme/sht_fix.py:128-131).
+        prec = jax.lax.Precision.HIGHEST
         x = x.astype(jnp.float32)
-        xr = jnp.einsum(dft_eq, x, self._fc, preferred_element_type=jnp.float32)
-        xi = jnp.einsum(dft_eq, x, self._fs, preferred_element_type=jnp.float32)
-        cr = jnp.einsum(leg_eq, xr, self.weights,
+        xr = jnp.einsum(dft_eq, x, self._fc, precision=prec,
                         preferred_element_type=jnp.float32)
-        ci = jnp.einsum(leg_eq, xi, self.weights,
+        xi = jnp.einsum(dft_eq, x, self._fs, precision=prec,
+                        preferred_element_type=jnp.float32)
+        cr = jnp.einsum(leg_eq, xr, self.weights, precision=prec,
+                        preferred_element_type=jnp.float32)
+        ci = jnp.einsum(leg_eq, xi, self.weights, precision=prec,
                         preferred_element_type=jnp.float32)
         return jax.lax.complex(cr, ci)
 
@@ -148,15 +156,18 @@ class InverseRealSHT:
         return self._inverse(x, "...lm,mlk->...km", "...km,mj->...kj")
 
     def _inverse(self, x, leg_eq, dft_eq):
+        prec = jax.lax.Precision.HIGHEST  # see RealSHT._forward
         cr = jnp.real(x).astype(jnp.float32)
         ci = jnp.imag(x).astype(jnp.float32)
-        xr = jnp.einsum(leg_eq, cr, self.pct, preferred_element_type=jnp.float32)
-        xi = jnp.einsum(leg_eq, ci, self.pct, preferred_element_type=jnp.float32)
+        xr = jnp.einsum(leg_eq, cr, self.pct, precision=prec,
+                        preferred_element_type=jnp.float32)
+        xi = jnp.einsum(leg_eq, ci, self.pct, precision=prec,
+                        preferred_element_type=jnp.float32)
         # Hermitian cleanup (imag of m=0 / nyquist) is implicit: the sin
         # rows of the inverse DFT matrix are identically zero there
         # (reference applies it explicitly, fme/fft.py:85-99).
-        out = jnp.einsum(dft_eq, xr, self._ic,
+        out = jnp.einsum(dft_eq, xr, self._ic, precision=prec,
                          preferred_element_type=jnp.float32)
-        out = out + jnp.einsum(dft_eq, xi, self._is,
+        out = out + jnp.einsum(dft_eq, xi, self._is, precision=prec,
                                preferred_element_type=jnp.float32)
         return out
