@@ -1,0 +1,132 @@
+"""Tests for tensor utils, masking, fill (reference models:
+fme/core/test_tensors.py, test_spatial_masking.py, test_fill.py,
+test_winds.py).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ace_tpu.core.fill import SmoothFloodFill
+from ace_tpu.core.masking import (
+    NameAndPrefixMatcher,
+    SpatialMaskProvider,
+    StaticSpatialMasking,
+    VariableMaskingConfig,
+)
+from ace_tpu.core.tensors import (
+    TensorDictAccumulator,
+    add_ensemble_dim,
+    assert_dict_allclose,
+    flatten_dict,
+    fold_ensemble_dim,
+    u_v_to_x_y_z_wind,
+    unflatten_dict,
+    unfold_ensemble_dim,
+    x_y_z_to_u_v_wind,
+)
+
+
+def test_ensemble_fold_roundtrip():
+    data = {"a": jnp.arange(24.0).reshape(2, 3, 4)}
+    ens = add_ensemble_dim(data, repeats=2)
+    assert ens["a"].shape == (2, 2, 3, 4)
+    folded, n = fold_ensemble_dim(ens)
+    assert folded["a"].shape == (4, 3, 4) and n == 2
+    unfolded = unfold_ensemble_dim(folded, n)
+    np.testing.assert_array_equal(
+        np.asarray(unfolded["a"]), np.asarray(ens["a"])
+    )
+
+
+def test_flatten_unflatten_dict():
+    nested = {"a": {"b": 1, "c": {"d": 2}}, "e": 3}
+    flat = flatten_dict(nested)
+    assert flat == {"a.b": 1, "a.c.d": 2, "e": 3}
+    assert unflatten_dict(flat) == nested
+
+
+def test_assert_dict_allclose():
+    a = {"x": jnp.ones(3)}
+    assert_dict_allclose(a, {"x": np.ones(3)})
+    with pytest.raises(AssertionError):
+        assert_dict_allclose(a, {"x": np.zeros(3)})
+    with pytest.raises(AssertionError, match="keys differ"):
+        assert_dict_allclose(a, {"y": np.ones(3)})
+
+
+def test_accumulator_mean():
+    acc = TensorDictAccumulator()
+    acc.record({"f": jnp.asarray(1.0)})
+    acc.record({"f": jnp.asarray(3.0)})
+    assert float(acc.get_mean()["f"]) == 2.0
+
+
+def test_wind_conversion_roundtrip():
+    rng = np.random.RandomState(0)
+    u = jnp.asarray(rng.randn(5), jnp.float32)
+    v = jnp.asarray(rng.randn(5), jnp.float32)
+    lat = jnp.asarray(rng.uniform(-80, 80, 5), jnp.float32)
+    lon = jnp.asarray(rng.uniform(0, 360, 5), jnp.float32)
+    wx, wy, wz = u_v_to_x_y_z_wind(u, v, lat, lon)
+    u2, v2 = x_y_z_to_u_v_wind(wx, wy, wz, lat, lon)
+    np.testing.assert_allclose(np.asarray(u2), np.asarray(u), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(v2), np.asarray(v), atol=1e-5)
+
+
+def test_name_and_prefix_matcher():
+    m = NameAndPrefixMatcher(["so", "sst"])
+    assert m.matches("so") and m.matches("so_3") and m.matches("sst")
+    assert not m.matches("something") and not m.matches("so_x")
+
+
+def test_static_spatial_masking():
+    mask = np.ones((4, 4), np.float32)
+    mask[0] = 0.0
+    masking = StaticSpatialMasking(masks={"so": mask}, fill_value=-1.0)
+    data = {"so_0": jnp.ones((2, 4, 4)), "other": jnp.ones((2, 4, 4))}
+    out = masking(data)
+    np.testing.assert_array_equal(np.asarray(out["so_0"][:, 0]), -1.0)
+    np.testing.assert_array_equal(np.asarray(out["so_0"][:, 1:]), 1.0)
+    np.testing.assert_array_equal(np.asarray(out["other"]), 1.0)
+
+
+def test_spatial_mask_provider_builds_from_data():
+    provider = SpatialMaskProvider(mask_names={"so": "wet_mask"})
+    masker = provider.build({"wet_mask": np.ones((3, 3), np.float32)})
+    out = masker({"so_0": jnp.full((1, 3, 3), 5.0)})
+    np.testing.assert_array_equal(np.asarray(out["so_0"]), 5.0)
+
+
+def test_variable_masking_modes():
+    data = {"a": jnp.ones((2, 4, 4)), "b": jnp.ones((2, 4, 4))}
+    cfg = VariableMaskingConfig(names=["a", "b"], mode="bernoulli", rate=1.0)
+    out = cfg.apply(data, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out["a"]), 0.0)
+    np.testing.assert_array_equal(np.asarray(out["b"]), 0.0)
+    cfg0 = VariableMaskingConfig(names=["a", "b"], mode="bernoulli", rate=0.0)
+    out0 = cfg0.apply(data, jax.random.PRNGKey(0))
+    np.testing.assert_array_equal(np.asarray(out0["a"]), 1.0)
+    cfg_u = VariableMaskingConfig(
+        names=["a", "b"], mode="uniform", max_masked_vars=2
+    )
+    out_u = cfg_u.apply(data, jax.random.PRNGKey(3))
+    # each channel is all-dropped or all-kept
+    for k in ("a", "b"):
+        vals = set(np.unique(np.asarray(out_u[k])))
+        assert vals in ({0.0}, {1.0})
+
+
+def test_smooth_flood_fill():
+    rng = np.random.RandomState(0)
+    data = rng.randn(2, 16, 16).astype(np.float32) + 5.0
+    data[:, 6:10, 6:10] = np.nan
+    fill = SmoothFloodFill()
+    out = np.asarray(fill(jnp.asarray(data)))
+    assert np.isfinite(out).all()
+    # original valid points unchanged
+    valid = ~np.isnan(data)
+    np.testing.assert_array_equal(out[valid], data[valid])
+    # filled values are near the local field magnitude
+    assert abs(out[:, 6:10, 6:10].mean() - 5.0) < 2.0
