@@ -317,3 +317,40 @@ class NoiseConditionedSFNOBuilder(ModuleConfig):
             data_grid=self.data_grid,
             dtype=jnp.dtype(self.compute_dtype),
         )
+
+
+@ModuleSelector.register("Samudra")
+@dataclasses.dataclass
+class SamudraBuilder(ModuleConfig):
+    """M2Lines Samudra ocean emulator config
+    (reference: fme/ace/registry/m2lines.py:12).
+    """
+
+    ch_width: list[int] = dataclasses.field(
+        default_factory=lambda: [200, 250, 300, 400]
+    )
+    n_layers: list[int] = dataclasses.field(
+        default_factory=lambda: [1, 1, 1, 1]
+    )
+    dilation: list[int] = dataclasses.field(
+        default_factory=lambda: [1, 2, 4, 8]
+    )
+    pad: str = "circular"
+    norm: str = "instance"
+    upscale_factor: int = 4
+    zonally_periodic_upsample: bool = False
+    compute_dtype: str = "float32"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        from ace_tpu.models.samudra import Samudra
+
+        return Samudra(
+            out_channels=n_out_channels,
+            ch_width=tuple(self.ch_width),
+            dilation=tuple(self.dilation),
+            n_layers=tuple(self.n_layers),
+            norm=self.norm,
+            upscale_factor=self.upscale_factor,
+            zonally_periodic_upsample=self.zonally_periodic_upsample,
+            dtype=jnp.dtype(self.compute_dtype),
+        )
