@@ -274,15 +274,45 @@ class Trainer:
         return self.params
 
     def validate(self) -> dict[str, float]:
+        from ace_tpu.aggregator.one_step import OneStepAggregator
+
         params = self._validation_params()
         totals: dict[str, float] = {}
         count = 0
+        stepper = self.stepper
+        one_step = OneStepAggregator(
+            self.valid_data.dataset_info.gridded_operations,
+            record_snapshots=False,
+        )
+        prognostic = stepper.prognostic_names
+        forcing_names = stepper.forcing_window_names
         for batch in self.valid_data:
             metrics = self._valid_step(params, batch.data, self._next_rng())
             count += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
-        return {k: v / max(count, 1) for k, v in totals.items()}
+            # one-step maps/metrics (reference: OneStepAggregator during
+            # validation, fme/ace/aggregator/one_step/main.py:47)
+            ic = {k: batch.data[k][:, :1] for k in prognostic}
+            forcing = {
+                k: batch.data[k][:, :2] for k in forcing_names
+                if k in batch.data
+            }
+            outputs, _, _ = stepper.predict_fn(
+                params, ic, forcing,
+                stepper.step.init_stepper_state(
+                    {k: v[:, 0] for k, v in ic.items()}
+                ),
+                self._next_rng(),
+            )
+            target = {
+                k: batch.data[k][:, 1:2] for k in stepper.out_names
+                if k in batch.data
+            }
+            one_step.record_batch(outputs, target)
+        result = {k: v / max(count, 1) for k, v in totals.items()}
+        result.update(one_step.get_logs())
+        return result
 
     def inference_one_epoch(self) -> dict[str, float]:
         """Run inline autoregressive inference with the validation params
