@@ -101,10 +101,11 @@ class SpectralConvS2(nn.Module):
             eq = "...lmi,iol->...lmo" if not self.separable else "...lmi,il->...lmi"
         else:
             eq = "...lmi,iolm->...lmo" if not self.separable else "...lmi,ilm->...lmi"
-        # spectral filter weights act in fp32 space; HIGHEST avoids the
-        # default 1-pass bf16 decomposition (see ace_tpu/ops/sht.py)
+        # spectral filter weights act in fp32 space; HIGH (3-pass bf16,
+        # TF32-equivalent) avoids the default 1-pass bf16 decomposition
+        # (see ace_tpu/ops/sht.py precision note)
         ein = functools.partial(
-            jnp.einsum, eq, precision=jax.lax.Precision.HIGHEST,
+            jnp.einsum, eq, precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
         outr = ein(xr, wr) - ein(xi, wi)

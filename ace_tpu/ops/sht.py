@@ -88,7 +88,9 @@ class RealSHT:
     """
 
     def __init__(self, nlat, nlon, lmax=None, mmax=None, grid="legendre-gauss",
-                 norm="ortho", csphase=True, channels_last=False):
+                 norm="ortho", csphase=True, channels_last=False,
+                 precision=jax.lax.Precision.HIGH):
+        self.precision = precision
         self.nlat, self.nlon, self.grid = nlat, nlon, grid
         cost, w, default_lmax = quadrature_for_grid(grid, nlat)
         self.lmax = lmax or default_lmax
@@ -112,12 +114,14 @@ class RealSHT:
         return self._forward(x, "...kj,jm->...km", "...km,mlk->...lm")
 
     def _forward(self, x, dft_eq, leg_eq):
-        # Precision.HIGHEST: JAX's default on TPU decomposes f32 matmuls to
-        # ONE bf16 pass (~2e-2 relative error); HIGHEST uses the 6-pass
-        # decomposition for true fp32 accuracy at ~15% extra cost — the
-        # spectral transform must be exact (reference forces fp32,
-        # fme/sht_fix.py:128-131).
-        prec = jax.lax.Precision.HIGHEST
+        # JAX's TPU default decomposes f32 matmuls to ONE bf16 pass
+        # (~2e-2 relative error) — unacceptable for a spectral transform.
+        # Default here is HIGH (3-pass bf16, ~2e-4), which matches the
+        # reference's effective precision: its Docker forces TF32 matmuls
+        # (TORCH_ALLOW_TF32_CUBLAS_OVERRIDE=1, docker/Dockerfile:5) inside
+        # the fp32-autocast-disabled transform. Pass
+        # precision=Precision.HIGHEST for true fp32 (6-pass, ~2x cost).
+        prec = self.precision
         x = x.astype(jnp.float32)
         xr = jnp.einsum(dft_eq, x, self._fc, precision=prec,
                         preferred_element_type=jnp.float32)
@@ -136,7 +140,9 @@ class InverseRealSHT:
     """
 
     def __init__(self, nlat, nlon, lmax=None, mmax=None, grid="legendre-gauss",
-                 norm="ortho", csphase=True, channels_last=False):
+                 norm="ortho", csphase=True, channels_last=False,
+                 precision=jax.lax.Precision.HIGH):
+        self.precision = precision
         self.nlat, self.nlon, self.grid = nlat, nlon, grid
         cost, _, default_lmax = quadrature_for_grid(grid, nlat)
         self.lmax = lmax or default_lmax
@@ -156,7 +162,7 @@ class InverseRealSHT:
         return self._inverse(x, "...lm,mlk->...km", "...km,mj->...kj")
 
     def _inverse(self, x, leg_eq, dft_eq):
-        prec = jax.lax.Precision.HIGHEST  # see RealSHT._forward
+        prec = self.precision  # see RealSHT._forward
         cr = jnp.real(x).astype(jnp.float32)
         ci = jnp.imag(x).astype(jnp.float32)
         xr = jnp.einsum(leg_eq, cr, self.pct, precision=prec,
