@@ -1,0 +1,165 @@
+"""Diffusion downscaling model: config surface, training step, generation
+(reference: fme/downscaling/models.py:145 DiffusionModelConfig,
+DiffusionModel :346).
+
+Single-timestep conditional generation (coarse fields -> fine fields),
+distinct from the autoregressive stepper stack.
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.normalizer import NormalizationConfig, StandardNormalizer
+from ace_tpu.core.packer import Packer
+from ace_tpu.downscaling.diffusion import (
+    LogNormalNoiseDistribution,
+    LogUniformNoiseDistribution,
+    edm_loss,
+    edm_precondition,
+    stochastic_sampler,
+)
+from ace_tpu.downscaling.unet import DiffusionUNet
+from ace_tpu.core.typing_ import TensorDict, TensorMapping
+
+
+@dataclasses.dataclass
+class PairedNormalizationConfig:
+    """Separate normalization for coarse (input) and fine (output) data
+    (reference: downscaling PairedNormalizationConfig).
+    """
+
+    fine: NormalizationConfig
+    coarse: NormalizationConfig
+
+
+@dataclasses.dataclass
+class UNetConfig:
+    base_channels: int = 64
+    channel_mults: list[int] = dataclasses.field(
+        default_factory=lambda: [1, 2, 2]
+    )
+    num_res_blocks: int = 2
+    compute_dtype: str = "float32"
+
+
+@dataclasses.dataclass
+class DiffusionModelConfig:
+    """(reference: fme/downscaling/models.py:145)."""
+
+    in_names: list[str]
+    out_names: list[str]
+    normalization: PairedNormalizationConfig
+    module: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    sigma_min: float = 0.002
+    sigma_max: float = 80.0
+    sigma_data: float = 0.5
+    churn: float = 0.0
+    num_diffusion_generation_steps: int = 18
+    predict_residual: bool = False
+    training_noise_distribution: (
+        LogNormalNoiseDistribution | LogUniformNoiseDistribution | None
+    ) = None
+
+    def build(self, dataset_info: DatasetInfo) -> "DiffusionModel":
+        return DiffusionModel(self, dataset_info)
+
+
+class DiffusionModel:
+    """EDM training/generation over named coarse/fine variables."""
+
+    def __init__(self, config: DiffusionModelConfig,
+                 dataset_info: DatasetInfo):
+        self.config = config
+        self.dataset_info = dataset_info
+        self.in_packer = Packer(config.in_names)
+        self.out_packer = Packer(config.out_names)
+        self.coarse_normalizer: StandardNormalizer = (
+            config.normalization.coarse.build(config.in_names)
+        )
+        self.fine_normalizer: StandardNormalizer = (
+            config.normalization.fine.build(config.out_names)
+        )
+        self.net = DiffusionUNet(
+            out_channels=len(config.out_names),
+            base_channels=config.module.base_channels,
+            channel_mults=tuple(config.module.channel_mults),
+            num_res_blocks=config.module.num_res_blocks,
+            dtype=jnp.dtype(config.module.compute_dtype),
+        )
+        self.params: Any = None
+        self._noise_dist = (
+            config.training_noise_distribution
+            or LogNormalNoiseDistribution()
+        )
+
+    def init_params(self, rng: jax.Array, img_shape=None):
+        nlat, nlon = img_shape or self.dataset_info.img_shape
+        x = jnp.zeros((1, nlat, nlon, len(self.config.out_names)))
+        cond = jnp.zeros((1, nlat, nlon, len(self.config.in_names)))
+        sigma = jnp.zeros((1,))
+        self.params = self.net.init(rng, x, cond, sigma)
+        return self.params
+
+    def _denoiser(self, params):
+        def raw(x, cond, c_noise):
+            return self.net.apply(params, x, cond, c_noise)
+
+        return edm_precondition(raw, sigma_data=self.config.sigma_data)
+
+    def _pack(self, coarse: TensorMapping, fine: TensorMapping | None):
+        cond = self.in_packer.pack(
+            self.coarse_normalizer.normalize(dict(coarse))
+        )
+        target = None
+        if fine is not None:
+            target = self.out_packer.pack(
+                self.fine_normalizer.normalize(dict(fine))
+            )
+        return cond, target
+
+    def loss_fn(self, params, coarse: TensorMapping, fine: TensorMapping,
+                rng: jax.Array):
+        """EDM training loss on normalized fields."""
+        cond, target = self._pack(coarse, fine)
+        return edm_loss(
+            self._denoiser(params), rng, target, cond,
+            noise_distribution=self._noise_dist,
+            sigma_data=self.config.sigma_data,
+        )
+
+    def generate(self, coarse: TensorMapping, rng: jax.Array,
+                 params=None, n_samples: int = 1) -> TensorDict:
+        """Sample fine fields conditioned on coarse fields.
+
+        Returns dict of [batch, n_samples, H, W] denormalized fields.
+        """
+        params = params if params is not None else self.params
+        cond, _ = self._pack(coarse, None)
+        batch, h, w = cond.shape[0], cond.shape[1], cond.shape[2]
+        c_out = len(self.config.out_names)
+        outs = []
+        for s in range(n_samples):
+            rng, k_lat, k_samp = jax.random.split(rng, 3)
+            latents = jax.random.normal(k_lat, (batch, h, w, c_out))
+            sample = stochastic_sampler(
+                self._denoiser(params), latents, cond, k_samp,
+                num_steps=self.config.num_diffusion_generation_steps,
+                sigma_min=self.config.sigma_min,
+                sigma_max=self.config.sigma_max,
+                S_churn=self.config.churn,
+            )
+            outs.append(sample)
+        stacked = jnp.stack(outs, axis=1)  # [B, S, H, W, C]
+        result = {}
+        for i, name in enumerate(self.config.out_names):
+            result[name] = stacked[..., i]
+        return self.fine_normalizer.denormalize(result)
+
+    def get_state(self) -> dict:
+        from ace_tpu.core.config import to_dict
+
+        return {"config": to_dict(self.config)}

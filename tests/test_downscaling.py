@@ -1,0 +1,135 @@
+"""Diffusion downscaling tests (reference model: fme/downscaling tests —
+EDM loss behavior, sampler consistency, preconditioner limits).
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ace_tpu.core.coordinates import LatLonCoordinates, gaussian_latitudes
+from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.downscaling.diffusion import (
+    LogNormalNoiseDistribution,
+    edm_loss,
+    edm_precondition,
+    stochastic_sampler,
+)
+from ace_tpu.downscaling.models import (
+    DiffusionModelConfig,
+    PairedNormalizationConfig,
+    UNetConfig,
+)
+from ace_tpu.core.normalizer import NormalizationConfig
+
+H, W = 16, 16
+
+
+def _info():
+    return DatasetInfo(
+        horizontal_coordinates=LatLonCoordinates(
+            lat=gaussian_latitudes(H),
+            lon=np.linspace(0, 360, W, endpoint=False),
+        )
+    )
+
+
+def test_preconditioner_limits():
+    """As sigma -> 0, D(x) -> x regardless of the raw net (c_skip -> 1)."""
+
+    def crazy_net(x, cond, c_noise):
+        return jnp.full_like(x, 100.0)
+
+    denoiser = edm_precondition(crazy_net, sigma_data=0.5)
+    x = jnp.ones((2, 4, 4, 1))
+    cond = jnp.zeros((2, 4, 4, 1))
+    out = denoiser(x, cond, jnp.full((2,), 1e-6))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x), atol=1e-3)
+    # As sigma -> inf the skip vanishes
+    out_hi = denoiser(x, cond, jnp.full((2,), 1e6))
+    assert abs(float(out_hi.mean())) > 1.0
+
+
+def test_ideal_denoiser_gives_low_loss():
+    """A perfect denoiser (returns the target) has zero EDM loss."""
+    target = jnp.asarray(np.random.RandomState(0).randn(4, 8, 8, 2),
+                         jnp.float32)
+
+    def perfect(x, cond, sigma):
+        return target
+
+    loss = float(edm_loss(perfect, jax.random.PRNGKey(0), target,
+                          jnp.zeros((4, 8, 8, 1))))
+    assert loss < 1e-10
+
+
+def _model():
+    names_in = ["coarse_a", "coarse_b"]
+    names_out = ["fine_x"]
+    config = DiffusionModelConfig(
+        in_names=names_in,
+        out_names=names_out,
+        normalization=PairedNormalizationConfig(
+            fine=NormalizationConfig(
+                means={"fine_x": 0.0}, stds={"fine_x": 1.0}
+            ),
+            coarse=NormalizationConfig(
+                means={n: 0.0 for n in names_in},
+                stds={n: 1.0 for n in names_in},
+            ),
+        ),
+        module=UNetConfig(base_channels=8, channel_mults=[1, 2],
+                          num_res_blocks=1),
+        num_diffusion_generation_steps=4,
+    )
+    return config.build(_info())
+
+
+def test_diffusion_training_reduces_loss():
+    import optax
+
+    model = _model()
+    params = model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    coarse = {
+        "coarse_a": jnp.asarray(rng.randn(4, H, W), jnp.float32),
+        "coarse_b": jnp.asarray(rng.randn(4, H, W), jnp.float32),
+    }
+    # learnable: fine = coarse_a (deterministic given conditioning)
+    fine = {"fine_x": coarse["coarse_a"]}
+    tx = optax.adam(2e-3)
+    opt_state = tx.init(params)
+
+    @jax.jit
+    def step(params, opt_state, key):
+        loss, grads = jax.value_and_grad(model.loss_fn)(
+            params, coarse, fine, key
+        )
+        updates, opt_state = tx.update(grads, opt_state)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    key = jax.random.PRNGKey(1)
+    losses = []
+    for i in range(30):
+        key, sub = jax.random.split(key)
+        params, opt_state, loss = step(params, opt_state, sub)
+        losses.append(float(loss))
+    assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
+
+
+def test_generation_shapes_and_conditioning():
+    model = _model()
+    model.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    coarse = {
+        "coarse_a": jnp.asarray(rng.randn(2, H, W), jnp.float32),
+        "coarse_b": jnp.asarray(rng.randn(2, H, W), jnp.float32),
+    }
+    out = model.generate(coarse, jax.random.PRNGKey(2), n_samples=2)
+    assert out["fine_x"].shape == (2, 2, H, W)
+    assert bool(jnp.all(jnp.isfinite(out["fine_x"])))
+    # different sample keys produce different members
+    assert not np.allclose(
+        np.asarray(out["fine_x"][:, 0]), np.asarray(out["fine_x"][:, 1])
+    )
