@@ -354,3 +354,28 @@ class SamudraBuilder(ModuleConfig):
             zonally_periodic_upsample=self.zonally_periodic_upsample,
             dtype=jnp.dtype(self.compute_dtype),
         )
+
+
+@ModuleSelector.register("HEALPixUNet")
+@dataclasses.dataclass
+class HEALPixUNetBuilder(ModuleConfig):
+    """DLWP-style HEALPix UNet config
+    (reference: fme/ace/registry/hpx.py:15; operates on
+    [batch, 12, face, face, channel] data).
+    """
+
+    hidden_channels: list[int] = dataclasses.field(
+        default_factory=lambda: [64, 128, 256]
+    )
+    n_layers_per_level: int = 2
+    compute_dtype: str = "float32"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        from ace_tpu.models.healpix import HEALPixUNet
+
+        return HEALPixUNet(
+            out_channels=n_out_channels,
+            hidden_channels=tuple(self.hidden_channels),
+            n_layers_per_level=self.n_layers_per_level,
+            dtype=jnp.dtype(self.compute_dtype),
+        )
