@@ -1,0 +1,159 @@
+"""Dynamic histograms and annual-mean aggregation
+(reference: fme/core/histogram.py:121 DynamicHistogram,
+fme/ace/aggregator/inference/annual.py GlobalMeanAnnualAggregator).
+"""
+
+import numpy as np
+
+from ace_tpu.core.gridded_ops import GriddedOperations
+from ace_tpu.core.typing_ import TensorMapping
+from ace_tpu.data.time import TimeCoord
+
+EPSILON = 1e-8
+
+
+class DynamicHistogram:
+    """Fixed-bin-count histogram that doubles its range to cover new values
+    (reference: fme/core/histogram.py:121).
+    """
+
+    def __init__(self, n_bins: int = 300):
+        self._n_bins = n_bins
+        self.bin_edges: np.ndarray | None = None
+        self.counts = np.zeros(n_bins, dtype=np.int64)
+
+    def add(self, value: np.ndarray):
+        value = np.asarray(value).ravel()
+        value = value[np.isfinite(value)]
+        if value.size == 0:
+            return
+        vmin = float(value.min()) - EPSILON
+        vmax = float(value.max()) + EPSILON
+        if self.bin_edges is None:
+            self.bin_edges = np.linspace(vmin, vmax, self._n_bins + 1)
+        else:
+            while vmin < self.bin_edges[0]:
+                self._double_size_left()
+            while vmax > self.bin_edges[-1]:
+                self._double_size_right()
+        counts, _ = np.histogram(value, bins=self.bin_edges)
+        self.counts += counts
+
+    def _combine_bins(self):
+        """Halve resolution: pairwise-sum counts into n_bins/2 bins."""
+        half = self.counts[: 2 * (self._n_bins // 2)].reshape(-1, 2).sum(1)
+        return half
+
+    def _double_size_left(self):
+        assert self.bin_edges is not None
+        width = self.bin_edges[-1] - self.bin_edges[0]
+        new_edges = np.linspace(
+            self.bin_edges[0] - width, self.bin_edges[-1], self._n_bins + 1
+        )
+        new_counts = np.zeros(self._n_bins, dtype=np.int64)
+        new_counts[self._n_bins // 2 :] = self._combine_bins()
+        self.bin_edges, self.counts = new_edges, new_counts
+
+    def _double_size_right(self):
+        assert self.bin_edges is not None
+        width = self.bin_edges[-1] - self.bin_edges[0]
+        new_edges = np.linspace(
+            self.bin_edges[0], self.bin_edges[-1] + width, self._n_bins + 1
+        )
+        new_counts = np.zeros(self._n_bins, dtype=np.int64)
+        new_counts[: self._n_bins // 2] = self._combine_bins()
+        self.bin_edges, self.counts = new_edges, new_counts
+
+    def percentile(self, q: float) -> float:
+        """Value at percentile q (0-100) via linear interpolation."""
+        if self.bin_edges is None or self.counts.sum() == 0:
+            return float("nan")
+        cdf = np.cumsum(self.counts) / self.counts.sum()
+        idx = int(np.searchsorted(cdf, q / 100.0))
+        idx = min(idx, self._n_bins - 1)
+        return float(self.bin_edges[idx + 1])
+
+
+class HistogramAggregator:
+    """Per-variable dynamic histograms over all generated values
+    (reference: fme/ace/aggregator histogram usage).
+    """
+
+    def __init__(self, n_bins: int = 300,
+                 percentiles: list[float] | None = None):
+        self._hists: dict[str, DynamicHistogram] = {}
+        self._n_bins = n_bins
+        self._percentiles = percentiles or [99.9999]
+
+    def record_batch(self, gen: TensorMapping, target=None):
+        for name, value in gen.items():
+            if name not in self._hists:
+                self._hists[name] = DynamicHistogram(self._n_bins)
+            self._hists[name].add(np.asarray(value))
+
+    def get_logs(self, label: str = "histogram") -> dict[str, float]:
+        logs = {}
+        for name, hist in self._hists.items():
+            for q in self._percentiles:
+                logs[f"{label}/p{q}/{name}"] = hist.percentile(q)
+        return logs
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {}
+        for name, hist in self._hists.items():
+            if hist.bin_edges is not None:
+                out[f"counts-{name}"] = hist.counts
+                out[f"bin_edges-{name}"] = hist.bin_edges
+        return out
+
+
+class GlobalMeanAnnualAggregator:
+    """Area-weighted global means grouped by calendar year
+    (reference: fme/ace/aggregator/inference/annual.py:169).
+    """
+
+    def __init__(self, ops: GriddedOperations):
+        self._ops = ops
+        self._sums: dict[str, dict[int, float]] = {}
+        self._counts: dict[str, dict[int, int]] = {}
+
+    def record_batch(self, gen: TensorMapping, time: TimeCoord,
+                     target=None):
+        years = time.components()["year"]  # [batch, n_time]
+        for name, value in gen.items():
+            gm = np.asarray(
+                self._ops.area_weighted_mean(value, name=name)
+            )  # [batch, n_time]
+            sums = self._sums.setdefault(name, {})
+            counts = self._counts.setdefault(name, {})
+            for year in np.unique(years):
+                mask = years == year
+                sums[int(year)] = sums.get(int(year), 0.0) + float(
+                    gm[mask].sum()
+                )
+                counts[int(year)] = counts.get(int(year), 0) + int(
+                    mask.sum()
+                )
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {}
+        for name, sums in self._sums.items():
+            years = sorted(sums)
+            out[f"annual_mean-{name}"] = np.asarray(
+                [sums[y] / self._counts[name][y] for y in years]
+            )
+            out[f"annual_mean_years-{name}"] = np.asarray(years)
+        return out
+
+    def get_logs(self, label: str = "annual") -> dict[str, float]:
+        logs = {}
+        for name, sums in self._sums.items():
+            years = sorted(sums)
+            if years:
+                last = years[-1]
+                logs[f"{label}/mean/{name}"] = float(
+                    np.mean([
+                        sums[y] / self._counts[name][y] for y in years
+                    ])
+                )
+        return logs

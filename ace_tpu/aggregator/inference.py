@@ -200,6 +200,8 @@ class InferenceAggregatorConfig:
     log_global_mean_time_series: bool = True
     log_zonal_mean_images: bool = True
     log_spectra: bool = True
+    log_histograms: bool = False
+    log_annual_means: bool = True
 
     def build(self, dataset_info, n_timesteps: int,
               record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
@@ -230,19 +232,34 @@ class InferenceEvaluatorAggregator:
             self._aggregators["spectrum"] = SpectrumAggregator(
                 nlat, nlon, grid
             )
+        if config.log_histograms:
+            from ace_tpu.aggregator.histogram import HistogramAggregator
+
+            self._aggregators["histogram"] = HistogramAggregator()
+        self._annual = None
+        if config.log_annual_means:
+            from ace_tpu.aggregator.histogram import (
+                GlobalMeanAnnualAggregator,
+            )
+
+            self._annual = GlobalMeanAnnualAggregator(ops)
         self._n_steps = 0
 
     def record_batch(self, gen: TensorMapping,
-                     target: TensorMapping | None = None):
+                     target: TensorMapping | None = None, time=None):
         self._n_steps += next(iter(gen.values())).shape[1]
         for agg in self._aggregators.values():
             agg.record_batch(gen, target)
+        if self._annual is not None and time is not None:
+            self._annual.record_batch(gen, time, target)
 
     def get_logs(self) -> dict[str, float]:
         logs: dict[str, float] = {"n_forward_steps": self._n_steps}
         for label, agg in self._aggregators.items():
             if hasattr(agg, "get_logs"):
                 logs.update(agg.get_logs(label))
+        if self._annual is not None:
+            logs.update(self._annual.get_logs("annual"))
         return logs
 
     def flush_diagnostics(self, output_dir: str):
@@ -254,7 +271,10 @@ class InferenceEvaluatorAggregator:
         from ace_tpu.data.store import write_h5
 
         os.makedirs(output_dir, exist_ok=True)
-        for label, agg in self._aggregators.items():
+        items = dict(self._aggregators)
+        if self._annual is not None:
+            items["annual"] = self._annual
+        for label, agg in items.items():
             if not hasattr(agg, "get_diagnostics"):
                 continue
             diags = agg.get_diagnostics()

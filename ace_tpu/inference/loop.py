@@ -82,7 +82,7 @@ def run_inference(
                     target = {
                         k_: v[:, 1:] for k_, v in target_window.data.items()
                     }
-                aggregator.record_batch(outputs, target)
+                aggregator.record_batch(outputs, target, time=out_time)
         n_steps_done += out_time.values.shape[1]
         logging.info(
             f"window {k}: {n_steps_done}/{forcing_data.n_forward_steps} "

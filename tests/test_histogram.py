@@ -1,0 +1,61 @@
+"""Histogram + annual aggregator tests (reference: fme/core/test_histogram.py)."""
+
+import numpy as np
+
+from ace_tpu.aggregator.histogram import (
+    DynamicHistogram,
+    GlobalMeanAnnualAggregator,
+    HistogramAggregator,
+)
+from ace_tpu.core.gridded_ops import LatLonOperations
+from ace_tpu.core.metrics import spherical_area_weights
+from ace_tpu.data.time import TimeCoord
+
+
+def test_dynamic_histogram_range_doubling():
+    hist = DynamicHistogram(n_bins=100)
+    hist.add(np.random.RandomState(0).uniform(0, 1, 1000))
+    edges0 = (hist.bin_edges[0], hist.bin_edges[-1])
+    hist.add(np.asarray([5.0]))  # out of range -> doubles right
+    assert hist.bin_edges[-1] >= 5.0
+    assert hist.counts.sum() == 1001
+    hist.add(np.asarray([-7.0]))  # doubles left
+    assert hist.bin_edges[0] <= -7.0
+    assert hist.counts.sum() == 1002
+
+
+def test_dynamic_histogram_percentile():
+    hist = DynamicHistogram(n_bins=200)
+    hist.add(np.linspace(0, 100, 10001))
+    p50 = hist.percentile(50)
+    assert abs(p50 - 50.0) < 2.0
+
+
+def test_histogram_aggregator_logs():
+    agg = HistogramAggregator(percentiles=[50.0])
+    agg.record_batch({"t": np.random.RandomState(0).randn(2, 3, 4, 5)})
+    logs = agg.get_logs()
+    assert "histogram/p50.0/t" in logs
+    assert np.isfinite(logs["histogram/p50.0/t"])
+
+
+def test_annual_aggregator_groups_by_year():
+    nlat, nlon = 4, 8
+    ops = LatLonOperations(
+        spherical_area_weights(np.linspace(-60, 60, nlat), nlon)
+    )
+    agg = GlobalMeanAnnualAggregator(ops)
+    # 8 steps spanning a year boundary (1-day steps from Dec 29)
+    time = TimeCoord.from_range("2000-12-29", 8, 86400)
+    time = TimeCoord(time.values[None, :], time.calendar)  # [1, 8]
+    data = {"t": np.ones((1, 8, nlat, nlon), np.float32)}
+    data["t"][:, 4:] = 3.0  # Jan 2 2001 onward... boundary at step 3
+    agg.record_batch(data, time)
+    diags = agg.get_diagnostics()
+    years = diags["annual_mean_years-t"]
+    assert list(years) == [2000, 2001]
+    means = diags["annual_mean-t"]
+    # 2000 covers steps 0-2 (Dec 29-31) => all 1.0
+    assert abs(means[0] - 1.0) < 1e-6
+    # 2001 covers steps 3-7 (Jan 1-5): values [1, 3, 3, 3, 3] => 2.6
+    assert abs(means[1] - 2.6) < 1e-6
