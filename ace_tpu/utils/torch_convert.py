@@ -1,0 +1,219 @@
+"""Convert reference (torch fme) SFNO checkpoints to ace_tpu flax params
+(reference checkpoint layout: fme/ace/stepper/single_module.py:1337
+get_state — {"stepper": {"config", "dataset_info", "step": {"module"}}};
+module param naming from fme/ace/models/modulus/sfnonet.py).
+
+Layout conversions (torch channels-first -> flax channels-last):
+- Conv2d 1x1 weight [O, I, 1, 1]  -> Dense kernel [I, O]
+- pos_embed [1, C, H, W]          -> [1, H, W, C]
+- InstanceNorm weight/bias [C]    -> scale/bias [C]
+- SpectralConvS2 weight [I, O, L(, M), 2] -> identical layout
+- filter bias [1, O, 1, 1]        -> [O]
+"""
+
+import re
+from typing import Any, Mapping
+
+import numpy as np
+
+
+def _conv1x1_to_dense(w: np.ndarray) -> np.ndarray:
+    return np.transpose(w[..., 0, 0], (1, 0))
+
+
+def _dense_to_conv1x1(k: np.ndarray) -> np.ndarray:
+    return np.transpose(k, (1, 0))[..., None, None]
+
+
+def torch_sfno_to_flax(
+    torch_state: Mapping[str, Any], num_layers: int, encoder_layers: int = 1
+) -> dict:
+    """Map a modulus-SFNO torch state_dict to the ace_tpu flax param tree.
+
+    Accepts numpy arrays or torch tensors as values.
+    """
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    params: dict = {}
+
+    def put(path: str, value):
+        node = params
+        parts = path.split("/")
+        for p in parts[:-1]:
+            node = node.setdefault(p, {})
+        node[parts[-1]] = value
+
+    # encoder: Sequential(conv+act)*n + final conv (bias=False)
+    for i in range(encoder_layers):
+        put(f"encoder_{i}/kernel", _conv1x1_to_dense(arr(f"encoder.{2*i}.weight")))
+        put(f"encoder_{i}/bias", arr(f"encoder.{2*i}.bias"))
+    put("encoder_out/kernel",
+        _conv1x1_to_dense(arr(f"encoder.{2*encoder_layers}.weight")))
+
+    if "pos_embed" in torch_state:
+        put("pos_embed", np.transpose(arr("pos_embed"), (0, 2, 3, 1)))
+
+    for i in range(num_layers):
+        b = f"blocks.{i}"
+        put(f"block_{i}/norm0/scale", arr(f"{b}.norm0.weight"))
+        put(f"block_{i}/norm0/bias", arr(f"{b}.norm0.bias"))
+        put(f"block_{i}/norm1/scale", arr(f"{b}.norm1.weight"))
+        put(f"block_{i}/norm1/bias", arr(f"{b}.norm1.bias"))
+        put(f"block_{i}/filter/weight", arr(f"{b}.filter.filter.weight"))
+        if f"{b}.filter.filter.bias" in torch_state:
+            put(f"block_{i}/filter/bias",
+                arr(f"{b}.filter.filter.bias").reshape(-1))
+        if f"{b}.inner_skip.weight" in torch_state:
+            put(f"block_{i}/inner_skip/kernel",
+                _conv1x1_to_dense(arr(f"{b}.inner_skip.weight")))
+            put(f"block_{i}/inner_skip/bias", arr(f"{b}.inner_skip.bias"))
+        if f"{b}.mlp.fwd.0.weight" in torch_state:
+            put(f"block_{i}/mlp/fc1/kernel",
+                _conv1x1_to_dense(arr(f"{b}.mlp.fwd.0.weight")))
+            put(f"block_{i}/mlp/fc1/bias", arr(f"{b}.mlp.fwd.0.bias"))
+            put(f"block_{i}/mlp/fc2/kernel",
+                _conv1x1_to_dense(arr(f"{b}.mlp.fwd.2.weight")))
+            if f"{b}.mlp.fwd.2.bias" in torch_state:
+                put(f"block_{i}/mlp/fc2/bias", arr(f"{b}.mlp.fwd.2.bias"))
+
+    for i in range(encoder_layers):
+        put(f"decoder_{i}/kernel", _conv1x1_to_dense(arr(f"decoder.{2*i}.weight")))
+        put(f"decoder_{i}/bias", arr(f"decoder.{2*i}.bias"))
+    put("decoder_out/kernel",
+        _conv1x1_to_dense(arr(f"decoder.{2*encoder_layers}.weight")))
+
+    return {"params": params}
+
+
+def flax_sfno_to_torch(flax_params: Mapping[str, Any]) -> dict[str, np.ndarray]:
+    """Inverse mapping (for round-trip validation and export)."""
+    import jax
+
+    flat = jax.tree_util.tree_flatten_with_path(flax_params)[0]
+    out: dict[str, np.ndarray] = {}
+    for path, leaf in flat:
+        name = "/".join(str(k.key) for k in path)
+        name = name.removeprefix("params/")
+        leaf = np.asarray(leaf)
+        m = re.match(r"encoder_(\d+)/(kernel|bias)", name)
+        if m:
+            i, kind = int(m.group(1)), m.group(2)
+            key = f"encoder.{2*i}." + ("weight" if kind == "kernel" else "bias")
+            out[key] = _dense_to_conv1x1(leaf) if kind == "kernel" else leaf
+            continue
+        if name == "encoder_out/kernel":
+            # final encoder conv index = 2 * n_encoder_layers; resolved later
+            out["__encoder_out__"] = _dense_to_conv1x1(leaf)
+            continue
+        if name == "pos_embed":
+            out["pos_embed"] = np.transpose(leaf, (0, 3, 1, 2))
+            continue
+        m = re.match(r"block_(\d+)/(.*)", name)
+        if m:
+            i, rest = int(m.group(1)), m.group(2)
+            b = f"blocks.{i}"
+            mapping = {
+                "norm0/scale": f"{b}.norm0.weight",
+                "norm0/bias": f"{b}.norm0.bias",
+                "norm1/scale": f"{b}.norm1.weight",
+                "norm1/bias": f"{b}.norm1.bias",
+                "filter/weight": f"{b}.filter.filter.weight",
+            }
+            if rest in mapping:
+                out[mapping[rest]] = leaf
+            elif rest == "filter/bias":
+                out[f"{b}.filter.filter.bias"] = leaf.reshape(1, -1, 1, 1)
+            elif rest == "inner_skip/kernel":
+                out[f"{b}.inner_skip.weight"] = _dense_to_conv1x1(leaf)
+            elif rest == "inner_skip/bias":
+                out[f"{b}.inner_skip.bias"] = leaf
+            elif rest == "mlp/fc1/kernel":
+                out[f"{b}.mlp.fwd.0.weight"] = _dense_to_conv1x1(leaf)
+            elif rest == "mlp/fc1/bias":
+                out[f"{b}.mlp.fwd.0.bias"] = leaf
+            elif rest == "mlp/fc2/kernel":
+                out[f"{b}.mlp.fwd.2.weight"] = _dense_to_conv1x1(leaf)
+            elif rest == "mlp/fc2/bias":
+                out[f"{b}.mlp.fwd.2.bias"] = leaf
+            continue
+        m = re.match(r"decoder_(\d+)/(kernel|bias)", name)
+        if m:
+            i, kind = int(m.group(1)), m.group(2)
+            key = f"decoder.{2*i}." + ("weight" if kind == "kernel" else "bias")
+            out[key] = _dense_to_conv1x1(leaf) if kind == "kernel" else leaf
+            continue
+        if name == "decoder_out/kernel":
+            out["__decoder_out__"] = _dense_to_conv1x1(leaf)
+            continue
+        raise KeyError(f"unmapped flax param {name}")
+    # resolve final conv indices (encoder_layers inferred from keys)
+    n_enc = 1 + max(
+        (int(re.match(r"encoder\.(\d+)\.weight", k).group(1)) // 2
+         for k in out if re.match(r"encoder\.\d+\.weight", k)),
+        default=-1,
+    )
+    if "__encoder_out__" in out:
+        out[f"encoder.{2*n_enc}.weight"] = out.pop("__encoder_out__")
+    if "__decoder_out__" in out:
+        out[f"decoder.{2*n_enc}.weight"] = out.pop("__decoder_out__")
+    return out
+
+
+def convert_reference_checkpoint(path: str, output_path: str):
+    """Convert a reference training/inference checkpoint (.tar via
+    torch.load) to an ace_tpu stepper checkpoint (msgpack).
+
+    Handles the modern layout {"stepper": {"config", "dataset_info",
+    "step": {"module": ...}}} with single_module steps and SFNO builders.
+    """
+    import torch
+
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.core.dataset_info import DatasetInfo
+    from ace_tpu.core.step.base import StepSelector
+    from ace_tpu.stepper.checkpoint import save_stepper
+    from ace_tpu.stepper.stepper import StepperConfig
+
+    ckpt = torch.load(path, map_location="cpu", weights_only=False)
+    stepper_state = ckpt["stepper"] if "stepper" in ckpt else ckpt
+    config_state = stepper_state["config"]
+    step_cfg = config_state["step"]
+    builder = step_cfg["config"]["builder"]
+    module_cfg = dict(builder.get("config", {}))
+    num_layers = module_cfg.get("num_layers", 12)
+    encoder_layers = module_cfg.get("encoder_layers", 1)
+
+    # rebuild dataset info from the reference serialization
+    ds_state = stepper_state["dataset_info"]
+    info_state: dict = {}
+    if "horizontal_coordinates" in ds_state:
+        info_state["horizontal_coordinates"] = ds_state["horizontal_coordinates"]
+    if "vertical_coordinate" in ds_state:
+        vc = ds_state["vertical_coordinate"]
+        info_state["vertical_coordinate"] = {
+            "type": "hybrid_sigma_pressure",
+            "data": {
+                "ak": np.asarray(vc["ak"]).tolist(),
+                "bk": np.asarray(vc["bk"]).tolist(),
+            },
+        }
+    if "timestep" in ds_state:
+        info_state["timestep_seconds"] = float(ds_state["timestep"])
+    dataset_info = DatasetInfo.from_state(info_state)
+
+    module_state = stepper_state["step"]["module"]
+    flax_params = torch_sfno_to_flax(
+        module_state, num_layers=num_layers, encoder_layers=encoder_layers
+    )
+
+    stepper_config = StepperConfig(
+        step=StepSelector(type=step_cfg["type"], config=step_cfg["config"])
+    )
+    stepper = stepper_config.get_stepper(dataset_info)
+    stepper.params = flax_params
+    save_stepper(output_path, stepper, stepper_config)
+    return output_path
