@@ -411,3 +411,76 @@ class SwinTransformerBuilder(ModuleConfig):
             mlp_ratio=self.mlp_ratio,
             dtype=jnp.dtype(self.compute_dtype),
         )
+
+
+class LandNetModule(nn.Module):
+    """Per-column MLP land-surface net with optional learned positional
+    embedding (reference: fme/ace/models/land/land_net.py via
+    fme/ace/registry/land_net.py:9).
+    """
+
+    img_shape: tuple[int, int]
+    hidden_dims: tuple[int, ...]
+    out_channels: int
+    use_positional_embedding: bool = False
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if self.use_positional_embedding:
+            pe = self.param(
+                "pos_embed",
+                nn.initializers.truncated_normal(0.02),
+                (1, *self.img_shape, 8),
+                jnp.float32,
+            )
+            x = jnp.concatenate(
+                [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:]))],
+                axis=-1,
+            )
+        for i, dim in enumerate(self.hidden_dims):
+            x = nn.gelu(nn.Dense(dim, name=f"hidden_{i}")(x))
+        return nn.Dense(self.out_channels, name="out")(x)
+
+
+@ModuleSelector.register("LandNet")
+@dataclasses.dataclass
+class LandNetBuilder(ModuleConfig):
+    """(reference: fme/ace/registry/land_net.py:9)."""
+
+    hidden_dims: list[int] = dataclasses.field(
+        default_factory=lambda: [64, 64]
+    )
+    network_type: str = "MLP"
+    use_positional_embedding: bool = False
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        if self.network_type != "MLP":
+            raise ValueError("network_type must be MLP")
+        return LandNetModule(
+            img_shape=dataset_info.img_shape,
+            hidden_dims=tuple(self.hidden_dims),
+            out_channels=n_out_channels,
+            use_positional_embedding=self.use_positional_embedding,
+        )
+
+
+@ModuleSelector.register("LocalNet")
+@dataclasses.dataclass
+class LocalNetBuilder(ModuleConfig):
+    """Local (pointwise) conditional net (reference:
+    fme/ace/registry/local_net.py:47; the DISCO-convolution block variant
+    lands with the DISCO kernel in a later round — conv1x1 blocks only).
+    """
+
+    embed_dim: int = 256
+    num_blocks: int = 6
+    activation_function: str = "gelu"
+    pos_embed: bool = True
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        return LandNetModule(
+            img_shape=dataset_info.img_shape,
+            hidden_dims=tuple([self.embed_dim] * self.num_blocks),
+            out_channels=n_out_channels,
+            use_positional_embedding=self.pos_embed,
+        )
