@@ -122,6 +122,9 @@ class TrainConfig:
     log_train_every_n_batches: int = 10
     checkpoint_save_epochs: Slice | None = None
     inference: InlineInferenceConfig | None = None
+    # save a restart checkpoint every N batches within an epoch (0 = off)
+    # (reference: trainer.py mid-epoch restart checkpoints :544-556)
+    checkpoint_every_n_batches: int = 0
     seed: int = 0
 
     @property
@@ -180,6 +183,8 @@ class Trainer:
         self._train_step = train_stepper.build_train_step(donate=False)
         self._valid_step = train_stepper.build_valid_step()
         self._rng = jax.random.PRNGKey(config.seed)
+        self._old_handlers: dict = {}
+        self._current_epoch = 0
 
     @property
     def stepper(self):
@@ -188,6 +193,50 @@ class Trainer:
     def _next_rng(self):
         self._rng, sub = jax.random.split(self._rng)
         return sub
+
+    def _install_signal_handlers(self):
+        """SIGTERM/SIGINT -> save a restart checkpoint then re-raise
+        (reference: fme/core/distributed/shutdown.py preemption handling +
+        post-shutdown restart save, generics/trainer.py:322-345).
+        """
+        import signal
+
+        def handler(signum, frame):
+            logging.warning(
+                f"received signal {signum}; saving restart checkpoint"
+            )
+            self._save_latest()
+            # exit cleanly with the conventional 128+signum code; the saved
+            # checkpoint makes the next launch resume mid-run
+            raise SystemExit(128 + signum)
+
+        for sig in (signal.SIGTERM, signal.SIGINT):
+            self._old_handlers[sig] = signal.signal(sig, handler)
+
+    def _restore_signal_handlers(self):
+        import signal
+
+        for sig, old in self._old_handlers.items():
+            signal.signal(sig, old)
+        self._old_handlers = {}
+
+    def _save_latest(self):
+        if self.params is None:
+            return
+        stepper = self.stepper
+        stepper.params = self.params
+        save_train_checkpoint(
+            self.paths.latest_checkpoint_path, stepper, self.config.stepper,
+            opt_state=self.opt_state,
+            ema_params=self.train_stepper.ema.ema_params
+            if self.train_stepper.ema
+            else None,
+            extra={
+                "epoch": self._current_epoch,
+                "num_batches_seen": self.num_batches_seen,
+                "best_validation_loss": self.best_validation_loss,
+            },
+        )
 
     def train(self):
         if self.params is None:
@@ -198,7 +247,9 @@ class Trainer:
                     self._next_rng()
                 )
         timer = GlobalTimer.get_instance()
+        self._install_signal_handlers()
         for epoch in range(self.start_epoch, self.config.max_epochs):
+            self._current_epoch = epoch
             logging.info(f"Epoch {epoch} starting")
             with timer.context("train_one_epoch"):
                 train_metrics = self.train_one_epoch(epoch)
@@ -237,6 +288,7 @@ class Trainer:
                         stepper, self.config.stepper,
                     )
                     stepper.params = self.params
+        self._restore_signal_handlers()
         return self.params
 
     def train_one_epoch(self, epoch: int) -> dict[str, float]:
@@ -262,6 +314,11 @@ class Trainer:
                     {"train_batch/loss": float(metrics["loss"])},
                     step=self.num_batches_seen,
                 )
+            if (
+                self.config.checkpoint_every_n_batches > 0
+                and count % self.config.checkpoint_every_n_batches == 0
+            ):
+                self._save_latest()
         return {k: v / max(count, 1) for k, v in totals.items()}
 
     def _validation_params(self):

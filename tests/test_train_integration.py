@@ -153,3 +153,40 @@ def test_inline_inference_selects_best_checkpoint(tmp_path):
     assert any(
         k.startswith("inference/") for r in records for k in r
     )
+
+
+def test_preemption_signal_saves_checkpoint(tmp_path):
+    """SIGTERM mid-training saves a resumable checkpoint
+    (reference model: fme/core/distributed/test_shutdown.py).
+    """
+    import signal
+    import threading
+
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.train.trainer import TrainConfig
+
+    config = from_dict(TrainConfig, cfg)
+    trainer = config.build_trainer()
+    trainer.params, trainer.opt_state = trainer.train_stepper.init(
+        trainer._next_rng()
+    )
+    trainer._install_signal_handlers()
+    try:
+        # deliver SIGTERM to ourselves; handler saves then exits cleanly
+        try:
+            signal.raise_signal(signal.SIGTERM)
+            raised = False
+        except SystemExit as e:
+            raised = True
+            assert e.code == 128 + signal.SIGTERM
+        assert raised
+    finally:
+        trainer._restore_signal_handlers()
+    ckpt = trainer.paths.latest_checkpoint_path
+    assert os.path.exists(ckpt)
+    # and it resumes
+    trainer2 = config.build_trainer()
+    trainer2.restore(ckpt)
+    assert trainer2.params is not None
