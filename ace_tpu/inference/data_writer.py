@@ -202,23 +202,179 @@ def save_restart(path: str, prognostic_data: TensorMapping, time: TimeCoord,
              attrs={"time": {"units": units, "calendar": calendar}})
 
 
+class _MultiWriter:
+    def __init__(self, writers):
+        self._writers = writers
+
+    def append_batch(self, data, time):
+        for w in self._writers:
+            w.append_batch(data, time)
+
+    def flush(self):
+        for w in self._writers:
+            w.flush()
+
+    def close(self):
+        for w in self._writers:
+            w.close()
+
+
 @dataclasses.dataclass
 class DataWriterConfig:
     """(reference: fme/ace/inference/data_writer/main.py:37)."""
 
     save_prediction_files: bool = True
+    save_monthly_files: bool = False
     output_format: str = "netcdf"  # "netcdf" | "zarr"
     names: list[str] | None = None
+    time_coarsen_factor: int = 1
 
     def build(self, experiment_dir: str, dataset_info: DatasetInfo):
-        if not self.save_prediction_files:
-            return NullDataWriter()
-        if self.output_format == "zarr":
-            return ZarrDataWriter(
-                os.path.join(experiment_dir, "autoregressive_predictions.zarr"),
+        writers = []
+        if self.save_prediction_files:
+            if self.output_format == "zarr":
+                raw = ZarrDataWriter(
+                    os.path.join(
+                        experiment_dir, "autoregressive_predictions.zarr"
+                    ),
+                    dataset_info, self.names,
+                )
+            else:
+                raw = H5DataWriter(
+                    os.path.join(
+                        experiment_dir, "autoregressive_predictions.nc"
+                    ),
+                    dataset_info, self.names,
+                )
+            if self.time_coarsen_factor > 1:
+                raw = TimeCoarsenWriter(raw, self.time_coarsen_factor)
+            writers.append(raw)
+        if self.save_monthly_files:
+            writers.append(MonthlyMeanWriter(
+                os.path.join(experiment_dir, "monthly_mean_predictions.nc"),
                 dataset_info, self.names,
+            ))
+        if not writers:
+            return NullDataWriter()
+        if len(writers) == 1:
+            return writers[0]
+        return _MultiWriter(writers)
+
+
+class MonthlyMeanWriter:
+    """Streams batches into per-calendar-month means, written at close
+    (reference: fme/ace/inference/data_writer/monthly.py:89).
+    """
+
+    def __init__(self, path: str, dataset_info: DatasetInfo,
+                 names: list[str] | None = None):
+        self._path = path
+        self._info = dataset_info
+        self._names = names
+        self._sums: dict[str, dict[tuple[int, int], np.ndarray]] = {}
+        self._counts: dict[tuple[int, int], int] = {}
+
+    def append_batch(self, data: TensorMapping, time: TimeCoord):
+        comps = time.components()
+        years, months = comps["year"], comps["month"]
+        names = self._names or list(data.keys())
+        n_time = time.values.shape[-1]
+        for t in range(n_time):
+            key = (int(years[0, t] if years.ndim > 1 else years[t]),
+                   int(months[0, t] if months.ndim > 1 else months[t]))
+            self._counts[key] = self._counts.get(key, 0) + 1
+            for name in names:
+                if name not in data:
+                    continue
+                arr = np.asarray(data[name])[:, t]
+                sums = self._sums.setdefault(name, {})
+                if key in sums:
+                    sums[key] = sums[key] + arr
+                else:
+                    sums[key] = arr.copy()
+
+    def flush(self):
+        pass
+
+    def close(self):
+        from ace_tpu.data.store import write_h5
+        from ace_tpu.data.time import encode_time
+
+        keys = sorted(self._counts)
+        if not keys:
+            return
+        out_data, dims = {}, {}
+        for name, sums in self._sums.items():
+            stacked = np.stack(
+                [sums[k] / self._counts[k] for k in keys], axis=1
             )
-        return H5DataWriter(
-            os.path.join(experiment_dir, "autoregressive_predictions.nc"),
-            dataset_info, self.names,
+            out_data[name] = stacked.astype(np.float32)
+            dims[name] = ("sample", "month", "lat", "lon")[: stacked.ndim]
+        # month start times as the coordinate
+        micros = np.asarray([
+            int(encode_time(np.asarray([y]), m, 1)[0]) for y, m in keys
+        ])
+        out_data["valid_time"] = micros.astype(np.float64) / 1e6
+        dims["valid_time"] = ("month",)
+        out_data["counts"] = np.asarray(
+            [self._counts[k] for k in keys], np.int64
         )
+        dims["counts"] = ("month",)
+        coords = {
+            "lat": np.asarray(self._info.horizontal_coordinates.lat),
+            "lon": np.asarray(self._info.horizontal_coordinates.lon),
+        }
+        write_h5(self._path, out_data, dims, coords=coords)
+
+
+class TimeCoarsenWriter:
+    """Averages every ``coarsen_factor`` steps before delegating to an
+    inner writer (reference: data_writer/time_coarsen.py).
+    """
+
+    def __init__(self, writer, coarsen_factor: int):
+        if coarsen_factor < 1:
+            raise ValueError("coarsen_factor must be >= 1")
+        self._writer = writer
+        self._factor = coarsen_factor
+        self._buffer: list[tuple[dict, TimeCoord]] = []
+        self._buffered_steps = 0
+
+    def append_batch(self, data: TensorMapping, time: TimeCoord):
+        self._buffer.append((dict(data), time))
+        self._buffered_steps += time.values.shape[-1]
+        while self._buffered_steps >= self._factor:
+            self._emit_one()
+
+    def _concat_buffer(self):
+        names = self._buffer[0][0].keys()
+        data = {
+            k: np.concatenate(
+                [np.asarray(d[k]) for d, _ in self._buffer], axis=1
+            )
+            for k in names
+        }
+        times = np.concatenate(
+            [t.values for _, t in self._buffer], axis=-1
+        )
+        calendar = self._buffer[0][1].calendar
+        return data, TimeCoord(times, calendar)
+
+    def _emit_one(self):
+        data, time = self._concat_buffer()
+        f = self._factor
+        coarse = {k: v[:, :f].mean(axis=1, keepdims=True)
+                  for k, v in data.items()}
+        # representative time: last step of the window
+        t_out = TimeCoord(time.values[..., f - 1 : f], time.calendar)
+        self._writer.append_batch(coarse, t_out)
+        rest = {k: v[:, f:] for k, v in data.items()}
+        rest_time = TimeCoord(time.values[..., f:], time.calendar)
+        self._buffer = [(rest, rest_time)]
+        self._buffered_steps = rest_time.values.shape[-1]
+
+    def flush(self):
+        self._writer.flush()
+
+    def close(self):
+        self._writer.close()
