@@ -38,6 +38,35 @@ STATIC_DERIVED_METADATA = {
 
 
 @dataclasses.dataclass
+class OverwriteConfig:
+    """Overwrite field values at load time
+    (reference: fme/core/dataset/xarray.py:365 OverwriteConfig).
+
+    constant: {name: value} fills fields with a constant.
+    multiply_scalar: {name: factor} scales fields.
+    """
+
+    constant: dict[str, float] = dataclasses.field(default_factory=dict)
+    multiply_scalar: dict[str, float] = dataclasses.field(
+        default_factory=dict
+    )
+
+    def __post_init__(self):
+        overlap = set(self.constant) & set(self.multiply_scalar)
+        if overlap:
+            raise ValueError(
+                f"variables in both constant and multiply_scalar: {overlap}"
+            )
+
+    def apply(self, name: str, arr: np.ndarray) -> np.ndarray:
+        if name in self.constant:
+            return np.full_like(arr, self.constant[name])
+        if name in self.multiply_scalar:
+            return arr * self.multiply_scalar[name]
+        return arr
+
+
+@dataclasses.dataclass
 class XarrayDataConfig:
     """Dataset config with the reference's YAML surface
     (reference: fme/core/dataset/xarray.py:403).
@@ -61,6 +90,9 @@ class XarrayDataConfig:
     spatial_dimensions: str = "latlon"
     renamed_variables: dict[str, str] | None = None
     fill_nans: float | None = None
+    overwrite: OverwriteConfig = dataclasses.field(
+        default_factory=OverwriteConfig
+    )
 
     def build(self) -> "XarrayDataset":
         return XarrayDataset(self)
@@ -278,5 +310,85 @@ class XarrayDataset:
             arr = np.asarray(arr, dtype=np.float32)
             if self.config.fill_nans is not None:
                 arr = np.nan_to_num(arr, nan=self.config.fill_nans)
-            out[name] = arr
+            out[name] = self.config.overwrite.apply(name, arr)
         return out, self.all_time[start : start + n_timesteps]
+
+
+@dataclasses.dataclass
+class MergeDatasetConfig:
+    """Variable-wise merge of datasets sharing a time coordinate; the
+    first source containing a variable wins
+    (reference: fme/core/dataset/merged.py:308 MergeDatasetConfig).
+    """
+
+    merge: list[XarrayDataConfig]
+
+    def build(self) -> "MergedXarrayDataset":
+        return MergedXarrayDataset([cfg.build() for cfg in self.merge])
+
+
+class MergedXarrayDataset:
+    def __init__(self, datasets: list[XarrayDataset]):
+        if not datasets:
+            raise ValueError("merge list must be non-empty")
+        self._datasets = datasets
+        t0 = datasets[0].all_time
+        for ds in datasets[1:]:
+            if len(ds.all_time) != len(t0) or not np.array_equal(
+                ds.all_time.values, t0.values
+            ):
+                raise ValueError(
+                    "merged datasets must share the same time coordinate"
+                )
+        self.all_time = t0
+        self._source: dict[str, XarrayDataset] = {}
+        for ds in datasets:
+            for name in ds.names:
+                self._source.setdefault(name, ds)
+
+    @property
+    def names(self) -> list[str]:
+        return sorted(self._source)
+
+    @property
+    def n_times(self) -> int:
+        return len(self.all_time)
+
+    @property
+    def timestep(self):
+        return self._datasets[0].timestep
+
+    @property
+    def horizontal_coordinates(self):
+        return self._datasets[0].horizontal_coordinates
+
+    @property
+    def vertical_coordinate(self):
+        return self._datasets[0].vertical_coordinate
+
+    @property
+    def dataset_info(self) -> DatasetInfo:
+        info = self._datasets[0].dataset_info
+        metadata = dict(info.variable_metadata)
+        for ds in self._datasets[1:]:
+            for k, v in ds.variable_metadata.items():
+                metadata.setdefault(k, v)
+        return dataclasses.replace(info, variable_metadata=metadata)
+
+    def get_window(self, start: int, n_timesteps: int, names: list[str]):
+        out: dict[str, np.ndarray] = {}
+        time = None
+        by_source: dict[int, list[str]] = {}
+        for name in names:
+            if name not in self._source:
+                raise KeyError(
+                    f"variable {name!r} not in any merged dataset"
+                )
+            by_source.setdefault(id(self._source[name]), []).append(name)
+        for ds in self._datasets:
+            wanted = by_source.get(id(ds))
+            if not wanted:
+                continue
+            data, time = ds.get_window(start, n_timesteps, wanted)
+            out.update(data)
+        return out, time

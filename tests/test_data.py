@@ -146,3 +146,42 @@ def test_n_repeats(tmp_path):
     w1, t1 = ds.get_window(4, 2, ["var_a"])
     np.testing.assert_array_equal(w0["var_a"], w1["var_a"])
     assert t1.values[0] > t0.values[-1]
+
+
+def test_overwrite_config(tmp_path):
+    data = SyntheticData(tmp_path, NAMES, n_time=4)
+    cfg = from_dict(XarrayDataConfig, {
+        "data_path": str(data.data_dir),
+        "overwrite": {
+            "constant": {"var_a": 7.0},
+            "multiply_scalar": {"var_b": 2.0},
+        },
+    })
+    ds = cfg.build()
+    w, _ = ds.get_window(0, 2, ["var_a", "var_b"])
+    np.testing.assert_array_equal(w["var_a"], 7.0)
+    base = XarrayDataConfig(data_path=str(data.data_dir)).build()
+    w0, _ = base.get_window(0, 2, ["var_b"])
+    np.testing.assert_allclose(w["var_b"], 2.0 * w0["var_b"])
+
+
+def test_merged_dataset(tmp_path):
+    from ace_tpu.data.dataset import MergeDatasetConfig
+    from ace_tpu.testing import save_nd_file
+
+    d1 = tmp_path / "a"
+    d2 = tmp_path / "b"
+    d1.mkdir(); d2.mkdir()
+    save_nd_file(d1 / "x.nc", ["var_a", "shared"], n_time=4, seed=0)
+    save_nd_file(d2 / "y.nc", ["var_b", "shared"], n_time=4, seed=1)
+    merged = MergeDatasetConfig(merge=[
+        XarrayDataConfig(data_path=str(d1)),
+        XarrayDataConfig(data_path=str(d2)),
+    ]).build()
+    assert {"var_a", "var_b", "shared"} <= set(merged.names)
+    w, t = merged.get_window(1, 2, ["var_a", "var_b", "shared"])
+    assert w["var_a"].shape == (2, 8, 16)
+    # "shared" comes from the first source
+    first = XarrayDataConfig(data_path=str(d1)).build()
+    w1, _ = first.get_window(1, 2, ["shared"])
+    np.testing.assert_array_equal(w["shared"], w1["shared"])
