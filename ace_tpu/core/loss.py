@@ -13,6 +13,7 @@ energy score over SHT coefficients (reference: ensemble.py:4,47).
 import dataclasses
 from typing import Any, Callable, Literal, Mapping
 
+import jax
 import jax.numpy as jnp
 
 from ace_tpu.core.normalizer import StandardNormalizer
@@ -194,6 +195,62 @@ def _avg_pool2(x):
     return jnp.mean(x, axis=(-4, -2))
 
 
+@dataclasses.dataclass
+class SpectralWhiteningConfig:
+    """Per-sample spectral whitening of the energy score
+    (reference: fme/core/loss.py:519 SpectralWhiteningConfig).
+    """
+
+    kind: Literal["none", "per_sample"] = "none"
+    eps_frac: float | None = None
+    exponent: float | None = None
+
+    def build(self):
+        if self.kind == "none":
+            return None
+        return SpectralWhitening(
+            eps_frac=self.eps_frac if self.eps_frac is not None else 0.02,
+            exponent=self.exponent if self.exponent is not None else 0.5,
+        )
+
+
+class SpectralWhitening:
+    """Per-sample per-degree reweighting ``(1/amp_l)**exponent`` with
+    magnitude preservation (reference: fme/core/loss.py:455).
+
+    Operates on coefficients [B, 1(ens), L, M, C]; returns a factor
+    [B, L, 1, C] broadcast over order m.
+    """
+
+    def __init__(self, eps_frac: float = 0.02, exponent: float = 0.5):
+        self.eps_frac = eps_frac
+        self.exponent = exponent
+
+    def factor(self, y_hat):
+        yt = jax.lax.stop_gradient(y_hat)[:, 0]  # (B, L, M, C)
+        amp_mode = jnp.abs(yt)
+        n_l, n_m = yt.shape[-3], yt.shape[-2]
+        l_idx = jnp.arange(n_l)[:, None]
+        m_idx = jnp.arange(n_m)[None, :]
+        valid = (m_idx <= l_idx).astype(amp_mode.dtype)
+        redundancy = jnp.full((n_l, n_m), 2.0).at[:, 0].set(1.0)
+        w = (redundancy * valid)[..., None]  # (L, M, 1)
+        tiny = jnp.finfo(amp_mode.dtype).tiny
+        meanpow_l = jnp.sum(amp_mode**2 * w, axis=-2) / jnp.maximum(
+            jnp.sum(w, axis=-2), tiny
+        )  # (B, L, C)
+        amp_l = jnp.sqrt(meanpow_l)
+        mean_amp = jnp.mean(amp_l, axis=-2, keepdims=True)
+        f = 1.0 / jnp.maximum(amp_l, self.eps_frac * mean_amp)
+        if self.exponent != 1.0:
+            f = f**self.exponent
+        f_m = f[:, :, None, :]  # (B, L, 1, C), broadcast over m
+        num = jnp.sum(w * amp_mode, axis=(-3, -2), keepdims=True)
+        den = jnp.sum(w * f_m * amp_mode, axis=(-3, -2), keepdims=True)
+        alpha = num / (den + tiny)
+        return alpha * f_m  # (B, L, 1, C)
+
+
 class EnergyScoreLoss:
     """Energy score over SHT coefficients (reference: loss.py:577).
 
@@ -351,7 +408,20 @@ class LossConfig:
         elif self.type == "EnsembleLoss":
             if sht is None:
                 raise ValueError("EnsembleLoss requires an SHT transform")
-            main_loss = EnsembleLoss(sht=sht, **dict(self.kwargs))
+            kwargs = dict(self.kwargs)
+            whitening_cfg = kwargs.pop("energy_score_whitening", None)
+            whitening = None
+            if isinstance(whitening_cfg, dict):
+                from ace_tpu.core.config import from_dict as _fd
+
+                whitening = _fd(
+                    SpectralWhiteningConfig, whitening_cfg
+                ).build()
+            elif isinstance(whitening_cfg, SpectralWhiteningConfig):
+                whitening = whitening_cfg.build()
+            main_loss = EnsembleLoss(
+                sht=sht, energy_score_whitening=whitening, **kwargs
+            )
         elif self.type == "NaN":
             def main_loss(x, y):
                 return jnp.full(
