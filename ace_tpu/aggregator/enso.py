@@ -1,0 +1,120 @@
+"""ENSO (Nino3.4) and IPO index aggregators
+(reference: fme/ace/aggregator/inference/enso/ and IPO index aggregators).
+
+The Nino3.4 index is the regional-mean SST anomaly over 5S-5N, 170W-120W;
+the IPO (tripole) index combines three Pacific regions. Anomalies are
+relative to the aggregated time mean. When target data is present, the
+correlation between generated and target index series is reported.
+"""
+
+import numpy as np
+
+from ace_tpu.core.coordinates import LatLonCoordinates
+from ace_tpu.core.typing_ import TensorMapping
+
+NINO34 = dict(lat=(-5.0, 5.0), lon=(190.0, 240.0))  # 170W-120W
+IPO_REGIONS = [
+    dict(lat=(25.0, 45.0), lon=(140.0, 215.0), weight=-0.5),
+    dict(lat=(-10.0, 10.0), lon=(170.0, 270.0), weight=1.0),
+    dict(lat=(-50.0, -15.0), lon=(150.0, 200.0), weight=-0.5),
+]
+
+
+def _region_mask(coords: LatLonCoordinates, lat_bounds, lon_bounds):
+    lat = np.asarray(coords.lat)
+    lon = np.asarray(coords.lon) % 360.0
+    lat_in = (lat >= lat_bounds[0]) & (lat <= lat_bounds[1])
+    lo, hi = lon_bounds[0] % 360.0, lon_bounds[1] % 360.0
+    if lo <= hi:
+        lon_in = (lon >= lo) & (lon <= hi)
+    else:
+        lon_in = (lon >= lo) | (lon <= hi)
+    mask = lat_in[:, None] & lon_in[None, :]
+    weights = np.cos(np.deg2rad(lat))[:, None] * mask
+    return weights / max(weights.sum(), 1e-12)
+
+
+class EnsoIndexAggregator:
+    """Streams regional-mean SST; index = series - its own time mean
+    (reference: fme/ace/aggregator/inference/enso/index.py).
+    """
+
+    def __init__(self, coords: LatLonCoordinates,
+                 sst_name: str = "surface_temperature"):
+        self._weights = _region_mask(coords, **NINO34)
+        self._sst_name = sst_name
+        self._gen: list[np.ndarray] = []
+        self._target: list[np.ndarray] = []
+
+    def record_batch(self, gen: TensorMapping,
+                     target: TensorMapping | None = None, time=None):
+        if self._sst_name not in gen:
+            return
+        g = np.asarray(gen[self._sst_name])  # [B, T, H, W]
+        self._gen.append(np.tensordot(g, self._weights, axes=([-2, -1],
+                                                              [0, 1])))
+        if target is not None and self._sst_name in target:
+            t = np.asarray(target[self._sst_name])
+            self._target.append(
+                np.tensordot(t, self._weights, axes=([-2, -1], [0, 1]))
+            )
+
+    def _index(self, chunks):
+        series = np.concatenate(chunks, axis=-1)  # [B, T_total]
+        return series - series.mean(axis=-1, keepdims=True)
+
+    def get_logs(self, label: str = "enso") -> dict[str, float]:
+        if not self._gen:
+            return {}
+        logs = {}
+        gen_idx = self._index(self._gen)
+        logs[f"{label}/index_std"] = float(gen_idx.std())
+        if self._target:
+            tgt_idx = self._index(self._target)
+            n = min(gen_idx.shape[-1], tgt_idx.shape[-1])
+            g, t = gen_idx[..., :n].ravel(), tgt_idx[..., :n].ravel()
+            denom = g.std() * t.std()
+            if denom > 0:
+                logs[f"{label}/index_correlation"] = float(
+                    np.mean((g - g.mean()) * (t - t.mean())) / denom
+                )
+        return logs
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {}
+        if self._gen:
+            out["gen_index"] = self._index(self._gen)
+        if self._target:
+            out["target_index"] = self._index(self._target)
+        return out
+
+
+class IpoIndexAggregator:
+    """IPO tripole index from three Pacific SST regions
+    (reference: fme/ace/aggregator/inference IPO index).
+    """
+
+    def __init__(self, coords: LatLonCoordinates,
+                 sst_name: str = "surface_temperature"):
+        self._weights = [
+            (_region_mask(coords, r["lat"], r["lon"]), r["weight"])
+            for r in IPO_REGIONS
+        ]
+        self._sst_name = sst_name
+        self._gen: list[np.ndarray] = []
+
+    def record_batch(self, gen: TensorMapping, target=None, time=None):
+        if self._sst_name not in gen:
+            return
+        g = np.asarray(gen[self._sst_name])
+        idx = sum(
+            w * np.tensordot(g, mask, axes=([-2, -1], [0, 1]))
+            for mask, w in self._weights
+        )
+        self._gen.append(idx)
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        if not self._gen:
+            return {}
+        series = np.concatenate(self._gen, axis=-1)
+        return {"ipo_index": series - series.mean(axis=-1, keepdims=True)}

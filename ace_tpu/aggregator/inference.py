@@ -202,6 +202,9 @@ class InferenceAggregatorConfig:
     log_spectra: bool = True
     log_histograms: bool = False
     log_annual_means: bool = True
+    monthly_reference_data: str | None = None  # accepted for config parity
+    log_enso_index: bool = False
+    enso_sst_name: str = "surface_temperature"
 
     def build(self, dataset_info, n_timesteps: int,
               record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
@@ -236,6 +239,13 @@ class InferenceEvaluatorAggregator:
             from ace_tpu.aggregator.histogram import HistogramAggregator
 
             self._aggregators["histogram"] = HistogramAggregator()
+        if config.log_enso_index:
+            from ace_tpu.aggregator.enso import EnsoIndexAggregator
+
+            self._aggregators["enso"] = EnsoIndexAggregator(
+                dataset_info.horizontal_coordinates,
+                sst_name=config.enso_sst_name,
+            )
         self._annual = None
         if config.log_annual_means:
             from ace_tpu.aggregator.histogram import (
