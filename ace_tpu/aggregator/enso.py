@@ -20,7 +20,8 @@ IPO_REGIONS = [
 ]
 
 
-def _region_mask(coords: LatLonCoordinates, lat_bounds, lon_bounds):
+def _region_mask(coords: LatLonCoordinates, lat, lon):
+    lat_bounds, lon_bounds = lat, lon
     lat = np.asarray(coords.lat)
     lon = np.asarray(coords.lon) % 360.0
     lat_in = (lat >= lat_bounds[0]) & (lat <= lat_bounds[1])
