@@ -147,3 +147,53 @@ class ParameterInitializationConfig:
             else:
                 total = total + 0.5 * self.beta * jnp.sum(p**2)
         return total
+
+
+@dataclasses.dataclass
+class CopyWeightsConfig:
+    """Overwrite a wildcard-selected subset of weights from stored base
+    values after each optimizer step — frozen-parameter training on a
+    subset of weights (reference: fme/core/weight_ops.py:13
+    CopyWeightsConfig).
+
+    Exactly one of include/exclude selects the OVERWRITTEN (frozen) set.
+    """
+
+    include: list[str] | None = None
+    exclude: list[str] | None = None
+
+    def __post_init__(self):
+        if (self.include is None) == (self.exclude is None):
+            raise ValueError("provide exactly one of include or exclude")
+
+    def build(self, base_params) -> "CopyWeights":
+        return CopyWeights(self, base_params)
+
+
+class CopyWeights:
+    def __init__(self, config: CopyWeightsConfig, base_params):
+        self._base = base_params
+        self._mask = build_mask(
+            base_params, include=config.include, exclude=config.exclude
+        )
+
+    def apply(self, params):
+        """Return params with the selected subset reset to base values
+        (slice-overwrite for shape-mismatched leaves, reference:
+        weight_ops.py:135).
+        """
+        def merge(p, b, frozen):
+            if not frozen:
+                return p
+            p_arr, b_arr = np.asarray(p), np.asarray(b)
+            if p_arr.shape == b_arr.shape:
+                return jnp.asarray(b_arr)
+            out = p_arr.copy()
+            slices = tuple(
+                slice(0, min(ps, bs))
+                for ps, bs in zip(p_arr.shape, b_arr.shape)
+            )
+            out[slices] = b_arr[slices]
+            return jnp.asarray(out)
+
+        return jax.tree_util.tree_map(merge, params, self._base, self._mask)

@@ -108,3 +108,19 @@ def test_l2sp_regularizer():
     cfg2 = ParameterInitializationConfig(beta=2.0)
     penalty2 = float(cfg2.regularizer_loss(params, None))
     np.testing.assert_allclose(penalty2, expected, rtol=1e-6)
+
+
+def test_copy_weights_after_batch():
+    from ace_tpu.stepper.parameter_init import CopyWeightsConfig
+
+    base = _params()
+    copier = CopyWeightsConfig(include=["params/encoder/*"]).build(base)
+    trained = jax.tree_util.tree_map(lambda p: p + 5.0, base)
+    out = copier.apply(trained)
+    # encoder reset to base, decoder keeps training
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["encoder"]["kernel"]), 1.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out["params"]["decoder"]["kernel"]), 6.0
+    )
