@@ -205,6 +205,8 @@ class InferenceAggregatorConfig:
     monthly_reference_data: str | None = None  # accepted for config parity
     log_enso_index: bool = False
     enso_sst_name: str = "surface_temperature"
+    log_seasonal_means: bool = False
+    log_near_zero_fraction: bool = False
 
     def build(self, dataset_info, n_timesteps: int,
               record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
@@ -246,6 +248,19 @@ class InferenceEvaluatorAggregator:
                 dataset_info.horizontal_coordinates,
                 sst_name=config.enso_sst_name,
             )
+        if config.log_near_zero_fraction:
+            from ace_tpu.aggregator.seasonal import (
+                NearZeroFractionAggregator,
+            )
+
+            self._aggregators["near_zero_fraction"] = (
+                NearZeroFractionAggregator()
+            )
+        self._seasonal = None
+        if config.log_seasonal_means:
+            from ace_tpu.aggregator.seasonal import SeasonalAggregator
+
+            self._seasonal = SeasonalAggregator()
         self._annual = None
         if config.log_annual_means:
             from ace_tpu.aggregator.histogram import (
@@ -262,6 +277,8 @@ class InferenceEvaluatorAggregator:
             agg.record_batch(gen, target)
         if self._annual is not None and time is not None:
             self._annual.record_batch(gen, time, target)
+        if self._seasonal is not None and time is not None:
+            self._seasonal.record_batch(gen, time, target)
 
     def get_logs(self) -> dict[str, float]:
         logs: dict[str, float] = {"n_forward_steps": self._n_steps}
@@ -270,6 +287,8 @@ class InferenceEvaluatorAggregator:
                 logs.update(agg.get_logs(label))
         if self._annual is not None:
             logs.update(self._annual.get_logs("annual"))
+        if self._seasonal is not None:
+            logs.update(self._seasonal.get_logs("seasonal"))
         return logs
 
     def flush_diagnostics(self, output_dir: str):
@@ -284,6 +303,8 @@ class InferenceEvaluatorAggregator:
         items = dict(self._aggregators)
         if self._annual is not None:
             items["annual"] = self._annual
+        if self._seasonal is not None:
+            items["seasonal"] = self._seasonal
         for label, agg in items.items():
             if not hasattr(agg, "get_diagnostics"):
                 continue

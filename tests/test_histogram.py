@@ -59,3 +59,41 @@ def test_annual_aggregator_groups_by_year():
     assert abs(means[0] - 1.0) < 1e-6
     # 2001 covers steps 3-7 (Jan 1-5): values [1, 3, 3, 3, 3] => 2.6
     assert abs(means[1] - 2.6) < 1e-6
+
+
+def test_seasonal_aggregator():
+    from ace_tpu.aggregator.seasonal import SeasonalAggregator
+
+    agg = SeasonalAggregator()
+    # monthly steps over one year
+    time = TimeCoord.from_range("2000-01-15", 12, 30 * 86400)
+    # use actual month starts instead to keep months aligned
+    import numpy as _np
+
+    from ace_tpu.data.time import encode_time
+
+    micros = _np.asarray([
+        int(encode_time(_np.asarray([2000]), m, 15)[0]) for m in range(1, 13)
+    ])
+    time = TimeCoord(micros[None, :])
+    data = _np.arange(1, 13, dtype=_np.float32)[None, :, None, None] * _np.ones(
+        (1, 12, 2, 2), _np.float32
+    )
+    agg.record_batch({"t": data}, time)
+    diags = agg.get_diagnostics()
+    # JJA = months 6,7,8 -> mean 7
+    _np.testing.assert_allclose(diags["seasonal_mean-JJA-t"], 7.0)
+    # DJF = months 12,1,2 -> mean (12+1+2)/3 = 5
+    _np.testing.assert_allclose(diags["seasonal_mean-DJF-t"], 5.0)
+
+
+def test_near_zero_fraction():
+    from ace_tpu.aggregator.seasonal import NearZeroFractionAggregator
+
+    agg = NearZeroFractionAggregator(threshold=0.5)
+    data = _zeros = np.zeros((1, 2, 4, 4), np.float32)
+    data = data.copy()
+    data[..., :2] = 10.0
+    agg.record_batch({"p": data})
+    logs = agg.get_logs()
+    assert abs(logs["near_zero_fraction/p"] - 0.5) < 1e-6
