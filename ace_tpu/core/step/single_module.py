@@ -30,6 +30,7 @@ from ace_tpu.core.step.base import (
     StepperState,
     StepSelector,
 )
+from ace_tpu.core.step.global_mean_removal import GlobalMeanRemovalConfig
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.models.registry import ModuleSelector
 
@@ -51,6 +52,7 @@ def step_with_adjustments(
     residual_prediction: bool,
     prognostic_names: list[str],
     prescribed_prognostic_names: list[str],
+    global_mean_removal=None,
 ) -> StepOutput:
     """Shared step pipeline around the network call(s): normalize ->
     network -> denormalize -> corrector -> ocean -> prescribed overwrite
@@ -62,7 +64,16 @@ def step_with_adjustments(
     input_data = args.input
     next_step_input_data = args.next_step_input_data
 
-    input_norm = normalizer.normalize(dict(input_data))
+    gmr_state = None
+    if global_mean_removal is not None:
+        network_input, gmr_state = global_mean_removal.forward_transform(
+            input_data
+        )
+        input_norm = normalizer.normalize(dict(network_input))
+        # synthetic global-mean channels are already normalized
+        input_norm = {**input_norm, **gmr_state.extras}
+    else:
+        input_norm = normalizer.normalize(dict(input_data))
     output_norm = network_calls(input_norm, make_rngs(args.rng))
     if residual_prediction:
         # network output is added to the normalized input for prognostics
@@ -70,6 +81,8 @@ def step_with_adjustments(
         for name in prognostic_names:
             output_norm[name] = output_norm[name] + input_norm[name]
     output: TensorDict = normalizer.denormalize(output_norm)
+    if global_mean_removal is not None:
+        output = global_mean_removal.inverse_transform(output, gmr_state)
 
     stepper_state = dict(args.stepper_state)
     diagnostics: TensorDict = {}
@@ -132,8 +145,13 @@ class SingleModuleStepConfig(StepConfigABC):
         default_factory=list
     )
     residual_prediction: bool = False
+    global_mean_removal: GlobalMeanRemovalConfig | None = None
 
     def __post_init__(self):
+        if self.global_mean_removal is not None:
+            self.global_mean_removal.validate_names(
+                self.in_names, self.out_names
+            )
         for name in self.prescribed_prognostic_names:
             if name not in self.out_names:
                 raise ValueError(
@@ -190,18 +208,28 @@ class SingleModuleStep(StepABC):
                  dataset_info: DatasetInfo):
         self._config = config
         self._dataset_info = dataset_info
-        self.module = config.builder.build(
-            n_in_channels=len(config.in_names),
-            n_out_channels=len(config.out_names),
-            dataset_info=dataset_info,
-        )
-        self.in_packer = Packer(config.in_names)
-        self.out_packer = Packer(config.out_names)
         self.normalizer: StandardNormalizer = (
             config.normalization.build_network_normalizer(
                 config._normalize_names
             )
         )
+        self.global_mean_removal = (
+            config.global_mean_removal.build(self.normalizer)
+            if config.global_mean_removal is not None
+            else None
+        )
+        extra_names = (
+            self.global_mean_removal.extra_channel_names
+            if self.global_mean_removal is not None
+            else []
+        )
+        self.module = config.builder.build(
+            n_in_channels=len(config.in_names) + len(extra_names),
+            n_out_channels=len(config.out_names),
+            dataset_info=dataset_info,
+        )
+        self.in_packer = Packer(list(config.in_names) + extra_names)
+        self.out_packer = Packer(config.out_names)
         if config.ocean is not None:
             if dataset_info.timestep is None:
                 raise ValueError("ocean requires dataset_info.timestep")
@@ -233,7 +261,7 @@ class SingleModuleStep(StepABC):
         import jax.numpy as jnp
 
         nlat, nlon = self._dataset_info.img_shape
-        dummy = jnp.zeros((1, nlat, nlon, len(self._config.in_names)))
+        dummy = jnp.zeros((1, nlat, nlon, len(self.in_packer.names)))
         return self.module.init(rng, dummy)
 
     def init_stepper_state(self, input_data: TensorMapping) -> StepperState:
@@ -247,7 +275,7 @@ class SingleModuleStep(StepABC):
 
         def network_calls(input_norm, rngs):
             packed = self.in_packer.pack(
-                {k: input_norm[k] for k in config.in_names}
+                {k: input_norm[k] for k in self.in_packer.names}
             )
             out_packed = self.module.apply(
                 params, packed, deterministic=args.deterministic, rngs=rngs
@@ -263,6 +291,7 @@ class SingleModuleStep(StepABC):
             residual_prediction=config.residual_prediction,
             prognostic_names=self.prognostic_names,
             prescribed_prognostic_names=config.prescribed_prognostic_names,
+            global_mean_removal=self.global_mean_removal,
         )
 
     def get_state(self) -> dict[str, Any]:

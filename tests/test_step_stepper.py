@@ -277,3 +277,119 @@ def test_corrector_state_threads_through_rollout():
         assert abs(val - target) / abs(target) < 1e-5, (t, val, target)
     # final stepper state still carries the IC reference
     assert "corrector" in next_ic.stepper_state
+
+def test_global_mean_removal_per_channel():
+    cfg = _step_config(
+        global_mean_removal={"names": ["prog"], "mode": "per_channel"}
+    )
+    step = cfg.get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    # input with a large global-mean offset; offset must be removed
+    # before the network and restored after (reference semantics)
+    base = jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+    args = StepArgs(
+        input={
+            "prog": base + 100.0,
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    out = step.step(params, args)
+    args0 = StepArgs(
+        input={"prog": base, "forcing_var": args.input["forcing_var"]},
+        next_step_input_data=args.next_step_input_data,
+        stepper_state={},
+    )
+    out0 = step.step(params, args0)
+    # network saw identical shifted fields -> outputs differ only by the
+    # restored offset on the listed prognostic
+    np.testing.assert_allclose(
+        np.asarray(out.output["prog"]) - 100.0,
+        np.asarray(out0.output["prog"]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.output["diag"]),
+        np.asarray(out0.output["diag"]),
+        atol=1e-5,
+    )
+
+
+def test_global_mean_removal_append_as_input_channel_count():
+    cfg = _step_config(
+        global_mean_removal={
+            "names": ["prog"],
+            "mode": "per_channel",
+            "append_as_input": True,
+        }
+    )
+    step = cfg.get_step(_dataset_info())
+    assert step.in_packer.names == ["prog", "forcing_var", "prog_global_mean"]
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    args = StepArgs(
+        input={
+            "prog": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32) + 7.0,
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    out = step.step(params, args)
+    assert out.output["prog"].shape == (2, NLAT, NLON)
+
+
+def test_global_mean_removal_shared_mode():
+    cfg = _step_config(
+        global_mean_removal={
+            "names": ["prog", "diag"],
+            "mode": "shared",
+            "reference_field": "prog",
+        }
+    )
+    step = cfg.get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    base = jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+    shift = 50.0
+    args = StepArgs(
+        input={
+            "prog": base + shift,
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    out = step.step(params, args)
+    args0 = StepArgs(
+        input={"prog": base, "forcing_var": args.input["forcing_var"]},
+        next_step_input_data=args.next_step_input_data,
+        stepper_state={},
+    )
+    out0 = step.step(params, args0)
+    # shared offset restored on BOTH listed outputs
+    np.testing.assert_allclose(
+        np.asarray(out.output["prog"]) - shift,
+        np.asarray(out0.output["prog"]),
+        atol=1e-4,
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.output["diag"]) - shift,
+        np.asarray(out0.output["diag"]),
+        atol=1e-4,
+    )
+
+
+def test_global_mean_removal_validates_names():
+    import pytest
+
+    with pytest.raises(ValueError):
+        _step_config(global_mean_removal={"names": ["bogus"]})
