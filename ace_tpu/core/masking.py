@@ -86,39 +86,148 @@ class SpatialMaskProvider:
 
 
 @dataclasses.dataclass
-class VariableMaskingConfig:
-    """Training-time input channel dropout with batch-consistent masks
-    (reference: fme/core/var_masking.py — Bernoulli/uniform group masking;
-    tile-consistency is automatic here since masks are sampled once per
-    step, not per spatial shard).
-
-    mode "bernoulli": each listed name dropped independently with `rate`.
-    mode "uniform": a uniformly-sampled number (0..max_masked_vars) of the
-    listed names is dropped.
+class BernoulliMaskingConfig:
+    """All-or-nothing Bernoulli masking of a channel pool
+    (reference: fme/core/var_masking.py BernoulliMaskingConfig): one draw
+    per step drops the whole pool with probability ``rate``.
     """
 
-    names: list[str]
-    mode: str = "bernoulli"  # "bernoulli" | "uniform"
-    rate: float = 0.5
-    max_masked_vars: int = 1
-    fill_value: float = 0.0
+    rate: float
 
-    def apply(self, data: TensorMapping, rng: jax.Array) -> TensorDict:
-        """Zero (fill) dropped channels; pure function of rng."""
-        out = dict(data)
-        n = len(self.names)
-        if self.mode == "bernoulli":
-            drops = jax.random.bernoulli(rng, self.rate, (n,))
-        elif self.mode == "uniform":
-            k_count, k_perm = jax.random.split(rng)
-            n_drop = jax.random.randint(
-                k_count, (), 0, self.max_masked_vars + 1
+    def __post_init__(self):
+        if not 0.0 <= self.rate <= 1.0:
+            raise ValueError(f"masking rate must be in [0, 1]: {self.rate}")
+
+    def sample_drops(self, rng: jax.Array, n: int) -> jnp.ndarray:
+        fired = jax.random.bernoulli(rng, self.rate)
+        return jnp.broadcast_to(fired, (n,))
+
+
+@dataclasses.dataclass
+class UniformMaskingConfig:
+    """Drop k random channels, k uniform in [0, min(max_masked_vars, n)]
+    (reference: fme/core/var_masking.py UniformMaskingConfig).
+    """
+
+    max_masked_vars: int
+
+    def __post_init__(self):
+        if (
+            not isinstance(self.max_masked_vars, int)
+            or isinstance(self.max_masked_vars, bool)
+            or self.max_masked_vars < 0
+        ):
+            raise ValueError(
+                "max_masked_vars must be a non-negative int: "
+                f"{self.max_masked_vars!r}"
             )
-            order = jax.random.permutation(k_perm, n)
-            ranks = jnp.argsort(order)
-            drops = ranks < n_drop
-        else:
-            raise ValueError(f"unknown masking mode {self.mode!r}")
-        for i, name in enumerate(self.names):
-            out[name] = jnp.where(drops[i], self.fill_value, data[name])
-        return out
+
+    def sample_drops(self, rng: jax.Array, n: int) -> jnp.ndarray:
+        if n == 0:
+            return jnp.zeros((0,), bool)
+        k_count, k_perm = jax.random.split(rng)
+        max_n = min(self.max_masked_vars, n)
+        k = jax.random.randint(k_count, (), 0, max_n + 1)
+        ranks = jnp.argsort(jax.random.permutation(k_perm, n))
+        return ranks < k
+
+
+MaskingConfig = BernoulliMaskingConfig | UniformMaskingConfig
+
+
+@dataclasses.dataclass
+class MaskingGroupConfig:
+    """A named group of variables masked together by one scheme
+    (reference: fme/core/var_masking.py MaskingGroupConfig).
+    """
+
+    variables: list[str]
+    masking: MaskingConfig
+
+    def __post_init__(self):
+        if len(self.variables) == 0:
+            raise ValueError("masking group variables must be non-empty")
+
+
+@dataclasses.dataclass
+class VariableMaskingConfig:
+    """Synthetic training-time input variable masking
+    (reference: fme/core/var_masking.py VariableMaskingConfig).
+
+    Channels in an override group are governed solely by that group's
+    scheme; remaining channels by ``default`` (which defaults to masking
+    nothing). Pools are disjoint, so each group rate is exact. The mask is
+    broadcast across the batch: every sample drops the same channels.
+    """
+
+    default: MaskingConfig = dataclasses.field(
+        default_factory=lambda: UniformMaskingConfig(0)
+    )
+    override_groups: list[MaskingGroupConfig] = dataclasses.field(
+        default_factory=list
+    )
+
+    def __post_init__(self):
+        seen: set[str] = set()
+        for group in self.override_groups:
+            for name in group.variables:
+                if name in seen:
+                    raise ValueError(
+                        f"variable {name!r} in more than one masking group"
+                    )
+                seen.add(name)
+
+    def build(self, names: list[str]) -> "VariableMasking":
+        """Build for the packed channel ``names``; raises on any grouped
+        variable absent from ``names`` (typos fail loudly at build time).
+        """
+        valid = set(names)
+        unknown = [
+            name
+            for group in self.override_groups
+            for name in group.variables
+            if name not in valid
+        ]
+        if unknown:
+            raise ValueError(
+                f"masking group variable(s) {unknown} not in packed "
+                f"input channels {names}"
+            )
+        grouped = {
+            name for group in self.override_groups for name in group.variables
+        }
+        ungrouped = [name for name in names if name not in grouped]
+        pools: list[tuple[list[str], MaskingConfig]] = [
+            (ungrouped, self.default)
+        ]
+        pools += [(g.variables, g.masking) for g in self.override_groups]
+        return VariableMasking(names, pools)
+
+
+class VariableMasking:
+    """Runtime union of masking pools over a fixed channel list; pure
+    function of the step rng (the JAX analogue of the reference's private
+    CPU generator).
+    """
+
+    def __init__(self, names, pools):
+        self._names = list(names)
+        self._pools = pools
+
+    @property
+    def names(self) -> list[str]:
+        return self._names
+
+    def sample_presence(self, rng: jax.Array) -> jnp.ndarray:
+        """Per-channel presence (True = keep), aligned with ``names``."""
+        presence = jnp.ones((len(self._names),), bool)
+        keys = jax.random.split(rng, len(self._pools))
+        for key, (pool_names, scheme) in zip(keys, self._pools):
+            if not pool_names:
+                continue
+            drops = scheme.sample_drops(key, len(pool_names))
+            idx = jnp.asarray(
+                [self._names.index(n) for n in pool_names], jnp.int32
+            )
+            presence = presence.at[idx].set(~drops)
+        return presence

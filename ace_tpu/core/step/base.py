@@ -31,6 +31,9 @@ class StepArgs:
     stepper_state: StepperState
     rng: jax.Array | None = None
     deterministic: bool = True
+    # Per-variable [batch] bool presence masks for genuinely-absent inputs
+    # (reference: fme/core/step/args.py data_mask); None = all present.
+    data_mask: TensorMapping | None = None
 
 
 @dataclasses.dataclass

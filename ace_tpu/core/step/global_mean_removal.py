@@ -19,8 +19,21 @@ from ace_tpu.core.normalizer import StandardNormalizer
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
 
 
+_EXTRA_SUFFIX = "_global_mean"
+
+
 def extra_channel_name(name: str) -> str:
-    return f"{name}_global_mean"
+    return f"{name}{_EXTRA_SUFFIX}"
+
+
+def extra_channel_source_field(name: str) -> str | None:
+    """Source field of a GMR extra sentinel channel, or None if ``name``
+    is not a sentinel — sentinels share their source's data mask
+    (reference: single_module.py _build_channel_mask_dict).
+    """
+    if name.endswith(_EXTRA_SUFFIX):
+        return name[: -len(_EXTRA_SUFFIX)]
+    return None
 
 
 @dataclasses.dataclass

@@ -30,7 +30,11 @@ from ace_tpu.core.step.base import (
     StepperState,
     StepSelector,
 )
-from ace_tpu.core.step.global_mean_removal import GlobalMeanRemovalConfig
+from ace_tpu.core.masking import VariableMaskingConfig
+from ace_tpu.core.step.global_mean_removal import (
+    GlobalMeanRemovalConfig,
+    extra_channel_source_field,
+)
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.models.registry import ModuleSelector
 
@@ -41,6 +45,26 @@ def make_rngs(rng):
         return None
     k_drop, k_noise = jax.random.split(rng)
     return {"dropout": k_drop, "noise": k_noise}
+
+
+def apply_input_mask(input_norm: TensorDict, presence: TensorMapping):
+    """Zero masked channels of normalized inputs
+    (reference: single_module.py _apply_input_mask). ``presence`` maps a
+    channel name to a bool scalar (dropout, batch-shared) or a [batch]
+    vector (data_mask); absent keys are fully present.
+    """
+    import jax.numpy as jnp
+
+    result = dict(input_norm)
+    for name, mask in presence.items():
+        if name not in result:
+            continue
+        t = result[name]
+        m = jnp.asarray(mask)
+        if m.ndim > 0:  # [batch] -> broadcast over spatial dims
+            m = m.reshape(-1, *(1,) * (t.ndim - 1))
+        result[name] = jnp.where(m, t, 0.0)
+    return result
 
 
 def step_with_adjustments(
@@ -146,6 +170,8 @@ class SingleModuleStepConfig(StepConfigABC):
     )
     residual_prediction: bool = False
     global_mean_removal: GlobalMeanRemovalConfig | None = None
+    include_channel_mask_inputs: bool = False
+    input_dropout: VariableMaskingConfig | None = None
 
     def __post_init__(self):
         if self.global_mean_removal is not None:
@@ -223,12 +249,23 @@ class SingleModuleStep(StepABC):
             if self.global_mean_removal is not None
             else []
         )
+        packed_in_names = list(config.in_names) + extra_names
+        self.input_masking = (
+            config.input_dropout.build(packed_in_names)
+            if config.input_dropout is not None
+            else None
+        )
+        n_in_channels = len(packed_in_names)
+        if config.include_channel_mask_inputs:
+            # one presence channel per input channel (reference:
+            # single_module.py include_channel_mask_inputs)
+            n_in_channels *= 2
         self.module = config.builder.build(
-            n_in_channels=len(config.in_names) + len(extra_names),
+            n_in_channels=n_in_channels,
             n_out_channels=len(config.out_names),
             dataset_info=dataset_info,
         )
-        self.in_packer = Packer(list(config.in_names) + extra_names)
+        self.in_packer = Packer(packed_in_names)
         self.out_packer = Packer(config.out_names)
         if config.ocean is not None:
             if dataset_info.timestep is None:
@@ -261,7 +298,10 @@ class SingleModuleStep(StepABC):
         import jax.numpy as jnp
 
         nlat, nlon = self._dataset_info.img_shape
-        dummy = jnp.zeros((1, nlat, nlon, len(self.in_packer.names)))
+        n_in = len(self.in_packer.names)
+        if self._config.include_channel_mask_inputs:
+            n_in *= 2
+        dummy = jnp.zeros((1, nlat, nlon, n_in))
         return self.module.init(rng, dummy)
 
     def init_stepper_state(self, input_data: TensorMapping) -> StepperState:
@@ -271,12 +311,49 @@ class SingleModuleStep(StepABC):
         return state
 
     def step(self, params: Any, args: StepArgs) -> StepOutput:
+        import jax.numpy as jnp
+
         config = self._config
+        dropout_presence = self._draw_input_dropout_presence(args)
 
         def network_calls(input_norm, rngs):
+            if args.data_mask is not None:
+                # GMR extra sentinels share their source field's mask
+                data_presence = {}
+                for name in self.in_packer.names:
+                    source = extra_channel_source_field(name)
+                    lookup = source if source is not None else name
+                    if lookup in args.data_mask:
+                        data_presence[name] = args.data_mask[lookup]
+                input_norm = apply_input_mask(input_norm, data_presence)
+            if dropout_presence is not None:
+                input_norm = apply_input_mask(input_norm, dropout_presence)
             packed = self.in_packer.pack(
                 {k: input_norm[k] for k in self.in_packer.names}
             )
+            if config.include_channel_mask_inputs:
+                batch = packed.shape[0]
+                spatial = packed.shape[1:-1]
+                mask_dict = {}
+                for name in self.in_packer.names:
+                    source = extra_channel_source_field(name)
+                    lookup = source if source is not None else name
+                    real = jnp.ones((batch,), bool)
+                    if args.data_mask is not None and lookup in args.data_mask:
+                        real = jnp.asarray(args.data_mask[lookup], bool)
+                    if (
+                        dropout_presence is not None
+                        and name in dropout_presence
+                    ):
+                        real = real & dropout_presence[name]
+                    mask_dict[name] = jnp.broadcast_to(
+                        real.astype(packed.dtype).reshape(
+                            -1, *(1,) * len(spatial)
+                        ),
+                        (batch, *spatial),
+                    )
+                mask_packed = self.in_packer.pack(mask_dict)
+                packed = jnp.concatenate([packed, mask_packed], axis=-1)
             out_packed = self.module.apply(
                 params, packed, deterministic=args.deterministic, rngs=rngs
             )
@@ -293,6 +370,27 @@ class SingleModuleStep(StepABC):
             prescribed_prognostic_names=config.prescribed_prognostic_names,
             global_mean_removal=self.global_mean_removal,
         )
+
+    def _draw_input_dropout_presence(self, args: StepArgs):
+        """Per-channel presence dict for synthetic input dropout, or None.
+
+        Sampled fresh per step from a fold of the step rng; inert during
+        deterministic (eval/inference) steps (reference:
+        single_module.py:451 _draw_input_dropout_mask). The mask is shared
+        across the batch, as in the reference.
+        """
+        if (
+            self.input_masking is None
+            or args.deterministic
+            or args.rng is None
+        ):
+            return None
+        key = jax.random.fold_in(args.rng, 0x1D50)
+        presence = self.input_masking.sample_presence(key)
+        return {
+            name: presence[i]
+            for i, name in enumerate(self.in_packer.names)
+        }
 
     def get_state(self) -> dict[str, Any]:
         return {

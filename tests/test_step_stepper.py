@@ -393,3 +393,122 @@ def test_global_mean_removal_validates_names():
 
     with pytest.raises(ValueError):
         _step_config(global_mean_removal={"names": ["bogus"]})
+
+
+def test_input_dropout_training_only():
+    cfg = _step_config(
+        input_dropout={
+            "override_groups": [
+                {
+                    "variables": ["forcing_var"],
+                    "masking": {"rate": 1.0},
+                }
+            ]
+        }
+    )
+    step = cfg.get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    args_kw = dict(
+        input={
+            "prog": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    # training step (deterministic=False, rng given): forcing always dropped
+    out_train = step.step(
+        params,
+        StepArgs(
+            **args_kw, rng=jax.random.PRNGKey(1), deterministic=False
+        ),
+    )
+    # same input but forcing zeroed explicitly must match exactly
+    zeroed = dict(args_kw["input"])
+    zeroed["forcing_var"] = jnp.zeros_like(zeroed["forcing_var"])
+    out_zeroed = step.step(
+        params,
+        StepArgs(
+            input=zeroed,
+            next_step_input_data=args_kw["next_step_input_data"],
+            stepper_state={},
+            rng=jax.random.PRNGKey(1),
+            deterministic=False,
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out_train.output["prog"]),
+        np.asarray(out_zeroed.output["prog"]),
+        atol=1e-6,
+    )
+    # eval step: dropout inert, differs from the dropped result
+    out_eval = step.step(params, StepArgs(**args_kw))
+    assert not np.allclose(
+        np.asarray(out_eval.output["prog"]),
+        np.asarray(out_train.output["prog"]),
+    )
+
+
+def test_include_channel_mask_inputs():
+    cfg = _step_config(include_channel_mask_inputs=True)
+    step = cfg.get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    # Linear module saw 4 input channels (2 real + 2 mask)
+    kernel = jax.tree_util.tree_leaves(params)[0]
+    rng = np.random.RandomState(0)
+    args = StepArgs(
+        input={
+            "prog": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    out = step.step(params, args)
+    assert out.output["prog"].shape == (2, NLAT, NLON)
+
+
+def test_data_mask_zeroes_absent_inputs():
+    cfg = _step_config(include_channel_mask_inputs=True)
+    step = cfg.get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    inp = {
+        "prog": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+    }
+    nsf = {"forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)}
+    # sample 0 missing forcing_var; sample 1 has it
+    mask = {"forcing_var": jnp.asarray([False, True])}
+    out = step.step(
+        params,
+        StepArgs(
+            input=inp, next_step_input_data=nsf, stepper_state={},
+            data_mask=mask,
+        ),
+    )
+    # sample 0 must match a run with forcing zeroed AND mask channel 0
+    zeroed = dict(inp)
+    zeroed["forcing_var"] = jnp.zeros_like(inp["forcing_var"])
+    out_zeroed = step.step(
+        params,
+        StepArgs(
+            input=zeroed, next_step_input_data=nsf, stepper_state={},
+            data_mask={"forcing_var": jnp.asarray([False, False])},
+        ),
+    )
+    np.testing.assert_allclose(
+        np.asarray(out.output["prog"][0]),
+        np.asarray(out_zeroed.output["prog"][0]),
+        atol=1e-6,
+    )
+    # sample 1 differs (mask channel flips)
+    assert not np.allclose(
+        np.asarray(out.output["prog"][1]),
+        np.asarray(out_zeroed.output["prog"][1]),
+    )

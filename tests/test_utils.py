@@ -100,22 +100,58 @@ def test_spatial_mask_provider_builds_from_data():
 
 
 def test_variable_masking_modes():
-    data = {"a": jnp.ones((2, 4, 4)), "b": jnp.ones((2, 4, 4))}
-    cfg = VariableMaskingConfig(names=["a", "b"], mode="bernoulli", rate=1.0)
-    out = cfg.apply(data, jax.random.PRNGKey(0))
-    np.testing.assert_array_equal(np.asarray(out["a"]), 0.0)
-    np.testing.assert_array_equal(np.asarray(out["b"]), 0.0)
-    cfg0 = VariableMaskingConfig(names=["a", "b"], mode="bernoulli", rate=0.0)
-    out0 = cfg0.apply(data, jax.random.PRNGKey(0))
-    np.testing.assert_array_equal(np.asarray(out0["a"]), 1.0)
-    cfg_u = VariableMaskingConfig(
-        names=["a", "b"], mode="uniform", max_masked_vars=2
+    from ace_tpu.core.masking import (
+        BernoulliMaskingConfig,
+        MaskingGroupConfig,
+        UniformMaskingConfig,
     )
-    out_u = cfg_u.apply(data, jax.random.PRNGKey(3))
-    # each channel is all-dropped or all-kept
-    for k in ("a", "b"):
-        vals = set(np.unique(np.asarray(out_u[k])))
-        assert vals in ({0.0}, {1.0})
+
+    names = ["a", "b", "c"]
+    # rate=1 group drops a+b together; default masks nothing
+    cfg = VariableMaskingConfig(
+        override_groups=[
+            MaskingGroupConfig(
+                variables=["a", "b"], masking=BernoulliMaskingConfig(rate=1.0)
+            )
+        ]
+    )
+    presence = np.asarray(
+        cfg.build(names).sample_presence(jax.random.PRNGKey(0))
+    )
+    np.testing.assert_array_equal(presence, [False, False, True])
+    # rate=0 keeps everything
+    cfg0 = VariableMaskingConfig(
+        override_groups=[
+            MaskingGroupConfig(
+                variables=["a", "b"], masking=BernoulliMaskingConfig(rate=0.0)
+            )
+        ]
+    )
+    presence0 = np.asarray(
+        cfg0.build(names).sample_presence(jax.random.PRNGKey(0))
+    )
+    np.testing.assert_array_equal(presence0, [True, True, True])
+    # uniform default: 0..2 of the ungrouped channels dropped
+    cfg_u = VariableMaskingConfig(default=UniformMaskingConfig(2))
+    masking = cfg_u.build(names)
+    counts = set()
+    for seed in range(20):
+        p = np.asarray(masking.sample_presence(jax.random.PRNGKey(seed)))
+        counts.add(int((~p).sum()))
+    assert counts <= {0, 1, 2}
+    assert len(counts) > 1  # actually varies
+    # typo'd group variable fails loudly at build
+    import pytest
+
+    bad = VariableMaskingConfig(
+        override_groups=[
+            MaskingGroupConfig(
+                variables=["bogus"], masking=BernoulliMaskingConfig(rate=0.5)
+            )
+        ]
+    )
+    with pytest.raises(ValueError):
+        bad.build(names)
 
 
 def test_smooth_flood_fill():
