@@ -31,6 +31,7 @@ from ace_tpu.core.step.base import (
     StepSelector,
 )
 from ace_tpu.core.masking import VariableMaskingConfig
+from ace_tpu.core.step.secondary_decoder import SecondaryDecoderConfig
 from ace_tpu.core.step.global_mean_removal import (
     GlobalMeanRemovalConfig,
     extra_channel_source_field,
@@ -172,6 +173,7 @@ class SingleModuleStepConfig(StepConfigABC):
     global_mean_removal: GlobalMeanRemovalConfig | None = None
     include_channel_mask_inputs: bool = False
     input_dropout: VariableMaskingConfig | None = None
+    secondary_decoder: SecondaryDecoderConfig | None = None
 
     def __post_init__(self):
         if self.global_mean_removal is not None:
@@ -192,6 +194,13 @@ class SingleModuleStepConfig(StepConfigABC):
                 raise ValueError(
                     f"next_step_forcing_name {name!r} is an output variable"
                 )
+        if self.secondary_decoder is not None:
+            for name in self.secondary_decoder.secondary_diagnostic_names:
+                if name in self.in_names or name in self.out_names:
+                    raise ValueError(
+                        f"secondary_diagnostic_name {name!r} is already an "
+                        "input or output variable"
+                    )
 
     @property
     def input_names(self) -> list[str]:
@@ -201,7 +210,12 @@ class SingleModuleStepConfig(StepConfigABC):
 
     @property
     def output_names(self) -> list[str]:
-        return list(self.out_names)
+        secondary = (
+            self.secondary_decoder.secondary_diagnostic_names
+            if self.secondary_decoder is not None
+            else []
+        )
+        return list(self.out_names) + list(secondary)
 
     @property
     def next_step_input_names(self) -> list[str]:
@@ -216,7 +230,7 @@ class SingleModuleStepConfig(StepConfigABC):
 
     @property
     def _normalize_names(self) -> list[str]:
-        return sorted(set(self.in_names) | set(self.out_names))
+        return sorted(set(self.in_names) | set(self.output_names))
 
     def get_step(self, dataset_info: DatasetInfo) -> "SingleModuleStep":
         return SingleModuleStep(config=self, dataset_info=dataset_info)
@@ -267,6 +281,14 @@ class SingleModuleStep(StepABC):
         )
         self.in_packer = Packer(packed_in_names)
         self.out_packer = Packer(config.out_names)
+        self.secondary_decoder = (
+            config.secondary_decoder.build(
+                n_in_channels=len(config.out_names),
+                dataset_info=dataset_info,
+            )
+            if config.secondary_decoder is not None
+            else None
+        )
         if config.ocean is not None:
             if dataset_info.timestep is None:
                 raise ValueError("ocean requires dataset_info.timestep")
@@ -302,7 +324,15 @@ class SingleModuleStep(StepABC):
         if self._config.include_channel_mask_inputs:
             n_in *= 2
         dummy = jnp.zeros((1, nlat, nlon, n_in))
-        return self.module.init(rng, dummy)
+        if self.secondary_decoder is None:
+            return self.module.init(rng, dummy)
+        k_main, k_sec = jax.random.split(rng)
+        return {
+            "main": self.module.init(k_main, dummy),
+            "secondary_decoder": self.secondary_decoder.init_params(
+                k_sec, (nlat, nlon)
+            ),
+        }
 
     def init_stepper_state(self, input_data: TensorMapping) -> StepperState:
         state: StepperState = {}
@@ -354,10 +384,25 @@ class SingleModuleStep(StepABC):
                     )
                 mask_packed = self.in_packer.pack(mask_dict)
                 packed = jnp.concatenate([packed, mask_packed], axis=-1)
-            out_packed = self.module.apply(
-                params, packed, deterministic=args.deterministic, rngs=rngs
+            main_params = (
+                params["main"] if self.secondary_decoder is not None
+                else params
             )
-            return self.out_packer.unpack(out_packed)
+            out_packed = self.module.apply(
+                main_params, packed,
+                deterministic=args.deterministic, rngs=rngs,
+            )
+            output = self.out_packer.unpack(out_packed)
+            if self.secondary_decoder is not None:
+                # decodes from a stop_gradient of the main outputs
+                # (reference: single_module.py:430 detach semantics)
+                output.update(
+                    self.secondary_decoder(
+                        params["secondary_decoder"], out_packed,
+                        deterministic=args.deterministic, rngs=rngs,
+                    )
+                )
+            return output
 
         return step_with_adjustments(
             args=args,

@@ -512,3 +512,60 @@ def test_data_mask_zeroes_absent_inputs():
         np.asarray(out.output["prog"][1]),
         np.asarray(out_zeroed.output["prog"][1]),
     )
+
+
+def test_secondary_decoder():
+    cfg = _step_config(
+        secondary_decoder={
+            "secondary_diagnostic_names": ["sec_diag"],
+            "network": {"type": "Linear", "config": {}},
+        },
+        normalization={
+            "network": {
+                "means": {
+                    "prog": 0.0, "forcing_var": 0.0, "diag": 0.0,
+                    "sec_diag": 0.0,
+                },
+                "stds": {
+                    "prog": 1.0, "forcing_var": 1.0, "diag": 1.0,
+                    "sec_diag": 1.0,
+                },
+            }
+        },
+    )
+    assert set(cfg.output_names) == {"prog", "diag", "sec_diag"}
+    assert "sec_diag" in cfg.loss_names
+    step = cfg.get_step(_dataset_info())
+    params = step.init_params(jax.random.PRNGKey(0))
+    assert set(params) == {"main", "secondary_decoder"}
+    rng = np.random.RandomState(0)
+    args = StepArgs(
+        input={
+            "prog": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32),
+        },
+        next_step_input_data={
+            "forcing_var": jnp.asarray(rng.randn(2, NLAT, NLON), jnp.float32)
+        },
+        stepper_state={},
+    )
+    out = step.step(params, args)
+    assert set(out.output) == {"prog", "diag", "sec_diag"}
+
+    # gradient isolation: loss on sec_diag must not reach main params
+    # (decoder sees a stop_gradient of the main output)
+    def sec_loss(p):
+        o = step.step(p, args)
+        return jnp.mean(o.output["sec_diag"] ** 2)
+
+    grads = jax.grad(sec_loss)(params)
+    main_norm = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["main"])
+    )
+    sec_norm = sum(
+        float(jnp.abs(g).sum())
+        for g in jax.tree_util.tree_leaves(grads["secondary_decoder"])
+    )
+    assert main_norm == 0.0
+    assert sec_norm > 0.0
