@@ -94,3 +94,64 @@ class TimeLengthProbabilities:
 
     def sample(self) -> int:
         return int(self._rng.choice(self._n_times, p=self._probabilities))
+
+
+TimeLength = TimeLengthProbabilities | int
+
+
+def probabilities_from_time_length(value) -> TimeLengthProbabilities:
+    if isinstance(value, TimeLengthProbabilities):
+        return value
+    return TimeLengthProbabilities.from_constant(value)
+
+
+@dataclasses.dataclass
+class TimeLengthMilestone:
+    """(reference: time_length_probabilities.py TimeLengthMilestone)."""
+
+    epoch: int
+    value: TimeLength
+
+
+@dataclasses.dataclass
+class TimeLengthSchedule:
+    """Epoch-scheduled (possibly stochastic) rollout lengths
+    (reference: time_length_probabilities.py:75 TimeLengthSchedule).
+    """
+
+    start_value: TimeLength
+    milestones: list[TimeLengthMilestone] = dataclasses.field(
+        default_factory=list
+    )
+
+    def __post_init__(self):
+        epochs = [m.epoch for m in self.milestones]
+        if epochs != sorted(epochs):
+            raise ValueError("milestones must be sorted by epoch")
+
+    @classmethod
+    def from_constant(cls, value: TimeLength) -> "TimeLengthSchedule":
+        return cls(start_value=value, milestones=[])
+
+    @property
+    def is_constant(self) -> bool:
+        return len(self.milestones) == 0 and (
+            isinstance(self.start_value, int)
+            or len(self.start_value.outcomes) == 1
+        )
+
+    def get_value(self, epoch: int) -> TimeLength:
+        value = self.start_value
+        for m in self.milestones:
+            if epoch >= m.epoch:
+                value = m.value
+        return value
+
+    @property
+    def max_n_forward_steps(self) -> int:
+        def _max(v):
+            return v if isinstance(v, int) else v.max_n_forward_steps
+
+        return max(
+            _max(self.start_value), *[_max(m.value) for m in self.milestones]
+        ) if self.milestones else _max(self.start_value)

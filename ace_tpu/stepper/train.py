@@ -18,6 +18,11 @@ import jax
 import jax.numpy as jnp
 
 from ace_tpu.core.loss import StepLossConfig
+from ace_tpu.core.schedule import (
+    TimeLengthProbabilities,
+    TimeLengthSchedule,
+    probabilities_from_time_length,
+)
 from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
 from ace_tpu.core.step.base import StepArgs
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
@@ -30,7 +35,12 @@ class StepperTrainConfig:
     """Training-specific stepper options
     (reference: fme/ace/train/train_config.py stepper_training block).
 
-    n_forward_steps: rollout length for the training loss.
+    n_forward_steps: rollout length for the training loss — a constant,
+        a stochastic TimeLengthProbabilities, or an epoch-milestone
+        TimeLengthSchedule of either (reference:
+        time_length_probabilities.py TimeLengthSchedule; lengths are
+        sampled per batch host-side, and XLA caches one executable per
+        distinct length).
     n_ensemble: ensemble members per sample for CRPS/EnergyScore training.
     remat: apply jax.checkpoint to the scanned step body (activation
         rematerialization; the TPU analog of
@@ -38,9 +48,19 @@ class StepperTrainConfig:
     """
 
     loss: StepLossConfig = dataclasses.field(default_factory=StepLossConfig)
-    n_forward_steps: int = 1
+    n_forward_steps: int | TimeLengthProbabilities | TimeLengthSchedule = 1
     n_ensemble: int = 1
     remat: bool = False
+
+    @property
+    def n_forward_steps_schedule(self) -> TimeLengthSchedule:
+        if isinstance(self.n_forward_steps, TimeLengthSchedule):
+            return self.n_forward_steps
+        return TimeLengthSchedule.from_constant(self.n_forward_steps)
+
+    @property
+    def max_n_forward_steps(self) -> int:
+        return self.n_forward_steps_schedule.max_n_forward_steps
 
 
 class TrainStepper:
@@ -83,11 +103,30 @@ class TrainStepper:
         self.ema = ema_config.build() if ema_config is not None else None
         self._train_step_fn: Callable | None = None
         self._loss_fn: Callable | None = None
+        self._length_sampler: TimeLengthProbabilities | None = None
+        self._sampler_epoch: int | None = None
+
+    def sample_n_forward_steps(self, epoch: int = 0) -> int:
+        """Per-batch rollout-length draw for the current epoch
+        (reference: loss_schedule.py LossSchedule.sample). Constant
+        configs return the fixed length without consuming randomness.
+        """
+        schedule = self.train_config.n_forward_steps_schedule
+        if self._sampler_epoch != epoch:
+            self._length_sampler = probabilities_from_time_length(
+                schedule.get_value(epoch)
+            )
+            self._sampler_epoch = epoch
+        assert self._length_sampler is not None
+        if self._length_sampler.is_constant:
+            return self._length_sampler.max_n_forward_steps
+        return self._length_sampler.sample()
 
     # ----- pure functions -----
 
-    def loss_fn(self, params, batch: TensorMapping, rng: jax.Array):
-        """Rollout loss over n_forward_steps.
+    def loss_fn(self, params, batch: TensorMapping, rng: jax.Array,
+                n_steps: int | None = None):
+        """Rollout loss over n_steps (defaults to the schedule maximum).
 
         batch: dict of [B, n_forward+1, ...spatial] containing all input,
         forcing and target variables (index 0 = IC).
@@ -95,7 +134,8 @@ class TrainStepper:
         """
         step = self.stepper.step
         cfg = self.train_config
-        n_steps = cfg.n_forward_steps
+        if n_steps is None:
+            n_steps = cfg.max_n_forward_steps
         prognostic_names = step.prognostic_names
         input_only = sorted(set(step.input_names) - set(step.output_names))
         nsf = set(step.next_step_forcing_names)
@@ -173,15 +213,19 @@ class TrainStepper:
             metrics[f"loss_step_{i}"] = per_step[i]
         return total, metrics
 
+    @property
+    def samples_varied_lengths(self) -> bool:
+        return not self.train_config.n_forward_steps_schedule.is_constant
+
     def build_train_step(self, donate: bool = True):
         """Returns jitted fn(params, opt_state, batch, rng) ->
         (new_params, new_opt_state, metrics).
         """
 
-        def train_step(params, opt_state, batch, rng):
+        def train_step(params, opt_state, batch, rng, n_steps=None):
             (loss, metrics), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True
-            )(params, batch, rng)
+            )(params, batch, rng, n_steps)
             updates, new_opt_state = self.optimization.tx.update(
                 grads, opt_state, params
             )
@@ -191,16 +235,19 @@ class TrainStepper:
             metrics["grad_norm"] = optax.global_norm(grads)
             return new_params, new_opt_state, metrics
 
+        # n_steps is static: one cached executable per distinct length
         return jax.jit(
-            train_step, donate_argnums=(0, 1) if donate else ()
+            train_step,
+            donate_argnums=(0, 1) if donate else (),
+            static_argnums=(4,),
         )
 
     def build_valid_step(self):
-        def valid_step(params, batch, rng):
-            _, metrics = self.loss_fn(params, batch, rng)
+        def valid_step(params, batch, rng, n_steps=None):
+            _, metrics = self.loss_fn(params, batch, rng, n_steps)
             return metrics
 
-        return jax.jit(valid_step)
+        return jax.jit(valid_step, static_argnums=(3,))
 
     # ----- convenience (stateful driver API) -----
 

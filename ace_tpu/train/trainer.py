@@ -129,7 +129,8 @@ class TrainConfig:
 
     @property
     def n_forward_steps(self) -> int:
-        return self.stepper_training.n_forward_steps
+        # data windows must cover the longest schedulable rollout
+        return self.stepper_training.max_n_forward_steps
 
     def build_trainer(self) -> "Trainer":
         requirements = DataRequirements(
@@ -297,8 +298,12 @@ class Trainer:
         count = 0
         wandb = WandB.get_instance()
         for batch in self.train_data:
+            # per-batch rollout length (constant unless a stochastic or
+            # epoch-milestone schedule is configured)
+            n_steps = self.train_stepper.sample_n_forward_steps(epoch)
             self.params, self.opt_state, metrics = self._train_step(
-                self.params, self.opt_state, batch.data, self._next_rng()
+                self.params, self.opt_state, batch.data, self._next_rng(),
+                n_steps,
             )
             self.train_stepper.optimization._count += 1
             if self.train_stepper.ema is not None:

@@ -179,3 +179,46 @@ def test_ema_tracks_params():
     # ramp-up decay is small early, so EMA moves quickly toward
     # the new params but must not reach them exactly
     assert diff0 > diff1 > 1e-5
+
+
+def test_stochastic_rollout_lengths():
+    from ace_tpu.core.schedule import (
+        TimeLengthMilestone,
+        TimeLengthProbabilities,
+        TimeLengthProbability,
+        TimeLengthSchedule,
+    )
+
+    probs = TimeLengthProbabilities(
+        outcomes=[
+            TimeLengthProbability(steps=1, probability=0.5),
+            TimeLengthProbability(steps=3, probability=0.5),
+        ]
+    )
+    schedule = TimeLengthSchedule(
+        start_value=probs,
+        milestones=[TimeLengthMilestone(epoch=5, value=2)],
+    )
+    assert schedule.max_n_forward_steps == 3
+    assert not schedule.is_constant
+    assert schedule.get_value(5) == 2
+
+    ts = _train_stepper(n_forward_steps=schedule)
+    assert ts.train_config.max_n_forward_steps == 3
+    # epoch 0: stochastic draws from {1, 3}
+    draws = {ts.sample_n_forward_steps(0) for _ in range(30)}
+    assert draws == {1, 3}
+    # epoch >= 5: constant 2
+    assert ts.sample_n_forward_steps(5) == 2
+
+    # train step runs at each sampled length on max-window batches
+    rng = np.random.RandomState(0)
+    batch = _batch(rng, 3)
+    params, opt_state = ts.init(jax.random.PRNGKey(0))
+    train_step = ts.build_train_step(donate=False)
+    for n in (1, 3):
+        _, _, metrics = train_step(
+            params, opt_state, batch, jax.random.PRNGKey(1), n
+        )
+        assert f"loss_step_{n - 1}" in metrics
+        assert f"loss_step_{n}" not in metrics
