@@ -125,6 +125,10 @@ class TrainConfig:
     # save a restart checkpoint every N batches within an epoch (0 = off)
     # (reference: trainer.py mid-epoch restart checkpoints :544-556)
     checkpoint_every_n_batches: int = 0
+    # exit after at most this many epochs in this invocation; re-running
+    # resumes the next segment (reference: core/generics/trainer.py:151
+    # segment_epochs) — for preemptible/time-limited schedulers
+    segment_epochs: int | None = None
     seed: int = 0
 
     @property
@@ -249,7 +253,14 @@ class Trainer:
                 )
         timer = GlobalTimer.get_instance()
         self._install_signal_handlers()
-        for epoch in range(self.start_epoch, self.config.max_epochs):
+        if self.config.segment_epochs is None:
+            end_epoch = self.config.max_epochs
+        else:
+            end_epoch = min(
+                self.start_epoch + self.config.segment_epochs,
+                self.config.max_epochs,
+            )
+        for epoch in range(self.start_epoch, end_epoch):
             self._current_epoch = epoch
             logging.info(f"Epoch {epoch} starting")
             with timer.context("train_one_epoch"):

@@ -190,3 +190,19 @@ def test_preemption_signal_saves_checkpoint(tmp_path):
     trainer2 = config.build_trainer()
     trainer2.restore(ckpt)
     assert trainer2.params is not None
+
+
+def test_segment_epochs_limits_run(tmp_path):
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
+    cfg = _config(tmp_path, data, max_epochs=3)
+    cfg["segment_epochs"] = 1
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    # first segment trains exactly 1 of 3 epochs
+    main([str(config_path)])
+    trainer2 = main([str(config_path)])
+    # second invocation resumed at epoch 1 and stopped after epoch 2
+    assert trainer2.start_epoch == 1
