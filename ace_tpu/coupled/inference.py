@@ -1,0 +1,276 @@
+"""Coupled (atmosphere + ocean) inference and evaluation entries
+(reference: fme/coupled/inference/inference.py:115 InferenceConfig,
+fme/coupled/inference/evaluator.py, fme/coupled/inference/loop.py).
+
+Runs the coupled rollout in memory windows of ``coupled_steps_in_memory``
+outer (ocean) steps; each window is one jitted coupled scan per component.
+Predictions stream to per-component netCDF writers, and (in evaluator
+mode) paired RMSE/bias aggregates are computed against the target data.
+"""
+
+import dataclasses
+import logging
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
+from ace_tpu.core.config import from_dict
+from ace_tpu.core.metrics import root_mean_squared_error, weighted_mean_bias
+from ace_tpu.core.typing_ import TensorDict
+from ace_tpu.coupled.stepper import (
+    CoupledPrognosticState,
+    CoupledStepper,
+    CoupledStepperConfig,
+)
+from ace_tpu.data.dataset import XarrayDataConfig
+from ace_tpu.data.time import TimeCoord
+from ace_tpu.inference.data_writer import H5DataWriter
+from ace_tpu.stepper.stepper import PrognosticState
+from ace_tpu.train.trainer import LoggingConfig
+from ace_tpu.core.wandb import DiskMetricLogger
+
+
+@dataclasses.dataclass
+class ComponentCheckpointsConfig:
+    """Two standalone component checkpoints (reference:
+    fme/coupled/inference/inference.py StandaloneComponentCheckpointsConfig).
+    """
+
+    atmosphere: str
+    ocean: str
+
+
+@dataclasses.dataclass
+class CoupledInitialConditionConfig:
+    """Initial-condition selection for both components (reference:
+    fme/coupled/inference/inference.py CoupledInitialConditionConfig).
+    The same dataset supplies forcing windows.
+    """
+
+    atmosphere: XarrayDataConfig
+    ocean: XarrayDataConfig
+    start_indices: list[int] = dataclasses.field(default_factory=lambda: [0])
+
+
+@dataclasses.dataclass
+class CoupledInferenceConfig:
+    """(reference: fme/coupled/inference/inference.py:115)."""
+
+    experiment_dir: str
+    n_coupled_steps: int
+    checkpoint: ComponentCheckpointsConfig
+    initial_condition: CoupledInitialConditionConfig
+    sst_name: str = "sst"
+    coupled_steps_in_memory: int = 4
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    save_prediction_files: bool = True
+    evaluate: bool = False  # paired aggregation vs target data
+
+    def __post_init__(self):
+        if self.n_coupled_steps % self.coupled_steps_in_memory != 0:
+            raise ValueError(
+                "n_coupled_steps must be divisible by coupled_steps_in_memory"
+            )
+
+    def load_coupled_stepper(self) -> CoupledStepper:
+        from ace_tpu.coupled.stepper import CoupledComponentConfig
+        from ace_tpu.stepper.checkpoint import (
+            build_stepper_from_state,
+            load_msgpack,
+        )
+
+        atmos, atmos_cfg = build_stepper_from_state(
+            load_msgpack(self.checkpoint.atmosphere)["stepper"]
+        )
+        ocean, ocean_cfg = build_stepper_from_state(
+            load_msgpack(self.checkpoint.ocean)["stepper"]
+        )
+        coupled_config = CoupledStepperConfig(
+            atmosphere=CoupledComponentConfig(stepper=atmos_cfg),
+            ocean=CoupledComponentConfig(stepper=ocean_cfg),
+            sst_name=self.sst_name,
+        )
+        return CoupledStepper(coupled_config, ocean=ocean, atmosphere=atmos)
+
+
+class _PairedStats:
+    """Streaming per-variable paired RMSE/bias over a rollout."""
+
+    def __init__(self, area_weights):
+        self._weights = area_weights
+        self._sq: dict[str, float] = {}
+        self._bias: dict[str, float] = {}
+        self._n: dict[str, int] = {}
+
+    def record(self, gen: TensorDict, target: TensorDict):
+        for name, g in gen.items():
+            if name not in target:
+                continue
+            t = jnp.asarray(target[name])
+            self._sq[name] = self._sq.get(name, 0.0) + float(
+                root_mean_squared_error(t, g, self._weights) ** 2
+            )
+            self._bias[name] = self._bias.get(name, 0.0) + float(
+                weighted_mean_bias(t, g, self._weights)
+            )
+            self._n[name] = self._n.get(name, 0) + 1
+
+    def get_logs(self, label: str) -> dict[str, float]:
+        logs = {}
+        for name, n in self._n.items():
+            logs[f"{label}/rmse/{name}"] = float(
+                np.sqrt(self._sq[name] / n)
+            )
+            logs[f"{label}/bias/{name}"] = self._bias[name] / n
+        return logs
+
+
+def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
+    coupled = config.load_coupled_stepper()
+    n_inner = coupled.n_inner_steps
+    atmos_ds = config.initial_condition.atmosphere.build()
+    ocean_ds = config.initial_condition.ocean.build()
+
+    atmos_names = sorted(
+        set(coupled.atmosphere.step.input_names)
+        | set(coupled.atmosphere.step.output_names)
+    )
+    # exclude coupling-supplied fields from the dataset reads
+    atmos_read = sorted(
+        (set(atmos_names) & set(atmos_ds.names))
+        | (set(coupled.atmosphere_forcing_window_names) & set(atmos_ds.names))
+    )
+    ocean_read = sorted(
+        (
+            set(coupled.ocean.step.input_names)
+            | set(coupled.ocean.step.output_names)
+        )
+        & set(ocean_ds.names)
+    )
+
+    starts = config.initial_condition.start_indices
+    w = config.coupled_steps_in_memory
+    n_windows = config.n_coupled_steps // w
+
+    # initial conditions (batch over ICs)
+    atmos_ic_windows = [atmos_ds.get_window(s * n_inner, 1, atmos_read)
+                        for s in starts]
+    ocean_ic_windows = [ocean_ds.get_window(s, 1, ocean_read)
+                        for s in starts]
+
+    def _stack(windows, names):
+        return {
+            k: jnp.asarray(np.stack([wd[0][k] for wd in windows]))
+            for k in names
+        }
+
+    atmos_prog = coupled.atmosphere.prognostic_names
+    ocean_prog = coupled.ocean.prognostic_names
+    state = CoupledPrognosticState(
+        atmosphere_data=PrognosticState(
+            data=_stack(atmos_ic_windows,
+                        [n for n in atmos_prog if n in atmos_read])
+        ),
+        ocean_data=PrognosticState(
+            data=_stack(ocean_ic_windows,
+                        [n for n in ocean_prog if n in ocean_read])
+        ),
+    )
+
+    writers: dict[str, H5DataWriter] = {}
+    if config.save_prediction_files:
+        os.makedirs(config.experiment_dir, exist_ok=True)
+        writers["atmosphere"] = H5DataWriter(
+            os.path.join(
+                config.experiment_dir, "autoregressive_predictions.nc"
+            ),
+            atmos_ds.dataset_info,
+        )
+        writers["ocean"] = H5DataWriter(
+            os.path.join(
+                config.experiment_dir, "autoregressive_predictions_ocean.nc"
+            ),
+            ocean_ds.dataset_info,
+        )
+
+    stats_a = _PairedStats(
+        jnp.asarray(
+            atmos_ds.dataset_info.horizontal_coordinates.area_weights
+        )
+    )
+    stats_o = _PairedStats(
+        jnp.asarray(
+            ocean_ds.dataset_info.horizontal_coordinates.area_weights
+        )
+    )
+
+    rng = jax.random.PRNGKey(0)
+    for i_win in range(n_windows):
+        o_start = i_win * w
+        a_start = o_start * n_inner
+        atmos_f_windows = [
+            atmos_ds.get_window(
+                s * n_inner + a_start, w * n_inner + 1, atmos_read
+            )
+            for s in starts
+        ]
+        ocean_f_windows = [
+            ocean_ds.get_window(s + o_start, w + 1, ocean_read)
+            for s in starts
+        ]
+        atmos_forcing = _stack(atmos_f_windows, atmos_read)
+        ocean_forcing = _stack(ocean_f_windows, ocean_read)
+        rng, sub = jax.random.split(rng)
+        a_out, o_out, state = coupled.predict(
+            state, atmos_forcing, ocean_forcing, rng=sub
+        )
+        atmos_time = TimeCoord(
+            np.stack([wd[1].values[1:] for wd in atmos_f_windows]),
+            atmos_f_windows[0][1].calendar,
+        )
+        ocean_time = TimeCoord(
+            np.stack([wd[1].values[1:] for wd in ocean_f_windows]),
+            ocean_f_windows[0][1].calendar,
+        )
+        if writers:
+            writers["atmosphere"].append_batch(a_out, atmos_time)
+            writers["ocean"].append_batch(o_out, ocean_time)
+        if config.evaluate:
+            stats_a.record(
+                a_out,
+                {k: v[:, 1:] for k, v in atmos_forcing.items()},
+            )
+            stats_o.record(
+                o_out,
+                {k: v[:, 1:] for k, v in ocean_forcing.items()},
+            )
+        logging.info(
+            f"coupled window {i_win + 1}/{n_windows} complete "
+            f"({(i_win + 1) * w}/{config.n_coupled_steps} ocean steps)"
+        )
+
+    for writer in writers.values():
+        writer.flush()
+    logs: dict[str, Any] = {}
+    if config.evaluate:
+        logs.update(stats_a.get_logs("inference/atmosphere"))
+        logs.update(stats_o.get_logs("inference/ocean"))
+        DiskMetricLogger(
+            os.path.join(config.experiment_dir, "metrics.jsonl")
+        ).log(logs)
+    return logs
+
+
+def main(argv=None):
+    parser = get_parser()
+    args = parser.parse_args(argv)
+    data = prepare_config(args.yaml_config, args.override)
+    config = from_dict(CoupledInferenceConfig, data)
+    prepare_directory(config.experiment_dir, data)
+    config.logging.configure(config.experiment_dir)
+    logging.info("Starting coupled inference")
+    return run_coupled_inference(config)

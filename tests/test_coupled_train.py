@@ -97,3 +97,51 @@ def test_coupled_train_entry(tmp_path):
         os.path.join(ckpt_dir, "atmosphere_ckpt.msgpack")
     )
     assert "ta" in atmos_stepper.prognostic_names
+
+
+def test_coupled_inference_entry(tmp_path):
+    # reuse the training test to produce component checkpoints
+    test_coupled_train_entry(tmp_path)
+    ckpt_dir = os.path.join(str(tmp_path / "out"), "training_checkpoints")
+
+    config = {
+        "experiment_dir": str(tmp_path / "inference"),
+        "n_coupled_steps": 2,
+        "coupled_steps_in_memory": 1,
+        "evaluate": True,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "checkpoint": {
+            "atmosphere": os.path.join(ckpt_dir, "atmosphere_ckpt.msgpack"),
+            "ocean": os.path.join(ckpt_dir, "ocean_ckpt.msgpack"),
+        },
+        "initial_condition": {
+            "atmosphere": {"data_path": str(tmp_path / "atmos" / "data")},
+            "ocean": {"data_path": str(tmp_path / "ocean" / "data")},
+            "start_indices": [0, 1],
+        },
+    }
+    config_path = tmp_path / "coupled_inference.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.coupled.inference import main
+
+    logs = main([str(config_path)])
+    out_dir = str(tmp_path / "inference")
+    assert os.path.exists(
+        os.path.join(out_dir, "autoregressive_predictions.nc")
+    )
+    assert os.path.exists(
+        os.path.join(out_dir, "autoregressive_predictions_ocean.nc")
+    )
+    assert any(k.endswith("rmse/sst") for k in logs)
+    assert all(np.isfinite(v) for v in logs.values())
+
+    # written ocean file has [n_ic, n_coupled_steps, ...] predictions
+    import h5py
+
+    with h5py.File(
+        os.path.join(out_dir, "autoregressive_predictions_ocean.nc"), "r"
+    ) as f:
+        assert f["sst"].shape[0] == 2
+        assert f["sst"].shape[1] == 2
