@@ -118,7 +118,7 @@ class SphericalFourierNeuralOperatorBuilder(ModuleConfig):
 class SFNO_V0_1_0(ModuleConfig):
     """SFNO at the makani-0.1.0 config surface (reference:
     fme/ace/registry/sfno.py:66). Built on the same TPU SFNO backbone;
-    makani-specific extras (repeat_layers, frequency pos-embed) land in a
+    makani-specific extras (tensor factorization) land in a
     later round.
     """
 
@@ -147,8 +147,6 @@ class SFNO_V0_1_0(ModuleConfig):
     compute_dtype: str = "float32"
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
-        if self.repeat_layers != 1:
-            raise NotImplementedError("repeat_layers > 1 not yet supported")
         return SphericalFourierNeuralOperatorNet(
             img_shape=dataset_info.img_shape,
             in_chans=n_in_channels,
@@ -163,7 +161,8 @@ class SFNO_V0_1_0(ModuleConfig):
             mlp_ratio=self.mlp_ratio,
             activation_function=self.activation_function,
             encoder_layers=self.encoder_layers,
-            pos_embed=self.pos_embed != "none",
+            pos_embed=self.pos_embed,
+            repeat_layers=self.repeat_layers,
             big_skip=self.big_skip,
             separable=self.separable,
             data_grid=self.data_grid,

@@ -233,7 +233,13 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     mlp_ratio: float = 2.0
     activation_function: str = "gelu"
     encoder_layers: int = 1
-    pos_embed: bool = True
+    # True/"direct": learned grid embedding; "frequency": learned spectral
+    # coefficients synthesized via inverse SHT (reference:
+    # fme/ace/models/makani/sfnonet.py:432); False/"none": disabled
+    pos_embed: bool | str = True
+    # weight-shared repetition of the whole block stack (reference:
+    # makani/sfnonet.py:526 _forward_features)
+    repeat_layers: int = 1
     big_skip: bool = True
     separable: bool = False
     drop_rate: float = 0.0
@@ -297,7 +303,11 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             name="encoder_out",
         )(h)
 
-        if self.pos_embed:
+        pos_embed_type = (
+            self.pos_embed if isinstance(self.pos_embed, str)
+            else ("direct" if self.pos_embed else "none")
+        )
+        if pos_embed_type == "direct":
             pe = self.param(
                 "pos_embed",
                 trunc_normal_init(std=0.02),
@@ -305,14 +315,45 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 jnp.float32,
             )
             h = h + pe.astype(h.dtype)
+        elif pos_embed_type == "frequency":
+            # learned lower-triangular spectral coefficients; the embedding
+            # is their inverse SHT at output resolution (reference:
+            # makani/sfnonet.py:432-448,557-567). m=0 imaginary parts are
+            # structurally zero.
+            lmax, mmax = self.itrans_up.lmax, self.itrans_up.mmax
+            rc = self.param(
+                "pos_embed_r", trunc_normal_init(std=0.02),
+                (1, lmax, mmax, self.embed_dim), jnp.float32,
+            )
+            cc = self.param(
+                "pos_embed_c", trunc_normal_init(std=0.02),
+                (1, lmax, max(mmax - 1, 0), self.embed_dim), jnp.float32,
+            )
+            l_idx = jnp.arange(lmax)[:, None]
+            m_idx = jnp.arange(mmax)[None, :]
+            rmask = (m_idx <= l_idx)[None, :, :, None]
+            cmask = (m_idx[:, : mmax - 1] + 1 <= l_idx)[None, :, :, None]
+            imag = jnp.pad(
+                cc * cmask, ((0, 0), (0, 0), (1, 0), (0, 0))
+            )
+            coeffs = (rc * rmask) + 1j * imag
+            pe = self.itrans_up(coeffs)
+            h = h + pe.astype(h.dtype)
+        elif pos_embed_type != "none":
+            raise ValueError(
+                f"unknown pos_embed type {pos_embed_type!r}"
+            )
 
         if self.drop_rate > 0.0:
             h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
 
         dpr = np.linspace(0, self.drop_path_rate, self.num_layers)
+        # build blocks once so repeat_layers shares their weights
+        # (reference: makani/sfnonet.py:526)
+        blocks = []
         for i in range(self.num_layers):
             first, last = i == 0, i == self.num_layers - 1
-            h = FourierNeuralOperatorBlock(
+            blocks.append(FourierNeuralOperatorBlock(
                 forward_transform=self.trans_down if first else self.trans,
                 inverse_transform=self.itrans_up if last else self.itrans,
                 embed_dim=self.embed_dim,
@@ -328,7 +369,10 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 separable=self.separable,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(h, deterministic=deterministic)
+            ))
+        for _ in range(self.repeat_layers):
+            for blk in blocks:
+                h = blk(h, deterministic=deterministic)
 
         if self.big_skip:
             h = jnp.concatenate([h, residual.astype(h.dtype)], axis=-1)

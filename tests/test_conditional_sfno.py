@@ -158,3 +158,40 @@ def test_ensemble_members_differ_in_rollout():
     assert not np.allclose(
         np.asarray(out1.output["prog"]), np.asarray(out2.output["prog"])
     )
+
+
+def test_sfno_frequency_pos_embed_and_repeat_layers():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+
+    kw = dict(
+        img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=16,
+        num_layers=2, operator_type="dhconv", data_grid="equiangular",
+        scale_factor=1,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 16, 32, 3), jnp.float32
+    )
+    net_f = SphericalFourierNeuralOperatorNet(pos_embed="frequency", **kw)
+    params_f = net_f.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_leaves_with_path(params_f)
+    names = {"/".join(str(k.key) for k in p) for p, _ in flat}
+    assert any("pos_embed_r" in n for n in names)
+    assert any("pos_embed_c" in n for n in names)
+    out = net_f.apply(params_f, x)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # repeat_layers shares weights: identical param count, different output
+    net_1 = SphericalFourierNeuralOperatorNet(repeat_layers=1, **kw)
+    net_2 = SphericalFourierNeuralOperatorNet(repeat_layers=2, **kw)
+    p1 = net_1.init(jax.random.PRNGKey(0), x)
+    p2 = net_2.init(jax.random.PRNGKey(0), x)
+    n1 = sum(v.size for v in jax.tree_util.tree_leaves(p1))
+    n2 = sum(v.size for v in jax.tree_util.tree_leaves(p2))
+    assert n1 == n2
+    o1 = net_1.apply(p1, x)
+    o2 = net_2.apply(p1, x)  # same params, twice the depth
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
