@@ -466,20 +466,59 @@ class LandNetBuilder(ModuleConfig):
 @ModuleSelector.register("LocalNet")
 @dataclasses.dataclass
 class LocalNetBuilder(ModuleConfig):
-    """Local (pointwise) conditional net (reference:
-    fme/ace/registry/local_net.py:47; the DISCO-convolution block variant
-    lands with the DISCO kernel in a later round — conv1x1 blocks only).
+    """Local neural operator with DISCO + conv1x1 blocks
+    (reference: fme/ace/registry/local_net.py:103 LocalNetBuilder).
+    basis_type: only "piecewise linear" is implemented (morlet/zernike
+    bases land in a later round).
     """
 
     embed_dim: int = 256
-    num_blocks: int = 6
+    kernel_shape: tuple[int, int] = (3, 3)
+    basis_type: str = "piecewise linear"
+    noise_embed_dim: int = 256
+    noise_type: str = "gaussian"
+    block_types: list[str] = dataclasses.field(
+        default_factory=lambda: [
+            "disco", "disco", "disco", "disco",
+            "conv1x1", "conv1x1", "conv1x1", "conv1x1",
+        ]
+    )
+    global_layer_norm: bool = False
+    use_mlp: bool = True
+    mlp_ratio: float = 2.0
     activation_function: str = "gelu"
+    encoder_layers: int = 1
     pos_embed: bool = True
+    big_skip: bool = True
+    normalize_big_skip: bool = True
+    affine_norms: bool = True
+    lora_rank: int = 0
+    lora_alpha: float | None = None
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
-        return LandNetModule(
+        from ace_tpu.models.localnet import LocalNet
+
+        grid = dataset_info.horizontal_coordinates.grid
+        return LocalNet(
             img_shape=dataset_info.img_shape,
-            hidden_dims=tuple([self.embed_dim] * self.num_blocks),
-            out_channels=n_out_channels,
-            use_positional_embedding=self.pos_embed,
+            in_chans=n_in_channels,
+            out_chans=n_out_channels,
+            embed_dim=self.embed_dim,
+            kernel_shape=tuple(self.kernel_shape),
+            basis_type=self.basis_type,
+            noise_embed_dim=self.noise_embed_dim,
+            noise_type=self.noise_type,
+            block_types=tuple(self.block_types),
+            global_layer_norm=self.global_layer_norm,
+            use_mlp=self.use_mlp,
+            mlp_ratio=self.mlp_ratio,
+            activation_function=self.activation_function,
+            encoder_layers=self.encoder_layers,
+            pos_embed=self.pos_embed,
+            big_skip=self.big_skip,
+            normalize_big_skip=self.normalize_big_skip,
+            affine_norms=self.affine_norms,
+            lora_rank=self.lora_rank,
+            lora_alpha=self.lora_alpha,
+            data_grid=grid,
         )

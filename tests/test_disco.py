@@ -85,3 +85,62 @@ def test_disco_psi_matches_reference_sparsity():
         for w in range(gather_idx.shape[1]):
             ours_dense[:, t, gather_idx[t, w]] += psi_banded[:, t, w]
     np.testing.assert_allclose(ours_dense, ref_dense, atol=1e-6)
+
+
+def test_localnet_with_disco_blocks():
+    import jax
+    import jax.numpy as jnp
+
+    from ace_tpu.models.localnet import LocalNet
+
+    net = LocalNet(
+        img_shape=(8, 16), in_chans=3, out_chans=2, embed_dim=8,
+        noise_embed_dim=4, block_types=("disco", "conv1x1"),
+        kernel_shape=(2, 1), lora_rank=2,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(2, 8, 16, 3), jnp.float32
+    )
+    params = net.init(jax.random.PRNGKey(0), x)
+    out1 = net.apply(params, x, rngs={"noise": jax.random.PRNGKey(1)})
+    assert out1.shape == (2, 8, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out1)))
+    # LoRA starts as identity: zero-noise calls match a lora_rank=0 net
+    # with the same base weights is implied by zero-init B; here just
+    # check stochasticity responds to the noise rng after perturbing the
+    # conditioning weights (zero-init by design)
+    import flax
+
+    flat = flax.traverse_util.flatten_dict(params)
+    perturbed = {
+        k: (v + 0.1 if "w_scale_2d" in "/".join(map(str, k)) else v)
+        for k, v in flat.items()
+    }
+    params_p = flax.traverse_util.unflatten_dict(perturbed)
+    o_a = net.apply(params_p, x, rngs={"noise": jax.random.PRNGKey(1)})
+    o_b = net.apply(params_p, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert not np.allclose(np.asarray(o_a), np.asarray(o_b))
+
+
+def test_localnet_builder_registry():
+    import jax
+    import jax.numpy as jnp
+
+    from ace_tpu.models.registry import ModuleSelector
+    from tests.test_step_stepper import _dataset_info
+
+    sel = ModuleSelector(
+        type="LocalNet",
+        config={
+            "embed_dim": 8,
+            "noise_embed_dim": 0,
+            "block_types": ["disco", "conv1x1"],
+            "kernel_shape": [2, 1],
+        },
+    )
+    info = _dataset_info()
+    net = sel.build(n_in_channels=3, n_out_channels=2, dataset_info=info)
+    x = jnp.zeros((1, *info.img_shape, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (1, *info.img_shape, 2)
