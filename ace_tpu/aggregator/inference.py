@@ -207,12 +207,15 @@ class InferenceAggregatorConfig:
     enso_sst_name: str = "surface_temperature"
     log_seasonal_means: bool = False
     log_near_zero_fraction: bool = False
+    log_video: bool = False
+    log_extended_video: bool = False
 
     def build(self, dataset_info, n_timesteps: int,
               record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
         return InferenceEvaluatorAggregator(
             dataset_info=dataset_info,
             config=self,
+            n_timesteps=n_timesteps,
         )
 
 
@@ -221,7 +224,7 @@ class InferenceEvaluatorAggregator:
     (reference: fme/ace/aggregator/inference/main.py:526).
     """
 
-    def __init__(self, dataset_info, config=None):
+    def __init__(self, dataset_info, config=None, n_timesteps: int = 0):
         config = config or InferenceAggregatorConfig()
         ops = dataset_info.gridded_operations
         nlat, nlon = dataset_info.img_shape
@@ -261,6 +264,13 @@ class InferenceEvaluatorAggregator:
             from ace_tpu.aggregator.seasonal import SeasonalAggregator
 
             self._seasonal = SeasonalAggregator()
+        if (config.log_video or config.log_extended_video) and n_timesteps:
+            from ace_tpu.aggregator.video import VideoAggregator
+
+            self._aggregators["video"] = VideoAggregator(
+                n_timesteps,
+                enable_extended_videos=config.log_extended_video,
+            )
         self._annual = None
         if config.log_annual_means:
             from ace_tpu.aggregator.histogram import (

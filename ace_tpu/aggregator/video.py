@@ -1,0 +1,116 @@
+"""Video aggregator: per-timestep batch-mean map sequences
+(reference: fme/ace/aggregator/inference/video.py:290 VideoAggregator,
+_MeanVideoData, _ErrorVideoData, _VarianceVideoData).
+
+Accumulates [n_time, H, W] arrays per variable: ensemble/batch-mean of
+generated and target fields, and (extended mode) bias, per-timestep
+ensemble RMSE, min/max error, and generated-ensemble variance. Windows
+are recorded in rollout order; the aggregator advances its own time
+cursor per batch.
+"""
+
+import numpy as np
+
+from ace_tpu.core.typing_ import TensorMapping
+
+
+class VideoAggregator:
+    """(reference: video.py:290)."""
+
+    def __init__(self, n_timesteps: int,
+                 enable_extended_videos: bool = False):
+        self._n_timesteps = n_timesteps
+        self._extended = enable_extended_videos
+        self._i_time = 0
+        self._gen_sum: dict[str, np.ndarray] = {}
+        self._target_sum: dict[str, np.ndarray] = {}
+        self._count: np.ndarray | None = None
+        self._sq_err_sum: dict[str, np.ndarray] = {}
+        self._gen_sq_sum: dict[str, np.ndarray] = {}
+        self._min_err: dict[str, np.ndarray] = {}
+        self._max_err: dict[str, np.ndarray] = {}
+
+    def _ensure(self, store, name, spatial, fill=0.0):
+        if name not in store:
+            store[name] = np.full(
+                (self._n_timesteps, *spatial), fill, np.float64
+            )
+        return store[name]
+
+    def record_batch(self, gen: TensorMapping,
+                     target: TensorMapping | None = None,
+                     i_time_start: int | None = None):
+        first = np.asarray(next(iter(gen.values())))
+        n_batch, n_time = first.shape[:2]
+        spatial = first.shape[2:]
+        start = self._i_time if i_time_start is None else i_time_start
+        end = min(start + n_time, self._n_timesteps)
+        sl = slice(start, end)
+        n_keep = end - start
+        if n_keep <= 0:
+            return
+        if self._count is None:
+            self._count = np.zeros((self._n_timesteps,), np.int64)
+        self._count[sl] += n_batch
+        for name, value in gen.items():
+            arr = np.asarray(value, np.float64)[:, :n_keep]
+            self._ensure(self._gen_sum, name, spatial)[sl] += arr.sum(axis=0)
+            if self._extended:
+                self._ensure(self._gen_sq_sum, name, spatial)[sl] += (
+                    arr**2
+                ).sum(axis=0)
+            if target is not None and name in target:
+                tgt = np.asarray(target[name], np.float64)[:, :n_keep]
+                self._ensure(self._target_sum, name, spatial)[sl] += (
+                    tgt.sum(axis=0)
+                )
+                if self._extended:
+                    err = arr - tgt
+                    self._ensure(self._sq_err_sum, name, spatial)[sl] += (
+                        err**2
+                    ).sum(axis=0)
+                    mn = self._ensure(
+                        self._min_err, name, spatial, fill=np.inf
+                    )
+                    mx = self._ensure(
+                        self._max_err, name, spatial, fill=-np.inf
+                    )
+                    mn[sl] = np.minimum(mn[sl], err.min(axis=0))
+                    mx[sl] = np.maximum(mx[sl], err.max(axis=0))
+        if i_time_start is None:
+            self._i_time += n_time
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        if self._count is None:
+            return {}
+        n = np.maximum(self._count, 1)[:, None, None]
+        out: dict[str, np.ndarray] = {}
+        for name, s in self._gen_sum.items():
+            gen_mean = (s / n).astype(np.float32)
+            out[f"video-gen-{name}"] = gen_mean
+            if name in self._target_sum:
+                tgt_mean = (self._target_sum[name] / n).astype(np.float32)
+                out[f"video-target-{name}"] = tgt_mean
+                if self._extended:
+                    out[f"video-bias-{name}"] = gen_mean - tgt_mean
+            if self._extended and name in self._sq_err_sum:
+                out[f"video-rmse-{name}"] = np.sqrt(
+                    self._sq_err_sum[name] / n
+                ).astype(np.float32)
+                out[f"video-min_err-{name}"] = self._min_err[name].astype(
+                    np.float32
+                )
+                out[f"video-max_err-{name}"] = self._max_err[name].astype(
+                    np.float32
+                )
+            if self._extended and name in self._gen_sq_sum:
+                var = self._gen_sq_sum[name] / n - (self._gen_sum[name] / n) ** 2
+                out[f"video-gen_var-{name}"] = np.maximum(var, 0.0).astype(
+                    np.float32
+                )
+        return out
+
+    def get_logs(self, label: str = "video") -> dict[str, float]:
+        # videos are array diagnostics; logs carry only a size marker
+        diags = self.get_diagnostics()
+        return {f"{label}/n_videos": float(len(diags))}

@@ -97,3 +97,35 @@ def test_near_zero_fraction():
     agg.record_batch({"p": data})
     logs = agg.get_logs()
     assert abs(logs["near_zero_fraction/p"] - 0.5) < 1e-6
+
+
+def test_video_aggregator():
+    from ace_tpu.aggregator.video import VideoAggregator
+
+    rng = np.random.RandomState(0)
+    agg = VideoAggregator(n_timesteps=4, enable_extended_videos=True)
+    gen1 = {"a": rng.randn(2, 2, 4, 8)}
+    tgt1 = {"a": rng.randn(2, 2, 4, 8)}
+    gen2 = {"a": rng.randn(2, 2, 4, 8)}
+    tgt2 = {"a": rng.randn(2, 2, 4, 8)}
+    agg.record_batch(gen1, tgt1)
+    agg.record_batch(gen2, tgt2)
+    diags = agg.get_diagnostics()
+    assert diags["video-gen-a"].shape == (4, 4, 8)
+    np.testing.assert_allclose(
+        diags["video-gen-a"][0], gen1["a"][:, 0].mean(axis=0), rtol=1e-5
+    )
+    np.testing.assert_allclose(
+        diags["video-gen-a"][2], gen2["a"][:, 0].mean(axis=0), rtol=1e-5
+    )
+    err = gen1["a"][:, 1] - tgt1["a"][:, 1]
+    np.testing.assert_allclose(
+        diags["video-rmse-a"][1],
+        np.sqrt((err**2).mean(axis=0)),
+        rtol=1e-5,
+    )
+    np.testing.assert_allclose(
+        diags["video-min_err-a"][1], err.min(axis=0), rtol=1e-5
+    )
+    assert "video-bias-a" in diags
+    assert "video-gen_var-a" in diags
