@@ -54,6 +54,7 @@ class DiffusionModelConfig:
     out_names: list[str]
     normalization: PairedNormalizationConfig
     module: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    downscale_factor: int = 1
     sigma_min: float = 0.002
     sigma_max: float = 80.0
     sigma_data: float = 0.5
@@ -97,9 +98,14 @@ class DiffusionModel:
         )
 
     def init_params(self, rng: jax.Array, img_shape=None):
+        # img_shape is the COARSE conditioning shape; the UNet runs at the
+        # fine resolution (coarse * downscale_factor)
         nlat, nlon = img_shape or self.dataset_info.img_shape
-        x = jnp.zeros((1, nlat, nlon, len(self.config.out_names)))
-        cond = jnp.zeros((1, nlat, nlon, len(self.config.in_names)))
+        f = self.config.downscale_factor
+        x = jnp.zeros((1, nlat * f, nlon * f, len(self.config.out_names)))
+        cond = jnp.zeros(
+            (1, nlat * f, nlon * f, len(self.config.in_names))
+        )
         sigma = jnp.zeros((1,))
         self.params = self.net.init(rng, x, cond, sigma)
         return self.params
@@ -114,6 +120,14 @@ class DiffusionModel:
         cond = self.in_packer.pack(
             self.coarse_normalizer.normalize(dict(coarse))
         )
+        f = self.config.downscale_factor
+        if f > 1:
+            # conditioning fields bilinearly upsampled to the fine grid
+            # (reference: downscaling/models.py interpolated-input path)
+            b, h, w, c = cond.shape
+            cond = jax.image.resize(
+                cond, (b, h * f, w * f, c), method="bilinear"
+            )
         target = None
         if fine is not None:
             target = self.out_packer.pack(
@@ -163,3 +177,48 @@ class DiffusionModel:
         from ace_tpu.core.config import to_dict
 
         return {"config": to_dict(self.config)}
+
+
+class PatchPredictor:
+    """Full-extent generation by compositing overlapping patch predictions
+    (reference: fme/downscaling/predictors/composite.py:52 PatchPredictor).
+    """
+
+    def __init__(self, model: DiffusionModel,
+                 coarse_patch_shape: tuple[int, int],
+                 coarse_horizontal_overlap: int = 1):
+        self.model = model
+        self.coarse_patch_shape = coarse_patch_shape
+        self.overlap = coarse_horizontal_overlap
+
+    def generate(self, coarse: TensorMapping, rng: jax.Array,
+                 params=None, n_samples: int = 1) -> TensorDict:
+        from ace_tpu.downscaling.patching import (
+            composite_patch_predictions,
+            get_patches,
+            scale_patch,
+        )
+
+        first = next(iter(coarse.values()))
+        extent = first.shape[-2:]
+        patches = get_patches(
+            yx_extent=extent,
+            yx_patch_extent=self.coarse_patch_shape,
+            overlap=self.overlap,
+            drop_partial_patches=False,
+        )
+        factor = self.model.config.downscale_factor
+        predictions = []
+        for patch in patches:
+            sl_y, sl_x = patch.input_slice.y, patch.input_slice.x
+            coarse_patch = {
+                k: v[..., sl_y, sl_x] for k, v in coarse.items()
+            }
+            rng, sub = jax.random.split(rng)
+            predictions.append(
+                self.model.generate(
+                    coarse_patch, sub, params=params, n_samples=n_samples
+                )
+            )
+        fine_patches = [scale_patch(p, factor) for p in patches]
+        return composite_patch_predictions(predictions, fine_patches)

@@ -1,0 +1,299 @@
+"""Downscaling training entry (reference: fme/downscaling/train.py:85
+Trainer, TrainerConfig :391).
+
+Trains the EDM diffusion model on paired (coarse, fine) snapshots. The
+loss step is one jitted XLA program; optional coarse-patch training
+iterates random patches of the coarse grid each batch.
+"""
+
+import dataclasses
+import logging
+import os
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
+from ace_tpu.core.config import from_dict, to_dict
+from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
+from ace_tpu.core.wandb import DiskMetricLogger
+from ace_tpu.data.dataset import XarrayDataConfig
+from ace_tpu.downscaling.models import DiffusionModel, DiffusionModelConfig
+from ace_tpu.stepper.checkpoint import load_msgpack, save_msgpack
+from ace_tpu.train.trainer import LoggingConfig
+
+
+@dataclasses.dataclass
+class PairedDataConfig:
+    """Time-aligned coarse/fine datasets (reference:
+    fme/downscaling/data paired loader configs).
+    """
+
+    coarse: XarrayDataConfig
+    fine: XarrayDataConfig
+    batch_size: int = 1
+
+
+@dataclasses.dataclass
+class DownscalingTrainConfig:
+    """(reference: fme/downscaling/train.py:391 TrainerConfig, subset —
+    region_sampling lands in a later round).
+    """
+
+    experiment_dir: str
+    max_epochs: int
+    model: DiffusionModelConfig
+    train_data: PairedDataConfig
+    validation_data: PairedDataConfig | None = None
+    optimization: OptimizationConfig = dataclasses.field(
+        default_factory=OptimizationConfig
+    )
+    ema: EMAConfig = dataclasses.field(default_factory=EMAConfig)
+    validate_using_ema: bool = False
+    save_checkpoints: bool = True
+    segment_epochs: int | None = None
+    coarse_patch_extent_lat: int | None = None
+    coarse_patch_extent_lon: int | None = None
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+    seed: int = 0
+
+    def __post_init__(self):
+        if (self.coarse_patch_extent_lat is None) != (
+            self.coarse_patch_extent_lon is None
+        ):
+            raise ValueError(
+                "set both or neither of coarse_patch_extent_lat/lon"
+            )
+
+    @property
+    def checkpoint_dir(self) -> str:
+        return os.path.join(self.experiment_dir, "checkpoints")
+
+
+def save_downscaling_checkpoint(path: str, model: DiffusionModel,
+                                params: Any):
+    os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+    import json
+
+    save_msgpack(path, {
+        "config": json.dumps(to_dict(model.config)),
+        "dataset_info": json.dumps(model.dataset_info.get_state()),
+        "params": jax.tree_util.tree_map(np.asarray, params),
+    })
+
+
+def load_downscaling_model(path: str) -> DiffusionModel:
+    import json
+
+    from ace_tpu.core.dataset_info import DatasetInfo
+    from flax import serialization
+
+    payload = load_msgpack(path)
+    config = from_dict(DiffusionModelConfig, json.loads(payload["config"]))
+    dataset_info = DatasetInfo.from_state(
+        json.loads(payload["dataset_info"])
+    )
+    model = DiffusionModel(config, dataset_info)
+    template = model.init_params(jax.random.PRNGKey(0))
+    model.params = serialization.from_state_dict(
+        template, payload["params"]
+    )
+    return model
+
+
+class DownscalingTrainer:
+    def __init__(self, config: DownscalingTrainConfig):
+        self.config = config
+        self.coarse_ds = config.train_data.coarse.build()
+        self.fine_ds = config.train_data.fine.build()
+        coarse_shape = self.coarse_ds.dataset_info.img_shape
+        fine_shape = self.fine_ds.dataset_info.img_shape
+        factor = config.model.downscale_factor
+        if (coarse_shape[0] * factor, coarse_shape[1] * factor) != tuple(
+            fine_shape
+        ):
+            raise ValueError(
+                f"fine shape {fine_shape} is not coarse {coarse_shape} x "
+                f"downscale_factor {factor}"
+            )
+        if config.coarse_patch_extent_lat is not None:
+            self.patch_shape: tuple[int, int] | None = (
+                config.coarse_patch_extent_lat,
+                config.coarse_patch_extent_lon,
+            )
+            model_coarse_shape = self.patch_shape
+        else:
+            self.patch_shape = None
+            model_coarse_shape = coarse_shape
+        self.model = DiffusionModel(
+            config.model, self.coarse_ds.dataset_info
+        )
+        self.params = self.model.init_params(
+            jax.random.PRNGKey(config.seed), img_shape=model_coarse_shape
+        )
+        self.optimization = config.optimization.build(
+            max_epochs=config.max_epochs,
+            steps_per_epoch=max(1, self.coarse_ds.n_times
+                                // config.train_data.batch_size),
+        )
+        self.opt_state = self.optimization.init(self.params)
+        self.ema = config.ema.build()
+        self.ema.init(self.params)
+        self._disk_logger = DiskMetricLogger(
+            os.path.join(config.experiment_dir, "metrics.jsonl")
+        )
+
+        def train_step(params, opt_state, coarse, fine, rng):
+            loss, grads = jax.value_and_grad(self.model.loss_fn)(
+                params, coarse, fine, rng
+            )
+            updates, new_opt_state = self.optimization.tx.update(
+                grads, opt_state, params
+            )
+            return (
+                optax.apply_updates(params, updates),
+                new_opt_state,
+                loss,
+            )
+
+        self._train_step = jax.jit(train_step)
+        self._valid_loss = jax.jit(self.model.loss_fn)
+
+    def _batches(self, rng: np.random.RandomState, shuffle: bool):
+        n = min(self.coarse_ds.n_times, self.fine_ds.n_times)
+        bs = self.config.train_data.batch_size
+        order = np.arange(n)
+        if shuffle:
+            rng.shuffle(order)
+        names_c = self.model.config.in_names
+        names_f = self.model.config.out_names
+        for i in range(0, n - bs + 1, bs):
+            idx = order[i : i + bs]
+            coarse = {
+                k: jnp.asarray(np.stack([
+                    self.coarse_ds.get_window(int(j), 1, names_c)[0][k][0]
+                    for j in idx
+                ]))
+                for k in names_c
+            }
+            fine = {
+                k: jnp.asarray(np.stack([
+                    self.fine_ds.get_window(int(j), 1, names_f)[0][k][0]
+                    for j in idx
+                ]))
+                for k in names_f
+            }
+            if self.patch_shape is not None:
+                ph, pw = self.patch_shape
+                f = self.model.config.downscale_factor
+                h, w = self.coarse_ds.dataset_info.img_shape
+                y0 = int(rng.randint(0, h - ph + 1))
+                x0 = int(rng.randint(0, w - pw + 1))
+                coarse = {
+                    k: v[..., y0 : y0 + ph, x0 : x0 + pw]
+                    for k, v in coarse.items()
+                }
+                fine = {
+                    k: v[
+                        ...,
+                        y0 * f : (y0 + ph) * f,
+                        x0 * f : (x0 + pw) * f,
+                    ]
+                    for k, v in fine.items()
+                }
+            yield coarse, fine
+
+    def train(self):
+        config = self.config
+        rng = jax.random.PRNGKey(config.seed + 1)
+        np_rng = np.random.RandomState(config.seed)
+        if config.segment_epochs is None:
+            end_epoch = config.max_epochs
+        else:
+            end_epoch = min(config.segment_epochs, config.max_epochs)
+        last = {}
+        for epoch in range(end_epoch):
+            losses = []
+            for coarse, fine in self._batches(np_rng, shuffle=True):
+                rng, sub = jax.random.split(rng)
+                self.params, self.opt_state, loss = self._train_step(
+                    self.params, self.opt_state, coarse, fine, sub
+                )
+                self.ema(self.params)
+                losses.append(float(loss))
+            last = {"epoch": epoch, "train_loss": float(np.mean(losses))}
+            if config.validation_data is not None:
+                val = self._validate(rng)
+                last["val_loss"] = val
+            logging.info(f"downscaling epoch {epoch}: {last}")
+            self._disk_logger.log(last)
+            if config.save_checkpoints:
+                save_downscaling_checkpoint(
+                    os.path.join(config.checkpoint_dir, "ckpt.msgpack"),
+                    self.model, self.params,
+                )
+                ema_params = self.ema.ema_params
+                if ema_params is not None:
+                    save_downscaling_checkpoint(
+                        os.path.join(
+                            config.checkpoint_dir, "ema_ckpt.msgpack"
+                        ),
+                        self.model, ema_params,
+                    )
+        self.model.params = self.params
+        return self
+
+    def _validate(self, rng) -> float:
+        assert self.config.validation_data is not None
+        val_coarse = self.config.validation_data.coarse.build()
+        val_fine = self.config.validation_data.fine.build()
+        names_c = self.model.config.in_names
+        names_f = self.model.config.out_names
+        params = (
+            self.ema.ema_params
+            if self.config.validate_using_ema and self.ema.ema_params
+            is not None
+            else self.params
+        )
+        losses = []
+        n = min(val_coarse.n_times, val_fine.n_times)
+        for j in range(n):
+            coarse = {
+                k: jnp.asarray(
+                    val_coarse.get_window(j, 1, names_c)[0][k]
+                )
+                for k in names_c
+            }
+            fine = {
+                k: jnp.asarray(val_fine.get_window(j, 1, names_f)[0][k])
+                for k in names_f
+            }
+            if self.patch_shape is not None:
+                ph, pw = self.patch_shape
+                f = self.model.config.downscale_factor
+                coarse = {
+                    k: v[..., :ph, :pw] for k, v in coarse.items()
+                }
+                fine = {
+                    k: v[..., : ph * f, : pw * f]
+                    for k, v in fine.items()
+                }
+            rng, sub = jax.random.split(rng)
+            losses.append(float(
+                self._valid_loss(params, coarse, fine, sub)
+            ))
+        return float(np.mean(losses))
+
+
+def main(argv=None):
+    parser = get_parser()
+    args = parser.parse_args(argv)
+    data = prepare_config(args.yaml_config, args.override)
+    config = from_dict(DownscalingTrainConfig, data)
+    prepare_directory(config.experiment_dir, data)
+    config.logging.configure(config.experiment_dir)
+    logging.info("Starting downscaling training")
+    return DownscalingTrainer(config).train()

@@ -2,6 +2,8 @@
 EDM loss behavior, sampler consistency, preconditioner limits).
 """
 
+import os
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -133,3 +135,105 @@ def test_generation_shapes_and_conditioning():
     assert not np.allclose(
         np.asarray(out["fine_x"][:, 0]), np.asarray(out["fine_x"][:, 1])
     )
+
+
+def test_patching_roundtrip():
+    import jax.numpy as jnp
+
+    from ace_tpu.downscaling.patching import (
+        composite_patch_predictions,
+        get_patches,
+    )
+
+    patches = get_patches(
+        yx_extent=(10, 14), yx_patch_extent=(6, 6), overlap=2,
+        drop_partial_patches=False,
+    )
+    # compositing a constant field reproduces it exactly
+    preds = [
+        {"a": jnp.ones((2, 1,
+                        p.input_slice.y.stop - p.input_slice.y.start,
+                        p.input_slice.x.stop - p.input_slice.x.start))[
+            ..., p.output_slice.y, p.output_slice.x]}
+        for p in patches
+    ]
+    out = composite_patch_predictions(preds, patches)
+    assert out["a"].shape == (2, 1, 10, 14)
+    np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
+
+
+def test_downscaling_train_and_patched_generate(tmp_path):
+    import yaml
+
+    from ace_tpu.testing import SyntheticData
+
+    names = ["temp"]
+    coarse = SyntheticData(
+        tmp_path / "coarse", names, n_time=6, nlat=8, nlon=16
+    )
+    fine = SyntheticData(
+        tmp_path / "fine", names, n_time=6, nlat=16, nlon=32
+    )
+    config = {
+        "experiment_dir": str(tmp_path / "out"),
+        "max_epochs": 1,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "optimization": {"lr": 1e-3},
+        "model": {
+            "in_names": names,
+            "out_names": names,
+            "downscale_factor": 2,
+            "num_diffusion_generation_steps": 3,
+            "module": {
+                "base_channels": 8,
+                "channel_mults": [1, 2],
+                "num_res_blocks": 1,
+            },
+            "normalization": {
+                "coarse": {
+                    "global_means_path": str(coarse.mean_path),
+                    "global_stds_path": str(coarse.std_path),
+                },
+                "fine": {
+                    "global_means_path": str(fine.mean_path),
+                    "global_stds_path": str(fine.std_path),
+                },
+            },
+        },
+        "train_data": {
+            "coarse": {"data_path": str(coarse.data_dir)},
+            "fine": {"data_path": str(fine.data_dir)},
+            "batch_size": 2,
+        },
+        "coarse_patch_extent_lat": 4,
+        "coarse_patch_extent_lon": 8,
+    }
+    config_path = tmp_path / "ds.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.downscaling.train import load_downscaling_model, main
+
+    trainer = main([str(config_path)])
+    ckpt = os.path.join(
+        str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+    )
+    assert os.path.exists(ckpt)
+
+    model = load_downscaling_model(ckpt)
+    from ace_tpu.downscaling.models import PatchPredictor
+
+    predictor = PatchPredictor(
+        model, coarse_patch_shape=(4, 8), coarse_horizontal_overlap=1
+    )
+    coarse_data = {
+        "temp": jnp.asarray(
+            np.random.RandomState(0).randn(1, 8, 16), jnp.float32
+        )
+    }
+    out = predictor.generate(
+        coarse_data, jax.random.PRNGKey(0), params=model.params,
+        n_samples=2,
+    )
+    assert out["temp"].shape == (1, 2, 16, 32)
+    assert bool(jnp.all(jnp.isfinite(out["temp"])))
