@@ -10,4 +10,9 @@ from ace_tpu.core.step.base import (  # noqa: F401
     StepSelector,
     StepperState,
 )
-from ace_tpu.core.step import multi_call, separate_radiation, single_module  # noqa: F401
+from ace_tpu.core.step import (  # noqa: F401
+    fcn3,
+    multi_call,
+    separate_radiation,
+    single_module,
+)

@@ -97,6 +97,19 @@ class DiffusionModel:
             or LogNormalNoiseDistribution()
         )
 
+        def _sample(params, latents, cond, rng):
+            return stochastic_sampler(
+                self._denoiser(params), latents, cond, rng,
+                num_steps=self.config.num_diffusion_generation_steps,
+                sigma_min=self.config.sigma_min,
+                sigma_max=self.config.sigma_max,
+                S_churn=self.config.churn,
+            )
+
+        # one compiled sampler per (latent, cond) shape; reused across
+        # patches/timesteps so patched generation compiles once
+        self._jit_sample = jax.jit(_sample)
+
     def init_params(self, rng: jax.Array, img_shape=None):
         # img_shape is the COARSE conditioning shape; the UNet runs at the
         # fine resolution (coarse * downscale_factor)
@@ -159,14 +172,7 @@ class DiffusionModel:
         for s in range(n_samples):
             rng, k_lat, k_samp = jax.random.split(rng, 3)
             latents = jax.random.normal(k_lat, (batch, h, w, c_out))
-            sample = stochastic_sampler(
-                self._denoiser(params), latents, cond, k_samp,
-                num_steps=self.config.num_diffusion_generation_steps,
-                sigma_min=self.config.sigma_min,
-                sigma_max=self.config.sigma_max,
-                S_churn=self.config.churn,
-            )
-            outs.append(sample)
+            outs.append(self._jit_sample(params, latents, cond, k_samp))
         stacked = jnp.stack(outs, axis=1)  # [B, S, H, W, C]
         result = {}
         for i, name in enumerate(self.config.out_names):

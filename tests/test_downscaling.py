@@ -237,3 +237,34 @@ def test_downscaling_train_and_patched_generate(tmp_path):
     )
     assert out["temp"].shape == (1, 2, 16, 32)
     assert bool(jnp.all(jnp.isfinite(out["temp"])))
+
+
+def test_downscaler_predict_entry(tmp_path):
+    # train a tiny model first (reuses the training test fixture)
+    test_downscaling_train_and_patched_generate(tmp_path)
+    import yaml
+
+    config = {
+        "experiment_dir": str(tmp_path / "predict"),
+        "checkpoint_path": os.path.join(
+            str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+        ),
+        "coarse_data": {"data_path": str(tmp_path / "coarse" / "data")},
+        "n_samples": 2,
+        "n_timesteps": 2,
+        "coarse_patch_extent_lat": 4,
+        "coarse_patch_extent_lon": 8,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+    }
+    config_path = tmp_path / "predict.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.downscaling.predict import main
+
+    path = main([str(config_path)])
+    import h5py
+
+    with h5py.File(path, "r") as f:
+        assert f["temp"].shape == (2, 2, 16, 32)
+        assert np.isfinite(f["temp"][:]).all()
