@@ -96,6 +96,28 @@ class WindowDataset:
         return self.dataset.dataset_info
 
 
+class StridedWindowDataset(WindowDataset):
+    """Window dataset with a start-index stride, for time-buffered loading
+    (reference: fme/ace/data_loading/dataloader.py window semantics:
+    consecutive windows advance by time_buffer + 1 so no sub-window is
+    skipped; a trailing partial window is dropped).
+    """
+
+    def __init__(self, dataset: XarrayDataset,
+                 requirements: DataRequirements, stride: int):
+        super().__init__(dataset, requirements)
+        self.stride = stride
+
+    def __len__(self) -> int:
+        n = self.dataset.n_times - self.n_timesteps + 1
+        return max(0, (n + self.stride - 1) // self.stride)
+
+    def __getitem__(self, idx: int) -> tuple[dict, TimeCoord]:
+        return self.dataset.get_window(
+            idx * self.stride, self.n_timesteps, self.names
+        )
+
+
 def _collate(samples: list[tuple[dict, TimeCoord]]) -> BatchData:
     names = samples[0][0].keys()
     data = {
@@ -191,21 +213,108 @@ class DataLoader:
             stop.set()
 
 
+class SlidingWindowLoader:
+    """Wraps a loader of long windows, emitting ``time_buffer + 1``
+    sub-window batches per input batch, interleaved across a pool of
+    ``pool_size`` in-memory windows to decorrelate consecutive outputs
+    (reference: fme/ace/data_loading/dataloader.py:148
+    SlidingWindowDataLoader + PooledSequence).
+    """
+
+    def __init__(self, loader: DataLoader, output_n_timesteps: int,
+                 time_buffer: int, shuffle: bool, pool_size: int = 1,
+                 seed: int = 0):
+        if pool_size < 1:
+            raise ValueError("pool_size must be >= 1")
+        self._loader = loader
+        self._n_out = output_n_timesteps
+        self._time_buffer = time_buffer
+        self._shuffle = shuffle
+        self._pool_size = pool_size
+        self._seed = seed
+        self._epoch = 0
+
+    @property
+    def batch_size(self) -> int:
+        return self._loader.batch_size
+
+    @property
+    def dataset(self):
+        return self._loader.dataset
+
+    def set_epoch(self, epoch: int):
+        self._epoch = epoch
+        self._loader.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        return len(self._loader) * (self._time_buffer + 1)
+
+    def _subselect(self, batch: BatchData, offset: int) -> BatchData:
+        sl = slice(offset, offset + self._n_out)
+        return BatchData(
+            data={k: v[:, sl] for k, v in batch.data.items()},
+            time=TimeCoord(batch.time.values[:, sl], batch.time.calendar),
+        )
+
+    def __iter__(self) -> Iterator[BatchData]:
+        rng = np.random.RandomState(self._seed + self._epoch + 17)
+        source = iter(self._loader)
+        # each pool slot: (window batch, remaining offsets)
+        pool: list[tuple[BatchData, list[int]]] = []
+
+        def refill():
+            while len(pool) < self._pool_size:
+                try:
+                    batch = next(source)
+                except StopIteration:
+                    return
+                offsets = list(range(self._time_buffer + 1))
+                if self._shuffle:
+                    rng.shuffle(offsets)
+                pool.append((batch, offsets))
+
+        refill()
+        while pool:
+            slot = int(rng.randint(len(pool))) if self._shuffle else 0
+            batch, offsets = pool[slot]
+            yield self._subselect(batch, offsets.pop(0))
+            if not offsets:
+                pool.pop(slot)
+                refill()
+
+
 @dataclasses.dataclass
 class DataLoaderConfig:
     """Training data loader config (reference:
-    fme/ace/data_loading/config.py:15).
+    fme/ace/data_loading/config.py:15; time_buffer semantics :31).
     """
 
     dataset: XarrayDataConfig
     batch_size: int = 1
     num_data_workers: int = 4
     prefetch_factor: int = 2
+    time_buffer: int = 0
+    time_buffer_pool_size: int = 1
+
+    def __post_init__(self):
+        if self.time_buffer_pool_size > 1 and self.time_buffer == 0:
+            raise ValueError(
+                "time_buffer_pool_size requires time_buffer > 0"
+            )
 
     def build(self, requirements: DataRequirements, train: bool = True,
               sharding=None, seed: int = 0) -> "GriddedData":
         xr_dataset = self.dataset.build()
-        window = WindowDataset(xr_dataset, requirements)
+        if self.time_buffer > 0:
+            buffered = DataRequirements(
+                names=requirements.names,
+                n_timesteps=requirements.n_timesteps + self.time_buffer,
+            )
+            window: WindowDataset = StridedWindowDataset(
+                xr_dataset, buffered, stride=self.time_buffer + 1
+            )
+        else:
+            window = WindowDataset(xr_dataset, requirements)
         loader = DataLoader(
             window,
             batch_size=self.batch_size,
@@ -215,6 +324,15 @@ class DataLoaderConfig:
             seed=seed,
             sharding=sharding,
         )
+        if self.time_buffer > 0:
+            loader = SlidingWindowLoader(
+                loader,
+                output_n_timesteps=requirements.n_timesteps,
+                time_buffer=self.time_buffer,
+                shuffle=train,
+                pool_size=self.time_buffer_pool_size,
+                seed=seed,
+            )
         return GriddedData(loader=loader, dataset=xr_dataset)
 
 

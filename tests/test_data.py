@@ -185,3 +185,65 @@ def test_merged_dataset(tmp_path):
     first = XarrayDataConfig(data_path=str(d1)).build()
     w1, _ = first.get_window(1, 2, ["shared"])
     np.testing.assert_array_equal(w["shared"], w1["shared"])
+
+
+def test_time_buffer_sliding_window_loader(tmp_path):
+    from ace_tpu.data.loading import DataLoaderConfig
+    from ace_tpu.data.requirements import DataRequirements
+    from ace_tpu.testing import SyntheticData
+
+    data = SyntheticData(tmp_path / "d", ["a"], n_time=20)
+    req = DataRequirements(names=["a"], n_timesteps=3)
+    cfg = DataLoaderConfig(
+        dataset={"data_path": str(data.data_dir)},
+        batch_size=2,
+        num_data_workers=1,
+        time_buffer=2,
+        time_buffer_pool_size=2,
+    )
+    from ace_tpu.core.config import from_dict
+
+    cfg = from_dict(DataLoaderConfig, {
+        "dataset": {"data_path": str(data.data_dir)},
+        "batch_size": 2,
+        "num_data_workers": 1,
+        "time_buffer": 2,
+        "time_buffer_pool_size": 2,
+    })
+    gridded = cfg.build(req, train=True, seed=0)
+    batches = list(gridded.loader)
+    # windows of length 5 with stride 3: starts 0,3,6,9,12,15 -> 6 windows
+    # -> 3 input batches of 2 -> 9 output batches of 3 sub-windows... 
+    # each input batch yields time_buffer+1 = 3 sub-batches
+    assert len(batches) == len(gridded.loader)
+    assert len(batches) > 0
+    for b in batches:
+        assert b.data["a"].shape[1] == 3
+        assert b.time.values.shape[1] == 3
+    # deterministic (eval) mode emits offsets in order with no skipped
+    # samples across the first window
+    cfg_eval = from_dict(DataLoaderConfig, {
+        "dataset": {"data_path": str(data.data_dir)},
+        "batch_size": 1,
+        "num_data_workers": 1,
+        "time_buffer": 2,
+    })
+    gridded_eval = cfg_eval.build(req, train=False, seed=0)
+    eval_batches = list(gridded_eval.loader)
+    t0 = np.asarray(eval_batches[0].time.values[0])
+    t1 = np.asarray(eval_batches[1].time.values[0])
+    # consecutive sub-windows advance by one timestep within a window
+    assert t1[0] == t0[1]
+
+
+def test_time_buffer_pool_requires_buffer():
+    import pytest
+
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.data.loading import DataLoaderConfig
+
+    with pytest.raises(ValueError):
+        from_dict(DataLoaderConfig, {
+            "dataset": {"data_path": "/nonexistent"},
+            "time_buffer_pool_size": 4,
+        })
