@@ -234,6 +234,124 @@ class LatLonCoordinates:
         return LatLonOperations(self.area_weights)
 
 
+@dataclasses.dataclass
+class HEALPixCoordinates:
+    """A HEALPix (face, height, width) grid in flat-XY pixel order
+    (reference: fme/core/coordinates.py:717 HEALPixCoordinates).
+    """
+
+    face: np.ndarray
+    height: np.ndarray
+    width: np.ndarray
+
+    def __post_init__(self):
+        self.face = np.asarray(self.face)
+        self.height = np.asarray(self.height)
+        self.width = np.asarray(self.width)
+        if len(self.face) != 12:
+            raise ValueError("HEALPixCoordinates must have 12 faces")
+        if len(self.height) != len(self.width):
+            raise ValueError("HEALPix faces must be square")
+        nside = len(self.width)
+        if 2 ** int(np.log2(nside)) != nside:
+            raise ValueError("HEALPix nside must be a power of 2")
+        self.nside = nside
+
+    @classmethod
+    def from_nside(cls, nside: int) -> "HEALPixCoordinates":
+        return cls(
+            face=np.arange(12),
+            height=np.arange(nside),
+            width=np.arange(nside),
+        )
+
+    def __eq__(self, other):
+        return (
+            isinstance(other, HEALPixCoordinates)
+            and other.nside == self.nside
+        )
+
+    @property
+    def shape(self) -> tuple[int, int, int]:
+        return (12, self.nside, self.nside)
+
+    @property
+    def dims(self) -> list[str]:
+        return ["face", "height", "width"]
+
+    @property
+    def loaded_sizes(self) -> list[DimSize]:
+        return [
+            DimSize("face", 12),
+            DimSize("height", self.nside),
+            DimSize("width", self.nside),
+        ]
+
+    @property
+    def coords(self) -> dict[str, np.ndarray]:
+        return {
+            "face": self.face,
+            "height": self.height,
+            "width": self.width,
+        }
+
+    @property
+    def grid(self) -> str:
+        return "healpix"
+
+    @property
+    def area_weights(self):
+        # HEALPix pixels are equal-area
+        return None
+
+    def meshgrid(self) -> tuple[np.ndarray, np.ndarray]:
+        """(lat, lon) in degrees per pixel, [12, nside, nside], computed
+        analytically from the ring geometry + ring->xy reorder (the
+        reference uses earth2grid for this).
+        """
+        from ace_tpu.ops.hpx import ring_decomposition, ring_to_xy_indices
+
+        nphi, start, theta, phi0 = ring_decomposition(self.nside)
+        npix = 12 * self.nside**2
+        lat_ring = np.zeros(npix)
+        lon_ring = np.zeros(npix)
+        for t in range(len(nphi)):
+            p = np.arange(nphi[t])
+            lat_ring[start[t] : start[t] + nphi[t]] = 90.0 - np.rad2deg(
+                theta[t]
+            )
+            lon_ring[start[t] : start[t] + nphi[t]] = np.rad2deg(
+                phi0[t] + 2.0 * np.pi * p / nphi[t]
+            )
+        idx = ring_to_xy_indices(self.nside)
+        return (
+            lat_ring[idx].reshape(self.shape),
+            lon_ring[idx].reshape(self.shape),
+        )
+
+    @property
+    def xyz(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        lat, lon = self.meshgrid()
+        lat_r, lon_r = np.deg2rad(lat), np.deg2rad(lon)
+        return (
+            np.cos(lat_r) * np.cos(lon_r),
+            np.cos(lat_r) * np.sin(lon_r),
+            np.sin(lat_r),
+        )
+
+    def as_dict(self) -> dict:
+        return {"nside": int(self.nside)}
+
+    @classmethod
+    def from_dict(cls, d: dict) -> "HEALPixCoordinates":
+        return cls.from_nside(d["nside"])
+
+    def get_gridded_operations(self):
+        from ace_tpu.core.gridded_ops import HEALPixOperations
+
+        return HEALPixOperations(self.nside)
+
+
 def gaussian_latitudes(nlat: int) -> np.ndarray:
     """Gaussian (Legendre) latitudes in degrees, south-to-north ascending."""
     from ace_tpu.ops.quadrature import legendre_gauss_weights

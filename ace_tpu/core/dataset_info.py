@@ -12,6 +12,7 @@ import numpy as np
 
 from ace_tpu.core.coordinates import (
     DepthCoordinate,
+    HEALPixCoordinates,
     HybridSigmaPressureCoordinate,
     LatLonCoordinates,
     NullVerticalCoordinate,
@@ -34,7 +35,7 @@ class IncompatibleDatasetInfo(ValueError):
 
 @dataclasses.dataclass
 class DatasetInfo:
-    horizontal_coordinates: LatLonCoordinates | None = None
+    horizontal_coordinates: LatLonCoordinates | HEALPixCoordinates | None = None
     vertical_coordinate: VerticalCoordinate | None = None
     timestep: timedelta | None = None
     variable_metadata: dict[str, VariableMetadata] = dataclasses.field(
@@ -124,9 +125,12 @@ class DatasetInfo:
         horizontal = None
         if "horizontal_coordinates" in state:
             hc = state["horizontal_coordinates"]
-            horizontal = LatLonCoordinates(
-                lat=np.asarray(hc["lat"]), lon=np.asarray(hc["lon"])
-            )
+            if "nside" in hc:
+                horizontal = HEALPixCoordinates.from_nside(hc["nside"])
+            else:
+                horizontal = LatLonCoordinates(
+                    lat=np.asarray(hc["lat"]), lon=np.asarray(hc["lon"])
+                )
         vertical: VerticalCoordinate | None = None
         if "vertical_coordinate" in state:
             vertical = deserialize_vertical_coordinate(state["vertical_coordinate"])

@@ -187,3 +187,82 @@ class LatLonOperations(GriddedOperations):
                 k: np.asarray(v).tolist() for k, v in self._spatial_masks.items()
             }
         return {"type": type(self).__name__, "state": state}
+
+
+class HEALPixOperations(GriddedOperations):
+    """Reductions over (face, height, width); HEALPix pixels are
+    equal-area so plain means/sums suffice
+    (reference: fme/core/gridded_ops.py:463 HEALPixOperations).
+    """
+
+    HORIZONTAL_DIMS = (-3, -2, -1)
+
+    def __init__(self, nside: int | None = None):
+        self.nside = nside
+
+    @property
+    def zonal_mean(self) -> None:
+        return None
+
+    def area_weighted_sum(self, data, keepdim: bool = False, name=None):
+        return jnp.sum(data, axis=self.HORIZONTAL_DIMS, keepdims=keepdim)
+
+    def area_weighted_mean(self, data, keepdim: bool = False, name=None):
+        return jnp.mean(data, axis=self.HORIZONTAL_DIMS, keepdims=keepdim)
+
+    def regional_area_weighted_mean(self, data, regional_mask,
+                                    keepdim=False, name=None):
+        raise NotImplementedError(
+            "regional means are not implemented for HEALPix"
+        )
+
+    def area_weighted_gradient_magnitude_percent_diff(
+        self, truth, predicted, name=None
+    ):
+        return metrics.gradient_magnitude_percent_diff(
+            truth, predicted, None, dim=(-2, -1)
+        )
+
+    def get_real_sht(self):
+        """xy-ordered [..., 12, nside, nside, C] -> spectral coefficients
+        (reference: gridded_ops.py:518 get_real_sht; lmax = 2*nside - 1).
+        """
+        from ace_tpu.ops.hpx import HealpixSHT, xy_to_ring_indices
+
+        if self.nside is None:
+            raise ValueError("nside must be specified for SHT")
+        nside = self.nside
+        lmax = 2 * nside - 1
+        sht = HealpixSHT(nside, lmax=lmax, mmax=lmax)
+        idx = jnp.asarray(xy_to_ring_indices(nside))
+
+        def forward(x):
+            flat = x.reshape(*x.shape[:-4], 12 * nside * nside, x.shape[-1])
+            return sht(jnp.take(flat, idx, axis=-2))
+
+        return forward
+
+    def get_real_isht(self):
+        from ace_tpu.ops.hpx import HealpixISHT, ring_to_xy_indices
+
+        if self.nside is None:
+            raise ValueError("nside must be specified for SHT")
+        nside = self.nside
+        lmax = 2 * nside - 1
+        isht = HealpixISHT(nside, lmax=lmax, mmax=lmax)
+        idx = jnp.asarray(ring_to_xy_indices(nside))
+
+        def inverse(coeffs):
+            ring = isht(coeffs)
+            xy = jnp.take(ring, idx, axis=-2)
+            return xy.reshape(
+                *xy.shape[:-2], 12, nside, nside, xy.shape[-1]
+            )
+
+        return inverse
+
+    def get_state(self) -> dict[str, Any]:
+        return {
+            "type": type(self).__name__,
+            "state": {"nside": self.nside},
+        }

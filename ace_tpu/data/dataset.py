@@ -17,6 +17,7 @@ import os
 import numpy as np
 
 from ace_tpu.core.coordinates import (
+    HEALPixCoordinates,
     HybridSigmaPressureCoordinate,
     LatLonCoordinates,
     NullVerticalCoordinate,
@@ -153,18 +154,32 @@ class XarrayDataset:
         )[config.subset.slice]
 
         first = self._files[0]
-        # horizontal coordinates
+        # horizontal coordinates: HEALPix (face/height/width dims) or
+        # lat-lon (reference: fme/core/dataset/xarray.py grid detection)
         lat_name = _find_dim(first.keys(), LAT_NAMES)
         lon_name = _find_dim(first.keys(), LON_NAMES)
-        if lat_name is None or lon_name is None:
-            raise ValueError("could not find lat/lon coordinate variables")
-        self._lat_name, self._lon_name = lat_name, lon_name
-        self.horizontal_coordinates = LatLonCoordinates(
-            lat=first[lat_name].read(()),
-            lon=first[lon_name].read(()),
-            loaded_lat_name=lat_name,
-            loaded_lon_name=lon_name,
-        )
+        if "face" in first.keys() and "height" in first.keys() and (
+            "width" in first.keys()
+        ):
+            self.horizontal_coordinates: (
+                LatLonCoordinates | HEALPixCoordinates
+            ) = HEALPixCoordinates(
+                face=first["face"].read(()),
+                height=first["height"].read(()),
+                width=first["width"].read(()),
+            )
+        elif lat_name is None or lon_name is None:
+            raise ValueError(
+                "could not find lat/lon or face/height/width coordinates"
+            )
+        else:
+            self._lat_name, self._lon_name = lat_name, lon_name
+            self.horizontal_coordinates = LatLonCoordinates(
+                lat=first[lat_name].read(()),
+                lon=first[lon_name].read(()),
+                loaded_lat_name=lat_name,
+                loaded_lon_name=lon_name,
+            )
         # vertical coordinate from ak_N/bk_N scalars
         ak = {k: float(first[k].read(())) for k in first.keys()
               if k.startswith("ak_") and k[3:].isdigit()}
@@ -233,6 +248,10 @@ class XarrayDataset:
         )
 
     def _static_derived(self, name: str) -> np.ndarray:
+        if isinstance(self.horizontal_coordinates, HEALPixCoordinates):
+            x, y, z = self.horizontal_coordinates.xyz
+            arr = {"x": x, "y": y, "z": z}[name]
+            return np.asarray(arr, np.float32)
         lat = np.deg2rad(self.horizontal_coordinates.lat)
         lon = np.deg2rad(self.horizontal_coordinates.lon)
         lat2d, lon2d = np.meshgrid(lat, lon, indexing="ij")

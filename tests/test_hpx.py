@@ -125,3 +125,47 @@ def test_healpix_sht_bandlimited_roundtrip():
     err = np.abs(np.asarray(coeffs2 - coeffs))[:4, :4]
     scale = np.abs(np.asarray(coeffs))[:4, :4].max()
     assert err.max() < 0.15 * scale
+
+
+def test_healpix_dataset_loading(tmp_path):
+    """A dataset on (face, height, width) dims loads with HEALPix
+    coordinates and static x/y/z derived from pixel centers."""
+    from ace_tpu.data.store import write_h5
+    from ace_tpu.data.dataset import XarrayDataConfig
+    from ace_tpu.data.time import TimeCoord
+
+    nside = 4
+    rng = np.random.RandomState(0)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    time = TimeCoord.from_range("2000-01-01T00:00", 4, 21600)
+    write_h5(
+        str(data_dir / "d.nc"),
+        {
+            "ta": rng.randn(4, 12, nside, nside).astype(np.float32),
+            "face": np.arange(12).astype(np.float64),
+            "height": np.arange(nside).astype(np.float64),
+            "width": np.arange(nside).astype(np.float64),
+        },
+        {
+            "ta": ("time", "face", "height", "width"),
+            "face": ("face",), "height": ("height",),
+            "width": ("width",),
+        },
+        time=time,
+    )
+    ds = XarrayDataConfig(data_path=str(data_dir)).build()
+    from ace_tpu.core.coordinates import HEALPixCoordinates
+
+    assert isinstance(ds.horizontal_coordinates, HEALPixCoordinates)
+    assert ds.horizontal_coordinates.shape == (12, nside, nside)
+    window, t = ds.get_window(0, 2, ["ta", "z"])
+    assert window["ta"].shape == (2, 12, nside, nside)
+    assert window["z"].shape == (2, 12, nside, nside)
+    # z = sin(lat): poles fall inside polar faces
+    assert abs(window["z"]).max() <= 1.0
+    # dataset_info round-trips through serialization
+    from ace_tpu.core.dataset_info import DatasetInfo
+
+    info2 = DatasetInfo.from_state(ds.dataset_info.get_state())
+    assert info2.horizontal_coordinates == ds.horizontal_coordinates
