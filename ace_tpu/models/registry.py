@@ -15,6 +15,7 @@ from typing import Any
 
 import flax.linen as nn
 import jax.numpy as jnp
+import numpy as np
 
 from ace_tpu.core.dataset_info import DatasetInfo
 from ace_tpu.core.registry import Registry, Selector
@@ -460,6 +461,51 @@ class LandNetBuilder(ModuleConfig):
             hidden_dims=tuple(self.hidden_dims),
             out_channels=n_out_channels,
             use_positional_embedding=self.use_positional_embedding,
+        )
+
+
+@ModuleSelector.register("FloeNet")
+@ModuleSelector.register("GraphCast")
+@dataclasses.dataclass
+class FloeNetBuilder(ModuleConfig):
+    """GraphCast-backbone sea-ice/ocean emulator
+    (reference: fme/ace/registry/m2lines.py:60 FloeNetBuilder). The
+    reference's is_ocean mode reads a mask_2d from the dataset's spatial
+    mask provider; pass ``mask_field`` in a later round — until then the
+    full grid is used.
+    """
+
+    latent_dimension: int = 256
+    activation: str = "silu"
+    meshes: int = 6
+    M0: int = 4
+    bias: bool = True
+    radius_fraction: float = 1.0
+    layernorm: bool = True
+    processor_steps: int = 4
+    residual: bool = True
+    is_ocean: bool = False
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        from ace_tpu.models.graphcast import GraphCast
+
+        hc = dataset_info.horizontal_coordinates
+        lat2d, lon2d = np.meshgrid(hc.lat, hc.lon, indexing="ij")
+        return GraphCast(
+            img_shape=dataset_info.img_shape,
+            in_chans=n_in_channels,
+            out_chans=n_out_channels,
+            lat2d=lat2d,
+            lon2d=lon2d,
+            latent_dimension=self.latent_dimension,
+            activation=self.activation.lower(),
+            meshes=self.meshes,
+            M0=self.M0,
+            use_bias=self.bias,
+            radius_fraction=self.radius_fraction,
+            layernorm=self.layernorm,
+            processor_steps=self.processor_steps,
+            residual=self.residual,
         )
 
 
