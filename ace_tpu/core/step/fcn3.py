@@ -33,14 +33,14 @@ from ace_tpu.core.typing_ import TensorMapping
 
 @dataclasses.dataclass
 class FCN3Config:
-    """(reference: fme/ace/step/fcn3.py:36 FCN3Config). Unsupported
-    reference extras (morlet basis, factorization) fall back to the
-    piecewise-linear DISCO basis.
+    """(reference: fme/ace/step/fcn3.py:36 FCN3Config). Tensor
+    factorization is not implemented (dense weights only).
     """
 
     model_grid_type: str = "legendre-gauss"
     sht_grid_type: str = "legendre-gauss"
     kernel_width: int = 3
+    filter_basis_type: str = "morlet"
     scale_factor: int = 8
     encoder_mlp: bool = False
     upsample_sht: bool = False
@@ -74,6 +74,7 @@ class FCN3Config:
             model_grid_type=self.model_grid_type,
             sht_grid_type=self.sht_grid_type,
             kernel_shape=(self.kernel_width, self.kernel_width),
+            filter_basis_type=self.filter_basis_type,
             scale_factor=self.scale_factor,
             encoder_mlp=self.encoder_mlp,
             upsample_sht=self.upsample_sht,

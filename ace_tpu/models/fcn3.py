@@ -47,11 +47,12 @@ class GroupedDiscoConv(nn.Module):
     use_bias: bool = False
     theta_cutoff_factor: float = 1.0
     weight_gain: float = 1.0
+    basis_type: str = "piecewise linear"
     dtype: Any = jnp.float32
 
     def setup(self):
         theta_cutoff = self.theta_cutoff_factor * compute_cutoff_radius(
-            self.in_shape[0], self.kernel_shape, "piecewise linear"
+            self.in_shape[0], self.kernel_shape, self.basis_type
         )
         self.conv = DiscoConvS2(
             in_shape=self.in_shape,
@@ -60,6 +61,7 @@ class GroupedDiscoConv(nn.Module):
             grid_in=self.grid_in,
             grid_out=self.grid_out,
             theta_cutoff=theta_cutoff,
+            basis_type=self.basis_type,
         )
 
     @nn.compact
@@ -100,6 +102,7 @@ class DiscoEncoder(nn.Module):
     mlp_ratio: float = 2.0
     activation: str = "gelu"
     use_bias: bool = False
+    basis_type: str = "piecewise linear"
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -111,7 +114,8 @@ class DiscoEncoder(nn.Module):
             kernel_shape=self.kernel_shape,
             grid_in=self.grid_in, grid_out=self.grid_out,
             groups=self.groups, use_bias=self.use_bias,
-            weight_gain=gain, dtype=self.dtype, name="conv",
+            weight_gain=gain, basis_type=self.basis_type,
+            dtype=self.dtype, name="conv",
         )(x)
         if self.use_mlp:
             act = _ACTIVATIONS[self.activation]
@@ -142,6 +146,7 @@ class DiscoDecoder(nn.Module):
     mlp_ratio: float = 2.0
     activation: str = "gelu"
     upsample_sht: bool = False
+    basis_type: str = "piecewise linear"
     dtype: Any = jnp.float32
 
     def setup(self):
@@ -179,7 +184,8 @@ class DiscoDecoder(nn.Module):
             in_chans=self.inp_chans, out_chans=self.out_chans,
             kernel_shape=self.kernel_shape,
             grid_in=self.grid_out, grid_out=self.grid_out,
-            groups=self.groups, dtype=self.dtype, name="conv",
+            groups=self.groups, basis_type=self.basis_type,
+            dtype=self.dtype, name="conv",
         )(up.astype(x.dtype))
 
 
@@ -195,6 +201,7 @@ class FCN3Block(nn.Module):
     out_chans: int
     conv_type: str = "local"  # "local" | "global"
     kernel_shape: tuple[int, int] = (3, 3)
+    basis_type: str = "piecewise linear"
     sht_grid: str = "legendre-gauss"
     mlp_ratio: float = 2.0
     activation: str = "gelu"
@@ -225,7 +232,7 @@ class FCN3Block(nn.Module):
                 in_chans=self.inp_chans, out_chans=self.inp_chans,
                 kernel_shape=self.kernel_shape,
                 grid_in=self.sht_grid, grid_out=self.sht_grid,
-                theta_cutoff_factor=2.0,
+                theta_cutoff_factor=2.0, basis_type=self.basis_type,
                 dtype=self.dtype, name="local_conv",
             )(x)
         if self.normalization == "layer_norm":
@@ -269,6 +276,7 @@ class FourCastNet3(nn.Module):
     model_grid_type: str = "equiangular"
     sht_grid_type: str = "legendre-gauss"
     kernel_shape: tuple[int, int] = (3, 3)
+    filter_basis_type: str = "piecewise linear"
     scale_factor: int = 8
     encoder_mlp: bool = False
     upsample_sht: bool = False
@@ -335,6 +343,7 @@ class FourCastNet3(nn.Module):
             grid_in=self.model_grid_type, grid_out=self.sht_grid_type,
             kernel_shape=self.kernel_shape,
             groups=math.gcd(ca_in, self.atmo_embed_dim),
+            basis_type=self.filter_basis_type,
             use_mlp=self.encoder_mlp, mlp_ratio=self.mlp_ratio,
             activation=self.activation_function, use_bias=self.use_bias,
             dtype=self.dtype, name="atmo_encoder",
@@ -353,6 +362,7 @@ class FourCastNet3(nn.Module):
                 grid_out=self.sht_grid_type,
                 kernel_shape=self.kernel_shape,
                 groups=math.gcd(cs_in, self.surf_embed_dim),
+                basis_type=self.filter_basis_type,
                 use_mlp=self.encoder_mlp, mlp_ratio=self.mlp_ratio,
                 activation=self.activation_function,
                 use_bias=self.use_bias,
@@ -370,6 +380,7 @@ class FourCastNet3(nn.Module):
                 grid_out=self.sht_grid_type,
                 kernel_shape=self.kernel_shape,
                 groups=math.gcd(self.n_aux_channels, self.aux_embed_dim),
+                basis_type=self.filter_basis_type,
                 use_mlp=self.encoder_mlp, mlp_ratio=self.mlp_ratio,
                 activation=self.activation_function,
                 use_bias=self.use_bias,
@@ -391,6 +402,7 @@ class FourCastNet3(nn.Module):
                 out_chans=total_embed,
                 conv_type=conv_type,
                 kernel_shape=self.kernel_shape,
+                basis_type=self.filter_basis_type,
                 sht_grid=self.sht_grid_type,
                 mlp_ratio=self.mlp_ratio,
                 activation=self.activation_function,
@@ -414,6 +426,7 @@ class FourCastNet3(nn.Module):
             use_mlp=self.encoder_mlp, mlp_ratio=self.mlp_ratio,
             activation=self.activation_function,
             upsample_sht=self.upsample_sht,
+            basis_type=self.filter_basis_type,
             dtype=self.dtype, name="atmo_decoder",
         )
         atmo_out = unfold_groups(
@@ -438,6 +451,7 @@ class FourCastNet3(nn.Module):
                 use_mlp=self.encoder_mlp, mlp_ratio=self.mlp_ratio,
                 activation=self.activation_function,
                 upsample_sht=self.upsample_sht,
+                basis_type=self.filter_basis_type,
                 dtype=self.dtype, name="surf_decoder",
             )(x[..., -self.surf_embed_dim:], deterministic=deterministic)
         return atmo_out, surf_out

@@ -88,10 +88,6 @@ class DiscoFilterLayer(nn.Module):
         theta_cutoff = 2 * compute_cutoff_radius(
             self.img_shape[0], self.kernel_shape, self.basis_type
         )
-        if self.basis_type != "piecewise linear":
-            raise NotImplementedError(
-                "only the 'piecewise linear' DISCO basis is implemented"
-            )
         self.conv = DiscoConvS2(
             in_shape=self.img_shape,
             out_shape=self.img_shape,
@@ -99,6 +95,7 @@ class DiscoFilterLayer(nn.Module):
             grid_in=self.data_grid,
             grid_out=self.data_grid,
             theta_cutoff=theta_cutoff,
+            basis_type=self.basis_type,
         )
 
     @nn.compact

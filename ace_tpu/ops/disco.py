@@ -96,6 +96,117 @@ def pl_kernel_size(kernel_shape) -> int:
     return (nr // 2) * nphi + nr % 2
 
 
+def _morlet_support(kernel_shape, r, phi, r_cutoff, width=1.0):
+    """Morlet-style filter basis on the disk
+    (reference: _filter_basis.py:169 MorletFilterBasis): a Hann window
+    times separable sin/cos harmonics in disk (x, y) coordinates.
+    """
+    nr, nphi = kernel_shape
+    kernel_size = nr * nphi
+    cond = r <= r_cutoff
+    a_, b_ = np.nonzero(cond)
+    rr = r[a_, b_] / r_cutoff
+    pp = phi[a_, b_]
+    x = rr * np.sin(pp)
+    y = rr * np.cos(pp)
+    hann = np.cos(0.5 * math.pi * rr / width) ** 2
+    iidx_parts, val_parts = [], []
+    for k in range(kernel_size):
+        n = k % nphi
+        m = k // nphi
+        hx = (
+            np.sin(math.ceil(n / 2) * math.pi * x / width)
+            if n % 2 == 1
+            else np.cos(math.ceil(n / 2) * math.pi * x / width)
+        )
+        hy = (
+            np.sin(math.ceil(m / 2) * math.pi * y / width)
+            if m % 2 == 1
+            else np.cos(math.ceil(m / 2) * math.pi * y / width)
+        )
+        iidx_parts.append(
+            np.stack([np.full(len(a_), k), a_, b_], axis=1)
+        )
+        val_parts.append(hann * hx * hy)
+    return (
+        np.concatenate(iidx_parts, axis=0),
+        np.concatenate(val_parts, axis=0),
+    )
+
+
+def _zernike_radial(r, n, m):
+    out = np.zeros_like(r)
+    for k in range((n - m) // 2 + 1):
+        out += (
+            (-1) ** k
+            * math.factorial(n - k)
+            * r ** (n - 2 * k)
+            / (
+                math.factorial(k)
+                * math.factorial((n + m) // 2 - k)
+                * math.factorial((n - m) // 2 - k)
+            )
+        )
+    return out
+
+
+def _zernike_support(kernel_shape, r, phi, r_cutoff):
+    """Zernike polynomial basis on the disk
+    (reference: _filter_basis.py:289 ZernikeFilterBasis).
+    """
+    nmax = kernel_shape[0] if isinstance(
+        kernel_shape, (tuple, list)
+    ) else kernel_shape
+    cond = r <= r_cutoff
+    a_, b_ = np.nonzero(cond)
+    rr = r[a_, b_] / r_cutoff
+    pp = phi[a_, b_]
+    iidx_parts, val_parts = [], []
+    k = 0
+    for n in range(nmax):
+        for l in range(n + 1):  # noqa: E741
+            m = 2 * l - n
+            if m < 0:
+                vals = _zernike_radial(rr, n, -m) * np.sin(m * pp)
+            else:
+                vals = _zernike_radial(rr, n, m) * np.cos(m * pp)
+            iidx_parts.append(
+                np.stack([np.full(len(a_), k), a_, b_], axis=1)
+            )
+            val_parts.append(vals)
+            k += 1
+    return (
+        np.concatenate(iidx_parts, axis=0),
+        np.concatenate(val_parts, axis=0),
+    )
+
+
+def basis_kernel_size(kernel_shape, basis_type: str) -> int:
+    """(reference: _filter_basis.py kernel_size properties)."""
+    if basis_type == "piecewise linear":
+        return pl_kernel_size(kernel_shape)
+    if basis_type == "morlet":
+        return kernel_shape[0] * kernel_shape[1]
+    if basis_type == "zernike":
+        n = kernel_shape[0] if isinstance(
+            kernel_shape, (tuple, list)
+        ) else kernel_shape
+        return (n * (n + 1)) // 2
+    raise ValueError(f"unknown basis type {basis_type!r}")
+
+
+def evaluate_basis(kernel_shape, theta, phi, r_cutoff, basis_type: str):
+    if basis_type == "piecewise linear":
+        return _piecewise_linear_support(
+            kernel_shape, theta, phi, r_cutoff
+        )
+    if basis_type == "morlet":
+        return _morlet_support(kernel_shape, theta, phi, r_cutoff)
+    if basis_type == "zernike":
+        return _zernike_support(kernel_shape, theta, phi, r_cutoff)
+    raise ValueError(f"unknown basis type {basis_type!r}")
+
+
 def _colatitudes(nlat, grid):
     cost, w, _ = quadrature_for_grid(grid, nlat)
     lats = np.flip(np.arccos(cost)).copy()
@@ -107,7 +218,7 @@ def precompute_disco_psi(
     in_shape, out_shape, kernel_shape,
     grid_in="equiangular", grid_out="equiangular",
     theta_cutoff=None, theta_eps=1e-3, basis_norm_mode="mean",
-    eps=1e-9,
+    eps=1e-9, basis_type="piecewise linear",
 ):
     """Numpy port of the psi precompute
     (reference: fme/core/disco/_convolution.py:100
@@ -119,7 +230,7 @@ def precompute_disco_psi(
     """
     nlat_in, nlon_in = in_shape
     nlat_out, nlon_out = out_shape
-    kernel_size = pl_kernel_size(kernel_shape)
+    kernel_size = basis_kernel_size(kernel_shape, basis_type)
     if theta_cutoff is None:
         theta_cutoff = math.pi / float(nlat_out - 1)
     theta_cutoff_eff = (1.0 + theta_eps) * theta_cutoff
@@ -148,8 +259,8 @@ def precompute_disco_psi(
         phi = np.where(phi < 0.0, phi + 2 * math.pi, phi)
         # theta/phi are (nlat_in, nlon_in); the basis broadcasts them
         # against (K, 1, 1) kernel slots, argwhere yields (k, lat, lon)
-        iidx, vals = _piecewise_linear_support(
-            kernel_shape, theta, phi, theta_cutoff_eff
+        iidx, vals = evaluate_basis(
+            kernel_shape, theta, phi, theta_cutoff_eff, basis_type
         )
         entries_k.append(iidx[:, 0])
         entries_t.append(np.full(len(vals), t, dtype=np.int64))
@@ -210,13 +321,15 @@ class DiscoConvS2:
 
     def __init__(self, in_shape, out_shape, kernel_shape,
                  grid_in="equiangular", grid_out="equiangular",
-                 theta_cutoff=None, basis_norm_mode="mean"):
+                 theta_cutoff=None, basis_norm_mode="mean",
+                 basis_type="piecewise linear"):
         self.in_shape = in_shape
         self.out_shape = out_shape
         psi_banded, gather_idx = precompute_disco_psi(
             in_shape, out_shape, kernel_shape,
             grid_in=grid_in, grid_out=grid_out,
             theta_cutoff=theta_cutoff, basis_norm_mode=basis_norm_mode,
+            basis_type=basis_type,
         )
         self.kernel_size = psi_banded.shape[0]
         nlon = in_shape[1]

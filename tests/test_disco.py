@@ -144,3 +144,36 @@ def test_localnet_builder_registry():
     params = net.init(jax.random.PRNGKey(0), x)
     out = net.apply(params, x)
     assert out.shape == (1, *info.img_shape, 2)
+
+
+@pytest.mark.parametrize("basis_type", ["morlet", "zernike"])
+def test_disco_morlet_zernike_match_reference(basis_type):
+    import torch
+
+    disco_ref = _load_reference_disco()
+    rng = np.random.RandomState(0)
+    C_in, C_out, B = 2, 3, 1
+    in_shape = out_shape = (12, 24)
+    kernel_shape = (3, 3) if basis_type == "morlet" else (3, 1)
+    conv_ref = disco_ref.DiscreteContinuousConvS2(
+        in_channels=C_in, out_channels=C_out,
+        in_shape=in_shape, out_shape=out_shape,
+        kernel_shape=kernel_shape, basis_type=basis_type,
+        grid_in="equiangular", grid_out="equiangular", bias=False,
+    )
+    x = rng.randn(B, C_in, *in_shape).astype(np.float32)
+    with torch.no_grad():
+        expected = conv_ref(torch.as_tensor(x)).numpy()
+
+    ours = DiscoConvS2(
+        in_shape, out_shape, kernel_shape, basis_type=basis_type
+    )
+    assert ours.kernel_size == conv_ref.kernel_size
+    x_cl = jnp.asarray(np.moveaxis(x, 1, -1))
+    contracted = ours(x_cl)
+    weight = conv_ref.weight.detach().numpy()
+    result = jnp.einsum(
+        "btjkc,ock->btjo", contracted, jnp.asarray(weight)
+    )
+    result_cf = np.moveaxis(np.asarray(result), -1, 1)
+    np.testing.assert_allclose(result_cf, expected, atol=5e-4)
