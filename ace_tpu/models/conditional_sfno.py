@@ -126,6 +126,14 @@ class ConditionalFNOBlock(nn.Module):
     outer_skip: str = "identity"
     global_layer_norm: bool = False
     affine_norms: bool = False
+    # "spectral" or "local" (DISCO) filter
+    # (reference: conditional_sfno/sfnonet.py local_blocks)
+    filter_type: str = "spectral"
+    kernel_shape: tuple[int, int] = (3, 3)
+    basis_type: str = "morlet"
+    data_grid: str = "legendre-gauss"
+    spectral_ratio: float = 1.0
+    lora_rank: int = 0
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -138,15 +146,34 @@ class ConditionalFNOBlock(nn.Module):
             elementwise_affine=self.affine_norms,
             name="norm0",
         )(x, noise)
-        x_f, residual = SpectralConvS2(
-            forward_transform=self.forward_transform,
-            inverse_transform=self.inverse_transform,
-            in_channels=self.embed_dim,
-            out_channels=self.embed_dim,
-            operator_type=self.operator_type,
-            use_bias=True,
-            name="filter",
-        )(x_norm)
+        if self.filter_type == "local":
+            from ace_tpu.models.localnet import DiscoFilterLayer
+
+            x_f = DiscoFilterLayer(
+                img_shape=(
+                    self.forward_transform.nlat,
+                    self.forward_transform.nlon,
+                ),
+                channels=self.embed_dim,
+                kernel_shape=self.kernel_shape,
+                basis_type=self.basis_type,
+                data_grid=self.data_grid,
+                dtype=self.dtype,
+                name="filter",
+            )(x_norm)
+            residual = x_norm
+        else:
+            x_f, residual = SpectralConvS2(
+                forward_transform=self.forward_transform,
+                inverse_transform=self.inverse_transform,
+                in_channels=self.embed_dim,
+                out_channels=self.embed_dim,
+                operator_type=self.operator_type,
+                use_bias=True,
+                spectral_ratio=self.spectral_ratio,
+                lora_rank=self.lora_rank,
+                name="filter",
+            )(x_norm)
         if self.inner_skip == "linear":
             x_f = x_f + nn.Dense(
                 self.embed_dim, kernel_init=trunc_normal_init(),
@@ -211,6 +238,13 @@ class NoiseConditionedSFNO(nn.Module):
     filter_residual: bool = False
     filter_output: bool = False
     residual_filter_factor: int = 1
+    # block indices using local (DISCO) filters instead of spectral
+    # (reference: conditional_sfno/sfnonet.py:75 local_blocks)
+    local_blocks: tuple[int, ...] | None = None
+    kernel_shape: tuple[int, int] = (3, 3)
+    basis_type: str = "morlet"
+    spectral_ratio: float = 1.0
+    lora_rank: int = 0
     data_grid: str = "legendre-gauss"
     dtype: jnp.dtype = jnp.float32
 
@@ -289,6 +323,9 @@ class NoiseConditionedSFNO(nn.Module):
             h = h + pe.astype(h.dtype)
 
         for i in range(self.num_layers):
+            is_local = (
+                self.local_blocks is not None and i in self.local_blocks
+            )
             h = ConditionalFNOBlock(
                 forward_transform=self.trans_down,
                 inverse_transform=self.itrans_up,
@@ -300,6 +337,12 @@ class NoiseConditionedSFNO(nn.Module):
                 use_mlp=self.use_mlp,
                 global_layer_norm=self.global_layer_norm,
                 affine_norms=self.affine_norms,
+                filter_type="local" if is_local else "spectral",
+                kernel_shape=self.kernel_shape,
+                basis_type=self.basis_type,
+                data_grid=self.data_grid,
+                spectral_ratio=self.spectral_ratio,
+                lora_rank=self.lora_rank,
                 dtype=self.dtype,
                 name=f"block_{i}",
             )(h, noise, deterministic=deterministic)

@@ -279,6 +279,11 @@ class NoiseConditionedSFNOBuilder(ModuleConfig):
     normalize_big_skip: bool = False
     affine_norms: bool = False
     filter_num_groups: int = 1
+    local_blocks: list[int] | None = None
+    kernel_shape: tuple[int, int] = (3, 3)
+    basis_type: str = "morlet"
+    spectral_ratio: float = 1.0
+    lora_rank: int = 0
     compute_dtype: str = "float32"
 
     def __post_init__(self):
@@ -314,6 +319,15 @@ class NoiseConditionedSFNOBuilder(ModuleConfig):
             filter_residual=self.filter_residual,
             filter_output=self.filter_output,
             residual_filter_factor=self.residual_filter_factor,
+            local_blocks=(
+                tuple(self.local_blocks)
+                if self.local_blocks is not None
+                else None
+            ),
+            kernel_shape=tuple(self.kernel_shape),
+            basis_type=self.basis_type,
+            spectral_ratio=self.spectral_ratio,
+            lora_rank=self.lora_rank,
             data_grid=self.data_grid,
             dtype=jnp.dtype(self.compute_dtype),
         )

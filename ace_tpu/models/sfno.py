@@ -58,27 +58,57 @@ class SpectralConvS2(nn.Module):
     operator_type: str = "diagonal"
     separable: bool = False
     use_bias: bool = False
+    # bottleneck width of the spectral filter: SHT + per-mode weight act
+    # on round(in_channels * spectral_ratio) channels via 1x1 projections
+    # (reference: conditional_sfno/s2convolutions.py:211 spectral_ratio)
+    spectral_ratio: float = 1.0
+    # low-rank complex per-mode adapters on the dhconv weight, zero-init
+    # B so the adapter starts inert (reference: s2convolutions.py LoRA)
+    lora_rank: int = 0
 
     @nn.compact
     def __call__(self, x):
         in_dtype = x.dtype
         modes_lat = self.inverse_transform.lmax
         modes_lon = self.inverse_transform.mmax
+        if not 0.0 < self.spectral_ratio <= 1.0:
+            raise ValueError("spectral_ratio must be in (0, 1]")
+        spectral_channels = (
+            round(self.in_channels * self.spectral_ratio)
+            if self.spectral_ratio < 1.0
+            else self.in_channels
+        )
+        use_proj = self.spectral_ratio < 1.0
+        if use_proj and self.separable:
+            raise ValueError("spectral_ratio requires non-separable filter")
+        # the residual passthrough keeps the full channel width; only the
+        # filter path is bottlenecked (reference: s2convolutions.py)
+        full_x = x
+        if use_proj:
+            x = nn.Dense(
+                spectral_channels, use_bias=False,
+                kernel_init=trunc_normal_init(), name="pre_proj",
+            )(x)
         scale_residual = (
             self.forward_transform.nlat != self.inverse_transform.nlat
             or self.forward_transform.nlon != self.inverse_transform.nlon
             or self.forward_transform.grid != self.inverse_transform.grid
         )
 
-        residual = x
+        residual = full_x
         coeffs = self.forward_transform(x.astype(jnp.float32))
         if scale_residual:
-            residual = self.inverse_transform(coeffs).astype(in_dtype)
+            residual = self.inverse_transform(
+                self.forward_transform(full_x.astype(jnp.float32))
+                if use_proj else coeffs
+            ).astype(in_dtype)
 
+        c_in = spectral_channels if use_proj else self.in_channels
+        c_out = spectral_channels if use_proj else self.out_channels
         if self.separable:
-            weight_shape = [self.in_channels]
+            weight_shape = [c_in]
         else:
-            weight_shape = [self.in_channels, self.out_channels]
+            weight_shape = [c_in, c_out]
         if self.operator_type == "diagonal":
             weight_shape += [modes_lat, modes_lon]
         elif self.operator_type == "dhconv":
@@ -86,7 +116,7 @@ class SpectralConvS2(nn.Module):
         else:
             raise ValueError(f"Unsupported operator type {self.operator_type}")
 
-        scale = 1.0 / (self.in_channels * self.out_channels)
+        scale = 1.0 / (c_in * c_out)
         w = self.param(
             "weight",
             nn.initializers.normal(stddev=scale),
@@ -111,6 +141,31 @@ class SpectralConvS2(nn.Module):
         outr = ein(xr, wr) - ein(xi, wi)
         outi = ein(xr, wi) + ein(xi, wr)
 
+        if self.lora_rank > 0 and self.operator_type == "dhconv":
+            r = self.lora_rank
+            la = self.param(
+                "lora_a", nn.initializers.normal(stddev=scale),
+                (c_in, r, modes_lat, 2), jnp.float32,
+            )
+            lb = self.param(
+                "lora_b", nn.initializers.zeros,
+                (r, c_out, modes_lat, 2), jnp.float32,
+            )
+            eq_l = "...lmi,irl->...lmr"
+            ein_a = functools.partial(
+                jnp.einsum, eq_l, precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            )
+            ar = ein_a(xr, la[..., 0]) - ein_a(xi, la[..., 1])
+            ai = ein_a(xr, la[..., 1]) + ein_a(xi, la[..., 0])
+            eq_b = "...lmr,rol->...lmo"
+            ein_b = functools.partial(
+                jnp.einsum, eq_b, precision=jax.lax.Precision.HIGH,
+                preferred_element_type=jnp.float32,
+            )
+            outr = outr + ein_b(ar, lb[..., 0]) - ein_b(ai, lb[..., 1])
+            outi = outi + ein_b(ar, lb[..., 1]) + ein_b(ai, lb[..., 0])
+
         # re-pad to the transform's full (lmax, mmax) if truncated
         lmax, mmax = self.forward_transform.lmax, self.forward_transform.mmax
         pad = [(0, 0)] * outr.ndim
@@ -120,6 +175,11 @@ class SpectralConvS2(nn.Module):
         outi = jnp.pad(outi, pad)
 
         out = self.inverse_transform(jax.lax.complex(outr, outi))
+        if use_proj:
+            out = nn.Dense(
+                self.out_channels, use_bias=False,
+                kernel_init=trunc_normal_init(), name="post_proj",
+            )(out)
         if self.use_bias:
             bias = self.param(
                 "bias", nn.initializers.zeros, (self.out_channels,), jnp.float32

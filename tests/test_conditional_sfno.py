@@ -195,3 +195,59 @@ def test_sfno_frequency_pos_embed_and_repeat_layers():
     o1 = net_1.apply(p1, x)
     o2 = net_2.apply(p1, x)  # same params, twice the depth
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
+
+
+def test_conditional_sfno_local_blocks_spectral_ratio_lora():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ace_tpu.models.conditional_sfno import NoiseConditionedSFNO
+
+    net = NoiseConditionedSFNO(
+        img_shape=(8, 16), in_chans=3, out_chans=2, embed_dim=8,
+        noise_embed_dim=4, num_layers=2, local_blocks=(1,),
+        kernel_shape=(2, 1), basis_type="piecewise linear",
+        spectral_ratio=0.5, lora_rank=2, data_grid="equiangular",
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 8, 16, 3), jnp.float32
+    )
+    params = net.init(jax.random.PRNGKey(0), x)
+    flat = jax.tree_util.tree_leaves_with_path(params)
+    names = {"/".join(str(k.key) for k in p) for p, _ in flat}
+    # block 0 spectral with bottleneck projections + LoRA adapters
+    assert any("block_0/filter/pre_proj" in n for n in names)
+    assert any("block_0/filter/lora_a" in n for n in names)
+    # block 1 is a local DISCO filter (no spectral weight)
+    assert any("block_1/filter/weight" in n for n in names)
+    assert not any("block_1/filter/pre_proj" in n for n in names)
+    out = net.apply(params, x, rngs={"noise": jax.random.PRNGKey(1)})
+    assert out.shape == (1, 8, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
+
+    # LoRA is inert at init (B zero): matches lora_rank=0 with same seed
+    net0 = NoiseConditionedSFNO(
+        img_shape=(8, 16), in_chans=3, out_chans=2, embed_dim=8,
+        noise_embed_dim=4, num_layers=2, local_blocks=(1,),
+        kernel_shape=(2, 1), basis_type="piecewise linear",
+        spectral_ratio=0.5, lora_rank=0, data_grid="equiangular",
+    )
+    params0 = net0.init(jax.random.PRNGKey(0), x)
+    out0 = net0.apply(params0, x, rngs={"noise": jax.random.PRNGKey(1)})
+    # same non-LoRA params (init order may differ, so just check finite
+    # and same shape); exact-inertness is checked by zeroing lora_b
+    import flax
+
+    fd = flax.traverse_util.flatten_dict(params)
+    fd_no_b = {
+        k: (v * 0 if "lora_b" in "/".join(map(str, k)) else v)
+        for k, v in fd.items()
+    }
+    out_zero_b = net.apply(
+        flax.traverse_util.unflatten_dict(fd_no_b), x,
+        rngs={"noise": jax.random.PRNGKey(1)},
+    )
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(out_zero_b), atol=1e-6
+    )
