@@ -339,3 +339,102 @@ class LocalNet(nn.Module):
             lora_alpha=self.lora_alpha, dtype=self.dtype, name="decoder_out",
         )(h)
         return out.astype(jnp.float32)
+
+
+class AnkurLocalNet(nn.Module):
+    """3-hidden-layer local diagnostic net, optional DISCO first layer and
+    positional embedding (reference: conditional_sfno/ankur.py:109
+    AnkurLocalNet; arXiv:2602.16090).
+    """
+
+    img_shape: tuple[int, int]
+    in_chans: int
+    out_chans: int
+    embed_dim: int = 256
+    use_disco_encoder: bool = True
+    disco_kernel_size: int = 3
+    pos_embed: bool = False
+    activation_function: str = "gelu"
+    basis_type: str = "morlet"
+    data_grid: str = "equiangular"
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        act = _ACTIVATIONS[self.activation_function]
+        h = x.astype(self.dtype)
+        for i in range(3):
+            if i == 0 and self.use_disco_encoder:
+                # encoder cutoff uses the single (not doubled) radius
+                # (reference: ankur.py:49)
+                h = GroupedDiscoFilterLayer(
+                    img_shape=self.img_shape,
+                    in_chans=self.in_chans,
+                    out_chans=self.embed_dim,
+                    kernel_shape=(
+                        self.disco_kernel_size, self.disco_kernel_size
+                    ),
+                    basis_type=self.basis_type,
+                    data_grid=self.data_grid,
+                    dtype=self.dtype,
+                    name="disco_encoder",
+                )(h)
+            else:
+                h = nn.Dense(
+                    self.embed_dim, kernel_init=trunc_normal_init(),
+                    dtype=self.dtype, name=f"hidden_{i}",
+                )(h)
+            if i == 0 and self.pos_embed:
+                pe = self.param(
+                    "pos_embed", trunc_normal_init(std=0.02),
+                    (1, *self.img_shape, self.embed_dim), jnp.float32,
+                )
+                h = h + pe.astype(h.dtype)
+            h = act(h)
+        out = nn.Dense(
+            self.out_chans, use_bias=False,
+            kernel_init=trunc_normal_init(), dtype=self.dtype, name="out",
+        )(h)
+        return out.astype(jnp.float32)
+
+
+class GroupedDiscoFilterLayer(nn.Module):
+    """DISCO conv with grouped in->out channel mixing
+    (reference: ankur.py:43 GroupedDiscreteContinuousConvS2)."""
+
+    img_shape: tuple[int, int]
+    in_chans: int
+    out_chans: int
+    kernel_shape: tuple[int, int] = (3, 3)
+    basis_type: str = "morlet"
+    data_grid: str = "equiangular"
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        theta_cutoff = compute_cutoff_radius(
+            self.img_shape[0], self.kernel_shape, self.basis_type
+        )
+        self.conv = DiscoConvS2(
+            in_shape=self.img_shape,
+            out_shape=self.img_shape,
+            kernel_shape=self.kernel_shape,
+            grid_in=self.data_grid,
+            grid_out=self.data_grid,
+            theta_cutoff=theta_cutoff,
+            basis_type=self.basis_type,
+        )
+
+    @nn.compact
+    def __call__(self, x):
+        g = math.gcd(self.in_chans, self.out_chans)
+        cin_g, cout_g = self.in_chans // g, self.out_chans // g
+        k = self.conv.kernel_size
+        scale = math.sqrt(1.0 / (k * cin_g))
+        w = self.param(
+            "weight", nn.initializers.normal(stddev=scale),
+            (k, g, cin_g, cout_g), jnp.float32,
+        )
+        y = self.conv(x.astype(jnp.float32))  # [..., H, W, K, Cin]
+        y = y.reshape(*y.shape[:-1], g, cin_g)
+        out = jnp.einsum("...jkgc,kgco->...jgo", y, w)
+        return out.reshape(*out.shape[:-2], self.out_chans).astype(x.dtype)

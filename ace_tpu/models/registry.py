@@ -478,6 +478,33 @@ class LandNetBuilder(ModuleConfig):
         )
 
 
+@ModuleSelector.register("AnkurLocalNet")
+@dataclasses.dataclass
+class AnkurLocalNetBuilder(ModuleConfig):
+    """(reference: fme/ace/registry/local_net.py:47 AnkurLocalNetBuilder)."""
+
+    embed_dim: int = 256
+    use_disco_encoder: bool = True
+    disco_kernel_size: int = 3
+    pos_embed: bool = False
+    activation_function: str = "gelu"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        from ace_tpu.models.localnet import AnkurLocalNet
+
+        return AnkurLocalNet(
+            img_shape=dataset_info.img_shape,
+            in_chans=n_in_channels,
+            out_chans=n_out_channels,
+            embed_dim=self.embed_dim,
+            use_disco_encoder=self.use_disco_encoder,
+            disco_kernel_size=self.disco_kernel_size,
+            pos_embed=self.pos_embed,
+            activation_function=self.activation_function,
+            data_grid=dataset_info.horizontal_coordinates.grid,
+        )
+
+
 @ModuleSelector.register("FloeNet")
 @ModuleSelector.register("GraphCast")
 @dataclasses.dataclass

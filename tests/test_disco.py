@@ -177,3 +177,19 @@ def test_disco_morlet_zernike_match_reference(basis_type):
     )
     result_cf = np.moveaxis(np.asarray(result), -1, 1)
     np.testing.assert_allclose(result_cf, expected, atol=5e-4)
+
+
+def test_ankur_localnet():
+    from ace_tpu.models.registry import ModuleSelector
+    from tests.test_step_stepper import _dataset_info
+
+    sel = ModuleSelector(
+        type="AnkurLocalNet",
+        config={"embed_dim": 8, "disco_kernel_size": 2, "pos_embed": True},
+    )
+    info = _dataset_info()
+    net = sel.build(3, 2, info)
+    x = jnp.zeros((2, *info.img_shape, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x)
+    assert out.shape == (2, *info.img_shape, 2)
