@@ -166,6 +166,8 @@ class SFNO_V0_1_0(ModuleConfig):
             repeat_layers=self.repeat_layers,
             big_skip=self.big_skip,
             separable=self.separable,
+            factorization=self.factorization,
+            rank=self.rank,
             data_grid=self.data_grid,
             dtype=jnp.dtype(self.compute_dtype),
         )

@@ -65,6 +65,11 @@ class SpectralConvS2(nn.Module):
     # low-rank complex per-mode adapters on the dhconv weight, zero-init
     # B so the adapter starts inert (reference: s2convolutions.py LoRA)
     lora_rank: int = 0
+    # CP tensor factorization of the spectral weight (the reference uses
+    # tensorly-torch FactorizedTensor; rank is the parameter fraction):
+    # weight[i,o,l] = sum_r a[i,r] b[o,r] c[l,r], complex factors
+    factorization: str | None = None
+    rank: float = 1.0
 
     @nn.compact
     def __call__(self, x):
@@ -117,13 +122,63 @@ class SpectralConvS2(nn.Module):
             raise ValueError(f"Unsupported operator type {self.operator_type}")
 
         scale = 1.0 / (c_in * c_out)
-        w = self.param(
-            "weight",
-            nn.initializers.normal(stddev=scale),
-            (*weight_shape, 2),
-            jnp.float32,
-        )
-        wr, wi = w[..., 0], w[..., 1]
+        if self.factorization is not None:
+            if self.factorization.lower() != "cp":
+                raise NotImplementedError(
+                    f"factorization {self.factorization!r}; only 'cp' is "
+                    "implemented"
+                )
+            if self.separable:
+                raise ValueError("factorization requires non-separable")
+            dims = weight_shape  # [i, o, l] or [i, o, l, m]
+            full = int(np.prod(dims))
+            cp_rank = max(1, round(self.rank * full / sum(dims)))
+            factors = [
+                self.param(
+                    f"cp_factor_{ax}",
+                    nn.initializers.normal(
+                        stddev=scale ** (1.0 / len(dims))
+                    ),
+                    (d, cp_rank, 2),
+                    jnp.float32,
+                )
+                for ax, d in enumerate(dims)
+            ]
+            # contract complex CP factors into the dense weight once per
+            # forward; XLA folds this into the surrounding einsums
+            def cp_to_dense(parts):
+                letters = "iolm"[: len(dims)]
+                eq = ",".join(f"{c}r" for c in letters) + "->" + letters
+                return jnp.einsum(eq, *parts)
+
+            reals = [f[..., 0] for f in factors]
+            imags = [f[..., 1] for f in factors]
+            wr = jnp.zeros(dims, jnp.float32)
+            wi = jnp.zeros(dims, jnp.float32)
+            # expand product of complex factors: sum over subsets with an
+            # even/odd number of imaginary terms
+            import itertools
+
+            for mask in itertools.product([0, 1], repeat=len(dims)):
+                parts = [
+                    imags[ax] if flag else reals[ax]
+                    for ax, flag in enumerate(mask)
+                ]
+                n_imag = sum(mask)
+                term = cp_to_dense(parts)
+                sign = (-1) ** (n_imag // 2)
+                if n_imag % 2 == 0:
+                    wr = wr + sign * term
+                else:
+                    wi = wi + sign * term
+        else:
+            w = self.param(
+                "weight",
+                nn.initializers.normal(stddev=scale),
+                (*weight_shape, 2),
+                jnp.float32,
+            )
+            wr, wi = w[..., 0], w[..., 1]
         xr = jnp.real(coeffs)[..., : modes_lat, : modes_lon, :]
         xi = jnp.imag(coeffs)[..., : modes_lat, : modes_lon, :]
 
@@ -204,6 +259,8 @@ class FourierNeuralOperatorBlock(nn.Module):
     outer_skip: str = "identity"
     use_mlp: bool = True
     separable: bool = False
+    factorization: str | None = None
+    rank: float = 1.0
     dtype: jnp.dtype = jnp.float32
 
     def _norm(self, spatial_shape, name):
@@ -232,6 +289,8 @@ class FourierNeuralOperatorBlock(nn.Module):
             operator_type=self.operator_type,
             separable=self.separable,
             use_bias=True,
+            factorization=self.factorization,
+            rank=self.rank,
             name="filter",
         )(x_norm)
 
@@ -297,6 +356,8 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     # coefficients synthesized via inverse SHT (reference:
     # fme/ace/models/makani/sfnonet.py:432); False/"none": disabled
     pos_embed: bool | str = True
+    factorization: str | None = None
+    rank: float = 1.0
     # weight-shared repetition of the whole block stack (reference:
     # makani/sfnonet.py:526 _forward_features)
     repeat_layers: int = 1
@@ -427,6 +488,8 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
                 outer_skip="identity",
                 use_mlp=self.use_mlp,
                 separable=self.separable,
+                factorization=self.factorization,
+                rank=self.rank,
                 dtype=self.dtype,
                 name=f"block_{i}",
             ))

@@ -251,3 +251,41 @@ def test_conditional_sfno_local_blocks_spectral_ratio_lora():
     np.testing.assert_allclose(
         np.asarray(out), np.asarray(out_zero_b), atol=1e-6
     )
+
+
+def test_cp_factorized_spectral_weights():
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+
+    kw = dict(
+        img_shape=(8, 16), in_chans=2, out_chans=2, embed_dim=8,
+        num_layers=2, operator_type="dhconv", data_grid="equiangular",
+        scale_factor=1,
+    )
+    dense = SphericalFourierNeuralOperatorNet(**kw)
+    cp = SphericalFourierNeuralOperatorNet(
+        factorization="cp", rank=0.25, **kw
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 8, 16, 2), jnp.float32
+    )
+    p_dense = dense.init(jax.random.PRNGKey(0), x)
+    p_cp = cp.init(jax.random.PRNGKey(0), x)
+
+    def filter_params(p, match):
+        return sum(
+            v.size
+            for path, v in jax.tree_util.tree_leaves_with_path(p)
+            if match in "/".join(str(k.key) for k in path)
+        )
+
+    # CP filter uses fewer parameters than the dense weight
+    assert filter_params(p_cp, "cp_factor") < filter_params(
+        p_dense, "filter/weight"
+    )
+    out = cp.apply(p_cp, x)
+    assert out.shape == (1, 8, 16, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
