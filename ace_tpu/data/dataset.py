@@ -112,7 +112,10 @@ class XarrayDataset:
     def __init__(self, config: XarrayDataConfig):
         self.config = config
         path = config.data_path
-        if os.path.isdir(path) and os.path.exists(
+        if path.startswith(("gs://", "s3://")):
+            # remote zarr groups read through the tensorstore kvstore
+            files = [path]
+        elif os.path.isdir(path) and os.path.exists(
             os.path.join(path, ".zgroup")
         ):
             files = [path]

@@ -155,37 +155,63 @@ class H5Dataset(FileDataset):
         self._f.close()
 
 
+def kvstore_spec(path: str) -> dict:
+    """tensorstore kvstore spec for a local or cloud zarr path
+    (cloud I/O parity with the reference's fsspec-backed stores:
+    gs:// and s3:// URLs route to the matching tensorstore driver).
+    """
+    if path.startswith("gs://"):
+        bucket, _, sub = path[len("gs://"):].partition("/")
+        return {"driver": "gcs", "bucket": bucket,
+                "path": sub.rstrip("/") + "/" if sub else ""}
+    if path.startswith("s3://"):
+        bucket, _, sub = path[len("s3://"):].partition("/")
+        return {"driver": "s3", "bucket": bucket,
+                "path": sub.rstrip("/") + "/" if sub else ""}
+    return {"driver": "file", "path": path.rstrip("/") + "/"}
+
+
 class ZarrDataset(FileDataset):
-    """Zarr v2 group reader via tensorstore (xarray conventions)."""
+    """Zarr v2 group reader via tensorstore (xarray conventions).
+    Metadata and chunks are read through a tensorstore kvstore, so local
+    directories and gs://-or-s3:// remote stores share one code path.
+    """
 
     def __init__(self, path: str):
         import tensorstore as ts
 
         self._path = path
+        spec = kvstore_spec(path)
+        kv = ts.KvStore.open(spec).result()
+        keys = [k.decode() for k in kv.list().result()]
+
+        def read_json(key):
+            result = kv.read(key).result()
+            if result.state == "missing":
+                return None
+            return json.loads(result.value.decode())
+
         variables: dict[str, Variable] = {}
-        root_attrs = {}
-        zattrs_path = os.path.join(path, ".zattrs")
-        if os.path.exists(zattrs_path):
-            with open(zattrs_path) as f:
-                root_attrs = json.load(f)
-        for entry in sorted(os.listdir(path)):
-            arr_dir = os.path.join(path, entry)
-            if not os.path.isdir(arr_dir):
+        root_attrs = read_json(".zattrs") or {}
+        entries = sorted({
+            k.split("/", 1)[0] for k in keys if "/" in k
+        })
+        for entry in entries:
+            zarray = read_json(f"{entry}/.zarray")
+            if zarray is None:
                 continue
-            if not os.path.exists(os.path.join(arr_dir, ".zarray")):
-                continue
-            with open(os.path.join(arr_dir, ".zarray")) as f:
-                zarray = json.load(f)
-            attrs = {}
-            if os.path.exists(os.path.join(arr_dir, ".zattrs")):
-                with open(os.path.join(arr_dir, ".zattrs")) as f:
-                    attrs = json.load(f)
+            attrs = read_json(f"{entry}/.zattrs") or {}
             dims = tuple(attrs.pop("_ARRAY_DIMENSIONS", []))
             if not dims:
-                dims = tuple(f"dim_{i}" for i in range(len(zarray["shape"])))
+                dims = tuple(
+                    f"dim_{i}" for i in range(len(zarray["shape"]))
+                )
+            arr_spec = dict(spec)
+            arr_spec["path"] = spec["path"] + entry + "/"
             store = ts.open({
                 "driver": "zarr",
-                "kvstore": {"driver": "file", "path": arr_dir},
+                "kvstore": arr_spec,
+
             }, open=True).result()
 
             def reader(selection, _s=store):
@@ -202,7 +228,10 @@ class ZarrDataset(FileDataset):
 
 def open_file_dataset(path: str, engine: str | None = None) -> FileDataset:
     if engine is None:
-        engine = "zarr" if str(path).rstrip("/").endswith(".zarr") or (
+        remote = str(path).startswith(("gs://", "s3://"))
+        engine = "zarr" if remote or str(path).rstrip("/").endswith(
+            ".zarr"
+        ) or (
             os.path.isdir(path) and os.path.exists(os.path.join(path, ".zgroup"))
         ) else "netcdf4"
     if engine in ("netcdf4", "h5netcdf", "h5"):
