@@ -247,3 +247,14 @@ def test_time_buffer_pool_requires_buffer():
             "dataset": {"data_path": "/nonexistent"},
             "time_buffer_pool_size": 4,
         })
+
+
+def test_data_loading_benchmark_runs():
+    from ace_tpu.benchmark.data_loading import run_data_loading_benchmark
+
+    result = run_data_loading_benchmark(
+        n_time=20, nlat=8, nlon=16, n_vars=2, batch_size=2,
+        num_workers=1,
+    )
+    assert result["samples_per_sec"] > 0
+    assert result["n_batches"] > 0
