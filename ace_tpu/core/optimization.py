@@ -105,7 +105,11 @@ class OptimizationConfig:
         default_factory=SchedulerConfig
     )
     max_grad_norm: float | None = None
+    # accumulate gradients over this many batches before applying an
+    # update (reference: optimization.py:289 use_gradient_accumulation;
+    # here via optax.MultiSteps, which also scales the LR schedule count)
     use_gradient_accumulation: bool = False
+    gradient_accumulation_steps: int = 1
 
     def build(self, max_epochs: int, steps_per_epoch: int = 1) -> "Optimization":
         schedule = self.scheduler.build(self.lr, max_epochs, steps_per_epoch)
@@ -132,6 +136,10 @@ class OptimizationConfig:
             opt = optax.chain(
                 optax.clip_by_global_norm(self.max_grad_norm), opt
             )
+        if self.gradient_accumulation_steps > 1:
+            opt = optax.MultiSteps(
+                opt, every_k_schedule=self.gradient_accumulation_steps
+            ).gradient_transformation()
         return Optimization(
             tx=opt, schedule=schedule, config=self,
         )

@@ -146,6 +146,7 @@ class DataLoader:
         seed: int = 0,
         drop_last: bool = True,
         sharding=None,
+        sample_with_replacement: int | None = None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -155,22 +156,32 @@ class DataLoader:
         self.seed = seed
         self.drop_last = drop_last
         self.sharding = sharding
+        self.sample_with_replacement = sample_with_replacement
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
         self.epoch = epoch
 
     def __len__(self) -> int:
-        n = len(self.dataset)
+        n = (
+            self.sample_with_replacement
+            if self.sample_with_replacement is not None
+            else len(self.dataset)
+        )
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
 
     def _index_batches(self, start_batch: int = 0) -> list[np.ndarray]:
-        indices = np.arange(len(self.dataset))
-        if self.shuffle:
-            rng = np.random.RandomState(self.seed + self.epoch)
-            rng.shuffle(indices)
+        rng = np.random.RandomState(self.seed + self.epoch)
+        if self.sample_with_replacement is not None:
+            indices = rng.randint(
+                0, len(self.dataset), self.sample_with_replacement
+            )
+        else:
+            indices = np.arange(len(self.dataset))
+            if self.shuffle:
+                rng.shuffle(indices)
         n_batches = len(self)
         batches = [
             indices[i * self.batch_size : (i + 1) * self.batch_size]
@@ -295,6 +306,10 @@ class DataLoaderConfig:
     prefetch_factor: int = 2
     time_buffer: int = 0
     time_buffer_pool_size: int = 1
+    # draw this many samples per epoch with replacement instead of
+    # iterating each sample once (reference: config.py:29
+    # sample_with_replacement)
+    sample_with_replacement: int | None = None
 
     def __post_init__(self):
         if self.time_buffer_pool_size > 1 and self.time_buffer == 0:
@@ -323,6 +338,7 @@ class DataLoaderConfig:
             prefetch=self.prefetch_factor,
             seed=seed,
             sharding=sharding,
+            sample_with_replacement=self.sample_with_replacement,
         )
         if self.time_buffer > 0:
             loader = SlidingWindowLoader(

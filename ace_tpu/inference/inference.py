@@ -26,6 +26,7 @@ from ace_tpu.data.inference import (
 from ace_tpu.inference.data_writer import DataWriterConfig, save_restart
 from ace_tpu.inference.loop import run_inference
 from ace_tpu.stepper.checkpoint import load_stepper
+from ace_tpu.stepper.stepper import StepperOverrideConfig
 from ace_tpu.stepper.insolation import DerivedForcingsConfig
 from ace_tpu.stepper.stepper import PrognosticState
 from ace_tpu.train.trainer import LoggingConfig
@@ -53,6 +54,7 @@ class InferenceConfig:
     # restart file to use as the initial condition instead of the forcing
     # dataset (used by segmented inference; reference: inference.py:514)
     initial_condition_path: str | None = None
+    stepper_override: StepperOverrideConfig | None = None
 
 
 def load_restart_initial_condition(path: str, names: list[str]):
@@ -71,7 +73,9 @@ def load_restart_initial_condition(path: str, names: list[str]):
 
 def run_inference_from_config(config: InferenceConfig) -> dict:
     config.logging.configure(config.experiment_dir)
-    stepper = load_stepper(config.checkpoint_path)
+    stepper = load_stepper(
+        config.checkpoint_path, override=config.stepper_override
+    )
     forcing_data = config.forcing_loader.build(
         forcing_names=stepper.forcing_window_names,
         prognostic_names=stepper.prognostic_names,

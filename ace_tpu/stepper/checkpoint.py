@@ -65,12 +65,19 @@ def build_stepper_from_state(state: dict) -> tuple[Stepper, StepperConfig]:
     return stepper, config
 
 
-def load_stepper(path: str) -> Stepper:
+def load_stepper(path: str, override=None) -> Stepper:
     """Rebuild a stepper from a checkpoint file
-    (reference: fme/ace/stepper/single_module.py:1909).
+    (reference: fme/ace/stepper/single_module.py:1909), optionally
+    applying a StepperOverrideConfig (:1848) to the stored step config.
     """
     payload = load_msgpack(path)
-    stepper, _ = build_stepper_from_state(payload["stepper"])
+    state = payload["stepper"]
+    if override is not None:
+        state = dict(state)
+        config = json.loads(state["config"])
+        config = override.apply(config)
+        state["config"] = json.dumps(config)
+    stepper, _ = build_stepper_from_state(state)
     return stepper
 
 

@@ -219,3 +219,28 @@ class StepperConfig:
     @classmethod
     def from_state(cls, state: dict) -> "StepperConfig":
         return cls(step=StepSelector.from_state(state["step"]))
+
+
+@dataclasses.dataclass
+class StepperOverrideConfig:
+    """Inference-time overrides of a serialized stepper's configuration
+    (reference: fme/ace/stepper/single_module.py:1848
+    StepperOverrideConfig). "keep" leaves the stored value untouched.
+    """
+
+    ocean: Any = "keep"
+    prescribed_prognostic_names: Any = "keep"
+
+    def apply(self, stepper_config_state: dict) -> dict:
+        state = dict(stepper_config_state)
+        step = dict(state.get("step", {}))
+        step_cfg = dict(step.get("config", {}))
+        if self.ocean != "keep":
+            step_cfg["ocean"] = self.ocean
+        if self.prescribed_prognostic_names != "keep":
+            step_cfg["prescribed_prognostic_names"] = (
+                list(self.prescribed_prognostic_names)
+            )
+        step["config"] = step_cfg
+        state["step"] = step
+        return state

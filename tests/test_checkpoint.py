@@ -72,3 +72,42 @@ def test_atomic_write_no_partial(tmp_path):
     # no stray tmp files remain
     leftovers = [p for p in tmp_path.iterdir() if ".tmp." in p.name]
     assert leftovers == []
+
+
+def test_stepper_override_on_load(tmp_path):
+    """Inference-time ocean/prescribed overrides mutate the stored step
+    config before rebuild (reference: single_module.py:1848)."""
+    import jax
+
+    from tests.test_step_stepper import _dataset_info, _step_config
+    from ace_tpu.core.config import to_dict
+    from ace_tpu.core.step.base import StepSelector
+    from ace_tpu.stepper.checkpoint import load_stepper, save_stepper
+    from ace_tpu.stepper.stepper import (
+        StepperConfig,
+        StepperOverrideConfig,
+    )
+
+    sel = StepSelector(type="single_module", config=to_dict(_step_config()))
+    cfg = StepperConfig(step=sel)
+    stepper = cfg.get_stepper(_dataset_info())
+    stepper.params = stepper.init_params(jax.random.PRNGKey(0))
+    path = str(tmp_path / "s.msgpack")
+    save_stepper(path, stepper, cfg)
+
+    plain = load_stepper(path)
+    assert plain.step.config.prescribed_prognostic_names == []
+
+    override = StepperOverrideConfig(
+        prescribed_prognostic_names=["prog"]
+    )
+    overridden = load_stepper(path, override=override)
+    assert overridden.step.config.prescribed_prognostic_names == ["prog"]
+    # params still load
+    import numpy as np
+
+    for a, b in zip(
+        jax.tree_util.tree_leaves(plain.params),
+        jax.tree_util.tree_leaves(overridden.params),
+    ):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
