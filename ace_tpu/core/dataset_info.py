@@ -6,6 +6,7 @@ trained on; inference checks compatibility with the forcing dataset.
 """
 
 import dataclasses
+from typing import Any
 from datetime import timedelta
 
 import numpy as np
@@ -41,6 +42,9 @@ class DatasetInfo:
     variable_metadata: dict[str, VariableMetadata] = dataclasses.field(
         default_factory=dict
     )
+    # dataset-derived static "mask_*" fields (reference:
+    # fme/core/spatial_mask_provider.py); None = no masks
+    mask_provider: Any = None
 
     @property
     def img_shape(self) -> tuple[int, int]:
@@ -118,6 +122,8 @@ class DatasetInfo:
             )
         if self.timestep is not None:
             state["timestep_seconds"] = self.timestep.total_seconds()
+        if self.mask_provider is not None and self.mask_provider.masks:
+            state["mask_provider"] = self.mask_provider.get_state()
         return state
 
     @classmethod
@@ -141,9 +147,15 @@ class DatasetInfo:
             k: VariableMetadata(units=v["units"], long_name=v["long_name"])
             for k, v in state.get("variable_metadata", {}).items()
         }
+        mask_provider = None
+        if "mask_provider" in state:
+            from ace_tpu.core.masking import MaskProvider
+
+            mask_provider = MaskProvider.from_state(state["mask_provider"])
         return cls(
             horizontal_coordinates=horizontal,
             vertical_coordinate=vertical,
             timestep=timestep,
             variable_metadata=metadata,
+            mask_provider=mask_provider,
         )

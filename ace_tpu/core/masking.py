@@ -66,6 +66,80 @@ class StaticSpatialMasking:
         return out
 
 
+class MaskProvider:
+    """Dataset-derived static masks keyed "mask_*"
+    (reference: fme/core/spatial_mask_provider.py:70 SpatialMaskProvider).
+    Priority for variable ``name``: mask_{name} > mask_{level-suffix} >
+    mask_2d.
+    """
+
+    def __init__(self, masks: dict[str, np.ndarray] | None = None):
+        masks = masks or {}
+        for key in masks:
+            if not key.startswith("mask_"):
+                raise ValueError(f"mask name {key!r} must start with mask_")
+        self.masks = {k: np.asarray(v) for k, v in masks.items()}
+
+    def get_mask_for(self, name: str) -> np.ndarray | None:
+        if f"mask_{name}" in self.masks:
+            return self.masks[f"mask_{name}"]
+        parts = name.rsplit("_", 1)
+        if len(parts) == 2 and parts[1].isdigit():
+            level_mask = f"mask_{parts[1]}"
+            if level_mask in self.masks:
+                return self.masks[level_mask]
+        elif "mask_2d" in self.masks:
+            return self.masks["mask_2d"]
+        return None
+
+    def build_output_masker(self, fill_value: float = 0.0):
+        """Callable filling masked regions of matching output fields
+        (reference: build_output_spatial_masker + StaticSpatialMasking).
+        Returns identity when no masks exist.
+        """
+        if not self.masks:
+            return lambda data: data
+        masks_j = {k: jnp.asarray(v) for k, v in self.masks.items()}
+        provider = self
+
+        def apply(data: TensorMapping) -> TensorDict:
+            out = dict(data)
+            for name, value in data.items():
+                mask = provider.get_mask_for(name)
+                if mask is None:
+                    continue
+                key = next(
+                    k for k, v in self.masks.items() if v is mask
+                )
+                out[name] = jnp.where(
+                    masks_j[key] != 0, value, fill_value
+                )
+            return out
+
+        return apply
+
+    def get_state(self) -> dict:
+        return {
+            "masks": {k: v.tolist() for k, v in self.masks.items()}
+        }
+
+    @classmethod
+    def from_state(cls, state: dict) -> "MaskProvider":
+        return cls(
+            {k: np.asarray(v) for k, v in state.get("masks", {}).items()}
+        )
+
+    def __eq__(self, other):
+        if not isinstance(other, MaskProvider):
+            return False
+        if set(self.masks) != set(other.masks):
+            return False
+        return all(
+            np.array_equal(self.masks[k], other.masks[k])
+            for k in self.masks
+        )
+
+
 @dataclasses.dataclass
 class SpatialMaskProvider:
     """Supplies per-variable static masks from dataset fields

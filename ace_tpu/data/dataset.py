@@ -243,11 +243,20 @@ class XarrayDataset:
 
     @property
     def dataset_info(self) -> DatasetInfo:
+        from ace_tpu.core.masking import MaskProvider
+
+        masks = {}
+        for name, disk in self._static.items():
+            if name.startswith("mask_"):
+                masks[name] = np.asarray(
+                    self._files[0][disk].read(()), np.float32
+                )
         return DatasetInfo(
             horizontal_coordinates=self.horizontal_coordinates,
             vertical_coordinate=self.vertical_coordinate,
             timestep=self.timestep,
             variable_metadata=self.variable_metadata,
+            mask_provider=MaskProvider(masks) if masks else None,
         )
 
     def _static_derived(self, name: str) -> np.ndarray:

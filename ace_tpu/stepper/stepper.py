@@ -53,6 +53,13 @@ class Stepper:
     def __init__(self, step: StepABC, params: Any = None):
         self.step = step
         self.params = params
+        # output spatial masking from dataset "mask_*" fields (reference:
+        # fme/ace/stepper/single_module.py:841 _output_masking)
+        provider = getattr(step.dataset_info, "mask_provider", None)
+        self.output_masker = (
+            provider.build_output_masker() if provider is not None
+            else (lambda data: data)
+        )
 
     @property
     def prognostic_names(self) -> list[str]:
@@ -143,9 +150,10 @@ class Stepper:
                     deterministic=deterministic,
                 ),
             )
-            new_state = {k: out.output[k] for k in prognostic_names}
+            masked = self.output_masker(out.output)
+            new_state = {k: masked[k] for k in prognostic_names}
             return (new_state, out.stepper_state, key), (
-                out.output,
+                masked,
                 out.corrector_diagnostics,
             )
 

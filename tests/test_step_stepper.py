@@ -569,3 +569,40 @@ def test_secondary_decoder():
     )
     assert main_norm == 0.0
     assert sec_norm > 0.0
+
+
+def test_output_masking_from_dataset_masks():
+    """Dataset mask_* fields zero masked output regions each step
+    (reference: spatial_mask_provider.py + stepper output masking)."""
+    import dataclasses as dc
+
+    from ace_tpu.core.config import to_dict
+    from ace_tpu.core.masking import MaskProvider
+    from ace_tpu.core.step.base import StepSelector
+    from ace_tpu.stepper.stepper import PrognosticState, StepperConfig
+
+    info = _dataset_info()
+    mask = np.ones((NLAT, NLON), np.float32)
+    mask[:, : NLON // 2] = 0.0
+    info = dc.replace(
+        info, mask_provider=MaskProvider({"mask_2d": mask})
+    )
+    sel = StepSelector(type="single_module", config=to_dict(_step_config()))
+    stepper = StepperConfig(step=sel).get_stepper(info)
+    stepper.params = stepper.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    ic = PrognosticState(data={
+        "prog": jnp.asarray(rng.randn(1, 1, NLAT, NLON), jnp.float32)
+    })
+    forcing = {
+        "forcing_var": jnp.asarray(rng.randn(1, 3, NLAT, NLON), jnp.float32)
+    }
+    outputs, _ = stepper.predict(ic, forcing)
+    out = np.asarray(outputs["prog"])
+    assert np.all(out[..., : NLON // 2] == 0.0)
+    assert np.abs(out[..., NLON // 2 :]).max() > 0.0
+    # mask provider round-trips through dataset_info serialization
+    from ace_tpu.core.dataset_info import DatasetInfo
+
+    info2 = DatasetInfo.from_state(info.get_state())
+    assert info2.mask_provider == info.mask_provider
