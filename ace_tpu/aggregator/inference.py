@@ -209,6 +209,7 @@ class InferenceAggregatorConfig:
     log_near_zero_fraction: bool = False
     log_video: bool = False
     log_extended_video: bool = False
+    log_trends: bool = False
 
     def build(self, dataset_info, n_timesteps: int,
               record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
@@ -259,6 +260,11 @@ class InferenceEvaluatorAggregator:
             self._aggregators["near_zero_fraction"] = (
                 NearZeroFractionAggregator()
             )
+        self._trend = None
+        if config.log_trends:
+            from ace_tpu.aggregator.trend import TrendAggregator
+
+            self._trend = TrendAggregator()
         self._seasonal = None
         if config.log_seasonal_means:
             from ace_tpu.aggregator.seasonal import SeasonalAggregator
@@ -289,6 +295,8 @@ class InferenceEvaluatorAggregator:
             self._annual.record_batch(gen, time, target)
         if self._seasonal is not None and time is not None:
             self._seasonal.record_batch(gen, time, target)
+        if self._trend is not None and time is not None:
+            self._trend.record_batch(gen, time, target)
 
     def get_logs(self) -> dict[str, float]:
         logs: dict[str, float] = {"n_forward_steps": self._n_steps}
@@ -299,6 +307,8 @@ class InferenceEvaluatorAggregator:
             logs.update(self._annual.get_logs("annual"))
         if self._seasonal is not None:
             logs.update(self._seasonal.get_logs("seasonal"))
+        if self._trend is not None:
+            logs.update(self._trend.get_logs("trend"))
         return logs
 
     def flush_diagnostics(self, output_dir: str):
@@ -313,6 +323,8 @@ class InferenceEvaluatorAggregator:
         items = dict(self._aggregators)
         if self._annual is not None:
             items["annual"] = self._annual
+        if self._trend is not None:
+            items["trend"] = self._trend
         if self._seasonal is not None:
             items["seasonal"] = self._seasonal
         for label, agg in items.items():

@@ -129,6 +129,9 @@ class TrainConfig:
     # resumes the next segment (reference: core/generics/trainer.py:151
     # segment_epochs) — for preemptible/time-limited schedulers
     segment_epochs: int | None = None
+    # run validation (and inline inference) once before any training
+    # (reference: generics/trainer.py:156 evaluate_before_training)
+    evaluate_before_training: bool = False
     seed: int = 0
 
     @property
@@ -259,6 +262,12 @@ class Trainer:
             end_epoch = min(
                 self.start_epoch + self.config.segment_epochs,
                 self.config.max_epochs,
+            )
+        if self.config.evaluate_before_training and self.start_epoch == 0:
+            valid_logs = self.validate()
+            WandB.get_instance().log(
+                {f"valid_pre/{k}": v for k, v in valid_logs.items()},
+                step=self.num_batches_seen,
             )
         for epoch in range(self.start_epoch, end_epoch):
             self._current_epoch = epoch

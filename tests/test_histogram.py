@@ -129,3 +129,38 @@ def test_video_aggregator():
     )
     assert "video-bias-a" in diags
     assert "video-gen_var-a" in diags
+
+
+def test_trend_aggregator_recovers_slope():
+    from ace_tpu.aggregator.trend import TrendAggregator
+    from ace_tpu.data.time import TimeCoord
+
+    agg = TrendAggregator()
+    # 2 K/year trend over 3 years, monthly steps, plus per-cell offsets
+    n_time = 36
+    time = TimeCoord.from_range(
+        "2000-01-01T00:00", n_time, 30 * 24 * 3600
+    )
+    years = (
+        np.asarray(time.values, np.float64)
+        - time.values[0]
+    ) / 1e6 / (365.25 * 24 * 3600)
+    base = np.random.RandomState(0).randn(4, 8)
+    field = base[None] + 2.0 * years[:, None, None]
+    # feed in two chunks of [1, T/2, H, W]
+    half = n_time // 2
+    agg.record_batch(
+        {"t2m": field[None, :half]},
+        TimeCoord(time.values[None, :half], time.calendar),
+        {"t2m": field[None, :half] * 0.5},
+    )
+    agg.record_batch(
+        {"t2m": field[None, half:]},
+        TimeCoord(time.values[None, half:], time.calendar),
+        {"t2m": field[None, half:] * 0.5},
+    )
+    diags = agg.get_diagnostics()
+    np.testing.assert_allclose(diags["trend-gen-t2m"], 2.0, rtol=1e-4)
+    np.testing.assert_allclose(
+        diags["trend-target-t2m"], 1.0, rtol=1e-4
+    )
