@@ -397,6 +397,41 @@ class HEALPixUNetBuilder(ModuleConfig):
         )
 
 
+@ModuleSelector.register("NoiseConditionedSwinTransformer")
+@dataclasses.dataclass
+class NoiseConditionedSwinTransformerBuilder(ModuleConfig):
+    """Stochastic Swin: fresh Gaussian noise each forward conditions every
+    block's layer norms (reference: fme/ace/registry/
+    swin_transformer.py:132 NoiseConditionedSwinTransformerBuilder).
+    """
+
+    embed_dim: int = 96
+    depth_multiplier: int = 1
+    num_heads: list[int] = dataclasses.field(
+        default_factory=lambda: [3, 6, 6, 3]
+    )
+    window_size: list[int] = dataclasses.field(default_factory=lambda: [4, 8])
+    mlp_ratio: float = 4.0
+    noise_embed_dim: int = 256
+    compute_dtype: str = "float32"
+
+    def build(self, n_in_channels, n_out_channels, dataset_info):
+        from ace_tpu.models.swin import SwinTransformerNet
+
+        depths = [2 * self.depth_multiplier, 6 * self.depth_multiplier,
+                  6 * self.depth_multiplier, 2 * self.depth_multiplier]
+        return SwinTransformerNet(
+            out_channels=n_out_channels,
+            embed_dim=self.embed_dim,
+            depths=tuple(depths),
+            num_heads=tuple(self.num_heads),
+            window_size=tuple(self.window_size),
+            mlp_ratio=self.mlp_ratio,
+            noise_embed_dim=self.noise_embed_dim,
+            dtype=jnp.dtype(self.compute_dtype),
+        )
+
+
 @ModuleSelector.register("SwinTransformer")
 @dataclasses.dataclass
 class SwinTransformerBuilder(ModuleConfig):

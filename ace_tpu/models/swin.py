@@ -101,16 +101,35 @@ class SwinBlock(nn.Module):
     window_size: tuple[int, int]
     shift: bool = False
     mlp_ratio: float = 4.0
+    # >0: per-block conditional layer norms driven by a noise field
+    # (reference: registry/swin_transformer.py:132
+    # NoiseConditionedSwinTransformer)
+    noise_embed_dim: int = 0
     dtype: jnp.dtype = jnp.float32
 
+    def _norm(self, name):
+        if self.noise_embed_dim > 0:
+            from ace_tpu.models.conditional_sfno import (
+                ConditionalLayerNorm,
+            )
+
+            cln = ConditionalLayerNorm(
+                n_channels=self.dim,
+                embed_dim_noise=self.noise_embed_dim,
+                name=name,
+            )
+            return cln
+        norm = nn.LayerNorm(dtype=jnp.float32, name=name)
+        return lambda x, noise=None: norm(x)
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, noise=None, deterministic: bool = True):
         b, h, w, c = x.shape
         wh, ww = self.window_size
         sh, sw = (wh // 2, ww // 2) if self.shift else (0, 0)
 
         shortcut = x
-        x = nn.LayerNorm(dtype=jnp.float32, name="norm1")(x)
+        x = self._norm("norm1")(x, noise)
         if self.shift:
             # cyclic shift: periodic along lon (W); along lat (H) the
             # wrapped rows are masked out of attention below
@@ -148,8 +167,7 @@ class SwinBlock(nn.Module):
             out_features=self.dim,
             dtype=self.dtype,
             name="mlp",
-        )(nn.LayerNorm(dtype=jnp.float32, name="norm2")(x),
-          deterministic=deterministic)
+        )(self._norm("norm2")(x, noise), deterministic=deterministic)
         return x
 
 
@@ -166,10 +184,26 @@ class SwinTransformerNet(nn.Module):
     num_heads: Sequence[int] = (3, 6, 6, 3)
     window_size: tuple[int, int] = (4, 8)
     mlp_ratio: float = 4.0
+    # >0 turns this into the noise-conditioned (stochastic) Swin: a fresh
+    # Gaussian field per call conditions every block's layer norms
+    # (reference: registry/swin_transformer.py:132)
+    noise_embed_dim: int = 0
     dtype: jnp.dtype = jnp.float32
+
+    def _make_noise(self, x):
+        if self.noise_embed_dim == 0:
+            return None
+        b, hh, ww, _ = x.shape
+        shape = (b, hh, ww, self.noise_embed_dim)
+        if not self.has_rng("noise"):
+            return jnp.zeros(shape, jnp.float32)
+        return jax.random.normal(
+            self.make_rng("noise"), shape, jnp.float32
+        )
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        noise = self._make_noise(x)
         h = nn.Dense(
             self.embed_dim, kernel_init=trunc_normal_init(),
             dtype=self.dtype, name="embed",
@@ -183,9 +217,10 @@ class SwinTransformerNet(nn.Module):
                     window_size=tuple(self.window_size),
                     shift=(i % 2 == 1),
                     mlp_ratio=self.mlp_ratio,
+                    noise_embed_dim=self.noise_embed_dim,
                     dtype=self.dtype,
                     name=f"block_{blk}",
-                )(h, deterministic=deterministic)
+                )(h, noise, deterministic=deterministic)
                 blk += 1
         h = nn.LayerNorm(dtype=jnp.float32, name="norm_out")(h)
         out = nn.Dense(

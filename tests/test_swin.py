@@ -65,3 +65,53 @@ def test_swin_via_registry():
     x = jnp.zeros((1, 8, 16, 4))
     params = model.init(jax.random.PRNGKey(0), x)
     assert model.apply(params, x).shape == (1, 8, 16, 3)
+
+
+def test_noise_conditioned_swin_is_stochastic():
+    import flax
+
+    from ace_tpu.models.swin import SwinTransformerNet
+
+    net = SwinTransformerNet(
+        out_channels=2, embed_dim=8, depths=(2,), num_heads=(2,),
+        window_size=(4, 8), noise_embed_dim=4,
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 8, 16, 3), jnp.float32
+    )
+    params = net.init(jax.random.PRNGKey(0), x)
+    # conditioning weights are zero-init; perturb them so noise matters
+    flat = flax.traverse_util.flatten_dict(params)
+    perturbed = {
+        k: (v + 0.1 if "w_scale_2d" in "/".join(map(str, k)) else v)
+        for k, v in flat.items()
+    }
+    params = flax.traverse_util.unflatten_dict(perturbed)
+    o1 = net.apply(params, x, rngs={"noise": jax.random.PRNGKey(1)})
+    o2 = net.apply(params, x, rngs={"noise": jax.random.PRNGKey(2)})
+    assert o1.shape == (1, 8, 16, 2)
+    assert not np.allclose(np.asarray(o1), np.asarray(o2))
+    # no rng -> deterministic zero-noise path
+    o3 = net.apply(params, x)
+    o4 = net.apply(params, x)
+    np.testing.assert_array_equal(np.asarray(o3), np.asarray(o4))
+
+
+def test_noise_conditioned_swin_registry():
+    from ace_tpu.models.registry import ModuleSelector
+    from tests.test_step_stepper import _dataset_info
+
+    sel = ModuleSelector(
+        type="NoiseConditionedSwinTransformer",
+        config={
+            "embed_dim": 8, "depth_multiplier": 1,
+            "num_heads": [2, 2, 2, 2], "window_size": [4, 8],
+            "noise_embed_dim": 4,
+        },
+    )
+    info = _dataset_info()
+    net = sel.build(3, 2, info)
+    x = jnp.zeros((1, *info.img_shape, 3))
+    params = net.init(jax.random.PRNGKey(0), x)
+    out = net.apply(params, x, rngs={"noise": jax.random.PRNGKey(1)})
+    assert out.shape == (1, *info.img_shape, 2)
