@@ -25,7 +25,7 @@ from ace_tpu.core.coordinates import (
 from ace_tpu.core.dataset_info import DatasetInfo, VariableMetadata
 from ace_tpu.core.typing_ import Slice
 from ace_tpu.data.store import FileDataset, open_file_dataset
-from ace_tpu.data.time import TimeCoord
+from ace_tpu.data.time import RepeatedInterval, TimeCoord, TimeSlice
 
 LAT_NAMES = ("lat", "latitude", "grid_yt", "y")
 LON_NAMES = ("lon", "longitude", "grid_xt", "x")
@@ -87,7 +87,11 @@ class XarrayDataConfig:
     file_pattern: str = "*.nc"
     engine: str | None = None
     n_repeats: int = 1
-    subset: Slice = dataclasses.field(default_factory=Slice)
+    # index Slice, datetime-string TimeSlice, or RepeatedInterval mask
+    # (reference: xarray.py subset options, core/dataset/time.py)
+    subset: Slice | TimeSlice | RepeatedInterval = dataclasses.field(
+        default_factory=Slice
+    )
     spatial_dimensions: str = "latlon"
     renamed_variables: dict[str, str] | None = None
     fill_nans: float | None = None
@@ -149,12 +153,22 @@ class XarrayDataset:
                     for i in range(config.n_repeats)]
             all_time = TimeCoord(np.concatenate(reps), all_time.calendar)
         self._base_n_times = int(self._file_offsets[-1])
+        full_indices = np.arange(self._base_n_times * config.n_repeats)
+        if isinstance(config.subset, TimeSlice):
+            sel = config.subset.indices(all_time)
+        elif isinstance(config.subset, RepeatedInterval):
+            base_timestep = None
+            if len(all_time) > 1:
+                base_timestep = datetime.timedelta(
+                    microseconds=int(np.diff(all_time.values)[0])
+                )
+            sel = config.subset.indices(all_time, base_timestep)
+        else:
+            sel = full_indices[config.subset.slice]
         self.all_time = TimeCoord(
-            all_time.values[config.subset.slice], all_time.calendar
+            all_time.values[sel], all_time.calendar
         )
-        self._subset_indices = np.arange(
-            self._base_n_times * config.n_repeats
-        )[config.subset.slice]
+        self._subset_indices = full_indices[sel]
 
         first = self._files[0]
         # horizontal coordinates: HEALPix (face/height/width dims) or
@@ -200,7 +214,15 @@ class XarrayDataset:
         else:
             self.vertical_coordinate = NullVerticalCoordinate()
 
-        if len(self.all_time) > 1:
+        if isinstance(config.subset, RepeatedInterval) and len(
+            all_time
+        ) > 1:
+            # masked subsets are not evenly spaced; the physical timestep
+            # is the base dataset's spacing
+            self.timestep = datetime.timedelta(
+                microseconds=int(np.diff(all_time.values)[0])
+            )
+        elif len(self.all_time) > 1:
             self.timestep = datetime.timedelta(
                 seconds=self.all_time.timestep_seconds()
             )

@@ -197,3 +197,117 @@ class TimeCoord:
         if len(diffs) and not np.all(diffs == diffs[0]):
             raise ValueError("time axis is not evenly spaced")
         return float(diffs[0]) / MICROS_PER_SECOND if len(diffs) else 0.0
+
+
+@dataclasses.dataclass
+class TimeSlice:
+    """Datetime-string slice of the time axis, stop inclusive
+    (reference: fme/core/dataset/time.py:10 TimeSlice). Partial strings
+    select at the encoded-microsecond level.
+    """
+
+    start_time: str | None = None
+    stop_time: str | None = None
+    step: int | None = None
+
+    def indices(self, time: "TimeCoord") -> np.ndarray:
+        values = np.asarray(time.values)
+        lo = 0
+        hi = len(values)
+        if self.start_time is not None:
+            start_us = parse_datetime_string(
+                _pad_partial(self.start_time), time.calendar
+            )
+            lo = int(np.searchsorted(values, start_us, side="left"))
+        if self.stop_time is not None:
+            stop_us = parse_datetime_string(
+                _pad_partial(self.stop_time, end=True), time.calendar
+            )
+            hi = int(np.searchsorted(values, stop_us, side="right"))
+        return np.arange(lo, hi, self.step or 1)
+
+
+def _pad_partial(s: str, end: bool = False) -> str:
+    """Expand a partial time string ("2000", "2000-03") to a full
+    timestamp at the start (or end) of the period.
+    """
+    s = s.strip()
+    if len(s) == 4:  # year
+        return f"{s}-12-31T23:59:59" if end else f"{s}-01-01T00:00:00"
+    if len(s) == 7:  # year-month
+        if end:
+            year, month = int(s[:4]), int(s[5:7])
+            # last instant of the month: first of next month minus 1s is
+            # overkill; day 28 minimum works for inclusive bounds at
+            # coarser-than-daily steps, so use a safe day-31 clamp
+            days = {1: 31, 2: 29, 3: 31, 4: 30, 5: 31, 6: 30, 7: 31,
+                    8: 31, 9: 30, 10: 31, 11: 30, 12: 31}[month]
+            return f"{s}-{days:02d}T23:59:59"
+        return f"{s}-01T00:00:00"
+    if len(s) == 10:  # date
+        return f"{s}T23:59:59" if end else f"{s}T00:00:00"
+    return s
+
+
+@dataclasses.dataclass
+class RepeatedInterval:
+    """Boolean-mask subsetting: keep ``interval_length`` steps starting at
+    ``start`` within every ``block_length`` block
+    (reference: fme/core/dataset/time.py:59 RepeatedInterval). All three
+    are ints (steps) or all timedelta strings ("1d", "6h", ...).
+    """
+
+    interval_length: int | str
+    start: int | str
+    block_length: int | str
+
+    def __post_init__(self):
+        types = {
+            type(self.interval_length), type(self.block_length),
+            type(self.start),
+        }
+        if len(types) > 1:
+            raise ValueError(
+                "interval_length, start and block_length must be all int "
+                "or all str"
+            )
+        self._is_str = isinstance(self.interval_length, str)
+
+    def get_boolean_mask(self, length: int,
+                         timestep=None) -> np.ndarray:
+        if self._is_str:
+            if timestep is None:
+                raise ValueError(
+                    "timestep required for timedelta-string intervals"
+                )
+            import pandas as pd
+
+            def to_steps(v):
+                td = pd.Timedelta(v).to_pytimedelta()
+                if td % timestep != type(timestep)(0):
+                    raise ValueError(
+                        f"interval {v} is not a multiple of the "
+                        f"timestep {timestep}"
+                    )
+                return int(td // timestep)
+
+            interval = to_steps(self.interval_length)
+            block = to_steps(self.block_length)
+            start = to_steps(self.start)
+        else:
+            interval = self.interval_length
+            block = self.block_length
+            start = self.start
+        if start + interval > block:
+            raise ValueError(
+                "interval (with start) must fit within the repeat block"
+            )
+        unit = np.zeros(block, bool)
+        unit[start : start + interval] = True
+        reps = length // block + 1
+        return np.tile(unit, reps)[:length]
+
+    def indices(self, time: "TimeCoord", timestep=None) -> np.ndarray:
+        return np.nonzero(
+            self.get_boolean_mask(len(time), timestep)
+        )[0]

@@ -258,3 +258,43 @@ def test_data_loading_benchmark_runs():
     )
     assert result["samples_per_sec"] > 0
     assert result["n_batches"] > 0
+
+
+def test_time_slice_and_repeated_interval_subsets(tmp_path):
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.data.dataset import XarrayDataConfig
+    from ace_tpu.testing import SyntheticData
+
+    data = SyntheticData(tmp_path / "d", ["a"], n_time=16)  # 6-hourly
+    # TimeSlice: select one day inclusive
+    cfg = from_dict(XarrayDataConfig, {
+        "data_path": str(data.data_dir),
+        "subset": {
+            "start_time": "2000-01-02T00:00",
+            "stop_time": "2000-01-02T18:00",
+        },
+    })
+    ds = cfg.build()
+    assert ds.n_times == 4
+    from ace_tpu.data.time import format_time
+
+    assert format_time(int(ds.all_time.values[0])).startswith("2000-01-02")
+
+    # RepeatedInterval: first 2 of every 4 steps
+    cfg2 = from_dict(XarrayDataConfig, {
+        "data_path": str(data.data_dir),
+        "subset": {
+            "interval_length": 2, "start": 0, "block_length": 4,
+        },
+    })
+    ds2 = cfg2.build()
+    assert ds2.n_times == 8
+    # timedelta-string variant: 12h of every 24h
+    cfg3 = from_dict(XarrayDataConfig, {
+        "data_path": str(data.data_dir),
+        "subset": {
+            "interval_length": "12h", "start": "0h",
+            "block_length": "24h",
+        },
+    })
+    assert cfg3.build().n_times == 8
