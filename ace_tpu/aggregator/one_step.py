@@ -57,3 +57,68 @@ class OneStepAggregator:
 
     def get_snapshots(self) -> dict[str, np.ndarray]:
         return dict(self._snapshots)
+
+
+class EnsembleOneStepAggregator:
+    """One-step ensemble validation metrics
+    (reference: fme/ace/aggregator/one_step/ensemble.py CRPSMetric,
+    EnsembleMeanRMSEMetric, SSRBiasMetric).
+
+    record_batch(gen [B, E, ...spatial], target [B, ...spatial]):
+    accumulates almost-fair CRPS, ensemble-mean RMSE, and the
+    spread-skill-ratio bias (stdev / unbiased-RMSE - 1; 0 is perfectly
+    calibrated).
+    """
+
+    def __init__(self, ops: GriddedOperations):
+        self._ops = ops
+        self._crps: dict[str, float] = {}
+        self._mse: dict[str, float] = {}
+        self._var: dict[str, float] = {}
+        self._n_ens: int | None = None
+        self._count = 0
+
+    def record_batch(self, gen: TensorMapping, target: TensorMapping):
+        from ace_tpu.core.loss import get_crps
+
+        self._count += 1
+        for name in gen:
+            if name not in target:
+                continue
+            g = jnp.asarray(gen[name])  # [B, E, ...]
+            t = jnp.asarray(target[name])  # [B, ...]
+            self._n_ens = g.shape[1]
+            crps = float(jnp.mean(
+                get_crps(g, t[:, None], alpha=0.95)
+            ))
+            mean = jnp.mean(g, axis=1)
+            mse = float(jnp.mean(
+                self._ops.area_weighted_mean((mean - t) ** 2, name=name)
+            ))
+            var = float(jnp.mean(
+                self._ops.area_weighted_mean(
+                    jnp.var(g, axis=1, ddof=1), name=name
+                )
+            ))
+            self._crps[name] = self._crps.get(name, 0.0) + crps
+            self._mse[name] = self._mse.get(name, 0.0) + mse
+            self._var[name] = self._var.get(name, 0.0) + var
+
+    def get_logs(self, label: str = "ensemble") -> dict[str, float]:
+        logs = {}
+        n = max(self._count, 1)
+        for name in self._crps:
+            mse = self._mse[name] / n
+            var = self._var[name] / n
+            # remove the ensemble-mean sampling noise from the MSE
+            # (reference: ensemble.py SSRBiasMetric unbiased MSE)
+            unbiased_mse = max(
+                mse - var / max(self._n_ens or 1, 1), 0.0
+            )
+            logs[f"{label}/crps/{name}"] = self._crps[name] / n
+            logs[f"{label}/rmse_of_ensemble_mean/{name}"] = mse**0.5
+            if unbiased_mse > 0:
+                logs[f"{label}/spread_skill_ratio_bias/{name}"] = (
+                    (var**0.5) / (unbiased_mse**0.5) - 1.0
+                )
+        return logs

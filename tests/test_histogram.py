@@ -164,3 +164,36 @@ def test_trend_aggregator_recovers_slope():
     np.testing.assert_allclose(
         diags["trend-target-t2m"], 1.0, rtol=1e-4
     )
+
+
+def test_ensemble_one_step_aggregator_calibration():
+    import jax.numpy as jnp
+
+    from ace_tpu.aggregator.one_step import EnsembleOneStepAggregator
+    from ace_tpu.core.gridded_ops import LatLonOperations
+    from ace_tpu.core.metrics import spherical_area_weights
+
+    rng = np.random.RandomState(0)
+    ops = LatLonOperations(
+        spherical_area_weights(np.linspace(-80, 80, 8), 16)
+    )
+    agg = EnsembleOneStepAggregator(ops)
+    # perfectly calibrated: target and members drawn from the same
+    # distribution around a shared signal
+    signal = rng.randn(4, 8, 16)
+    target = signal + rng.randn(4, 8, 16)
+    gen = signal[:, None] + rng.randn(4, 64, 8, 16)
+    agg.record_batch(
+        {"a": jnp.asarray(gen)}, {"a": jnp.asarray(target)}
+    )
+    logs = agg.get_logs()
+    assert abs(logs["ensemble/spread_skill_ratio_bias/a"]) < 0.15
+    assert logs["ensemble/crps/a"] > 0
+    # underdispersed: zero spread -> strongly negative SSR bias
+    agg2 = EnsembleOneStepAggregator(ops)
+    gen0 = np.repeat(signal[:, None], 4, axis=1)
+    gen0 = gen0 + 1e-3 * rng.randn(*gen0.shape)
+    agg2.record_batch(
+        {"a": jnp.asarray(gen0)}, {"a": jnp.asarray(target)}
+    )
+    assert agg2.get_logs()["ensemble/spread_skill_ratio_bias/a"] < -0.9
