@@ -45,6 +45,9 @@ class DatasetInfo:
     # dataset-derived static "mask_*" fields (reference:
     # fme/core/spatial_mask_provider.py); None = no masks
     mask_provider: Any = None
+    # sorted union of dataset label names (reference: fme/core/labels.py
+    # LabelEncoding; conditional models one-hot these)
+    all_labels: tuple = ()
 
     @property
     def img_shape(self) -> tuple[int, int]:
@@ -71,10 +74,6 @@ class DatasetInfo:
         if isinstance(self.vertical_coordinate, DepthCoordinate):
             return self.vertical_coordinate
         return None
-
-    @property
-    def all_labels(self) -> set:
-        return set()
 
     def assert_compatible_with(self, other: "DatasetInfo"):
         """Check the other dataset can be used with a model trained on this
@@ -124,6 +123,8 @@ class DatasetInfo:
             state["timestep_seconds"] = self.timestep.total_seconds()
         if self.mask_provider is not None and self.mask_provider.masks:
             state["mask_provider"] = self.mask_provider.get_state()
+        if self.all_labels:
+            state["all_labels"] = list(self.all_labels)
         return state
 
     @classmethod
@@ -158,4 +159,5 @@ class DatasetInfo:
             timestep=timestep,
             variable_metadata=metadata,
             mask_provider=mask_provider,
+            all_labels=tuple(state.get("all_labels", ())),
         )

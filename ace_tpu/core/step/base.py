@@ -34,6 +34,9 @@ class StepArgs:
     # Per-variable [batch] bool presence masks for genuinely-absent inputs
     # (reference: fme/core/step/args.py data_mask); None = all present.
     data_mask: TensorMapping | None = None
+    # One-hot dataset labels [batch, n_labels] for conditional models
+    # (reference: fme/core/step/args.py labels)
+    labels: jax.Array | None = None
 
 
 @dataclasses.dataclass

@@ -388,9 +388,12 @@ class SingleModuleStep(StepABC):
                 params["main"] if self.secondary_decoder is not None
                 else params
             )
+            kwargs = {}
+            if getattr(self.module, "n_labels", 0):
+                kwargs["labels"] = args.labels
             out_packed = self.module.apply(
                 main_params, packed,
-                deterministic=args.deterministic, rngs=rngs,
+                deterministic=args.deterministic, rngs=rngs, **kwargs,
             )
             output = self.out_packer.unpack(out_packed)
             if self.secondary_decoder is not None:

@@ -98,6 +98,9 @@ class XarrayDataConfig:
     overwrite: OverwriteConfig = dataclasses.field(
         default_factory=OverwriteConfig
     )
+    # label names applying to every sample of this dataset (reference:
+    # xarray.py:468 labels; conditional models one-hot these)
+    labels: list[str] | None = None
 
     def build(self) -> "XarrayDataset":
         return XarrayDataset(self)
@@ -279,6 +282,7 @@ class XarrayDataset:
             timestep=self.timestep,
             variable_metadata=self.variable_metadata,
             mask_provider=MaskProvider(masks) if masks else None,
+            all_labels=tuple(sorted(self.config.labels or ())),
         )
 
     def _static_derived(self, name: str) -> np.ndarray:

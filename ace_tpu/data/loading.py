@@ -13,9 +13,10 @@ import concurrent.futures
 import dataclasses
 import queue
 import threading
-from typing import Iterator
+from typing import Any, Iterator
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.core.dataset_info import DatasetInfo
@@ -33,6 +34,9 @@ class BatchData:
 
     data: TensorDict
     time: TimeCoord  # values shaped [batch, time]
+    # one-hot dataset labels [batch, n_labels] (reference:
+    # fme/core/labels.py BatchLabels); None when no labels configured
+    labels: Any = None
 
     @property
     def n_timesteps(self) -> int:
@@ -43,7 +47,7 @@ class BatchData:
             data = {k: jax.device_put(v) for k, v in self.data.items()}
         else:
             data = {k: jax.device_put(v, sharding) for k, v in self.data.items()}
-        return BatchData(data=data, time=self.time)
+        return BatchData(data=data, time=self.time, labels=self.labels)
 
     def get_start(self, prognostic_names, n_ic_timesteps: int):
         from ace_tpu.stepper.stepper import PrognosticState
@@ -192,6 +196,20 @@ class DataLoader:
     def __iter__(self) -> Iterator[BatchData]:
         return self.iter_batches()
 
+    def _attach_labels(self, batch: BatchData) -> BatchData:
+        labels = getattr(self.dataset.dataset, "config", None)
+        label_names = getattr(labels, "labels", None) if labels else None
+        if not label_names:
+            return batch
+        encoding = sorted(label_names)
+        n = next(iter(batch.data.values())).shape[0]
+        onehot = np.zeros((n, len(encoding)), np.float32)
+        for name in label_names:
+            onehot[:, encoding.index(name)] = 1.0
+        return BatchData(
+            data=batch.data, time=batch.time, labels=jnp.asarray(onehot)
+        )
+
     def iter_batches(self, start_batch: int = 0) -> Iterator[BatchData]:
         batches = self._index_batches(start_batch)
         if not batches:
@@ -219,7 +237,7 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
-                yield item.to_device(self.sharding)
+                yield self._attach_labels(item.to_device(self.sharding))
         finally:
             stop.set()
 
@@ -265,6 +283,7 @@ class SlidingWindowLoader:
         return BatchData(
             data={k: v[:, sl] for k, v in batch.data.items()},
             time=TimeCoord(batch.time.values[:, sl], batch.time.calendar),
+            labels=batch.labels,
         )
 
     def __iter__(self) -> Iterator[BatchData]:

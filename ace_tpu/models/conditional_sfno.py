@@ -245,6 +245,12 @@ class NoiseConditionedSFNO(nn.Module):
     basis_type: str = "morlet"
     spectral_ratio: float = 1.0
     lora_rank: int = 0
+    # label conditioning (reference: conditional_sfno ContextConfig
+    # labels): one-hot [B, n_labels] broadcast spatially and concatenated
+    # with the noise conditioning; label_embed_dim > 0 projects through a
+    # learned linear embedding first
+    n_labels: int = 0
+    label_embed_dim: int = 0
     data_grid: str = "legendre-gauss"
     dtype: jnp.dtype = jnp.float32
 
@@ -283,11 +289,33 @@ class NoiseConditionedSFNO(nn.Module):
         scale = math.sqrt(4.0 * math.pi) / lmax
         return self.itrans_up(jax.lax.complex(real, imag) * scale)
 
+    def _conditioning(self, x, labels):
+        """noise (+ broadcast label embedding) conditioning channels."""
+        noise = self._make_noise(x.shape[0])
+        if self.n_labels == 0:
+            return noise, self.noise_embed_dim
+        if labels is None:
+            labels = jnp.zeros((x.shape[0], self.n_labels), jnp.float32)
+        lab = labels.astype(jnp.float32)
+        if self.label_embed_dim > 0:
+            lab = nn.Dense(
+                self.label_embed_dim, use_bias=False,
+                kernel_init=trunc_normal_init(), name="label_embed",
+            )(lab)
+        nlat, nlon = self.img_shape
+        lab2d = jnp.broadcast_to(
+            lab[:, None, None, :], (x.shape[0], nlat, nlon, lab.shape[-1])
+        )
+        return (
+            jnp.concatenate([noise, lab2d], axis=-1),
+            self.noise_embed_dim + lab.shape[-1],
+        )
+
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, labels=None):
         act = _ACTIVATIONS[self.activation_function]
         nlat, nlon = self.img_shape
-        noise = self._make_noise(x.shape[0])
+        noise, cond_dim = self._conditioning(x, labels)
 
         if self.big_skip:
             residual = x
@@ -298,7 +326,7 @@ class NoiseConditionedSFNO(nn.Module):
             if self.normalize_big_skip:
                 residual = ConditionalLayerNorm(
                     n_channels=self.in_chans,
-                    embed_dim_noise=self.noise_embed_dim,
+                    embed_dim_noise=cond_dim,
                     elementwise_affine=self.affine_norms,
                     name="norm_big_skip",
                 )(residual, noise)
@@ -330,7 +358,7 @@ class NoiseConditionedSFNO(nn.Module):
                 forward_transform=self.trans_down,
                 inverse_transform=self.itrans_up,
                 embed_dim=self.embed_dim,
-                embed_dim_noise=self.noise_embed_dim,
+                embed_dim_noise=cond_dim,
                 operator_type=self.operator_type,
                 mlp_ratio=self.mlp_ratio,
                 activation=self.activation_function,

@@ -330,6 +330,8 @@ class NoiseConditionedSFNOBuilder(ModuleConfig):
             basis_type=self.basis_type,
             spectral_ratio=self.spectral_ratio,
             lora_rank=self.lora_rank,
+            n_labels=len(dataset_info.all_labels),
+            label_embed_dim=self.label_embed_dim,
             data_grid=self.data_grid,
             dtype=jnp.dtype(self.compute_dtype),
         )

@@ -107,6 +107,7 @@ class Stepper:
         stepper_state: StepperState,
         rng: jax.Array,
         deterministic: bool = True,
+        labels=None,
     ) -> tuple[TensorDict, TensorDict, StepperState]:
         """Pure rollout function (jit/grad/shard_map-compatible).
 
@@ -148,6 +149,7 @@ class Stepper:
                     stepper_state=st_state,
                     rng=sub,
                     deterministic=deterministic,
+                    labels=labels,
                 ),
             )
             masked = self.output_masker(out.output)

@@ -125,7 +125,7 @@ class TrainStepper:
     # ----- pure functions -----
 
     def loss_fn(self, params, batch: TensorMapping, rng: jax.Array,
-                n_steps: int | None = None):
+                n_steps: int | None = None, labels=None):
         """Rollout loss over n_steps (defaults to the schedule maximum).
 
         batch: dict of [B, n_forward+1, ...spatial] containing all input,
@@ -149,6 +149,8 @@ class TrainStepper:
                 return x
             return jnp.repeat(x, n_ens, axis=0)
 
+        if labels is not None:
+            labels = expand_ens(labels)
         state0 = {
             k: expand_ens(batch[k][:, 0]) for k in prognostic_names
         }
@@ -181,6 +183,7 @@ class TrainStepper:
                     stepper_state=st_state,
                     rng=sub,
                     deterministic=False,
+                    labels=labels,
                 ),
             )
             gen = {k: out.output[k] for k in out_names}
@@ -222,10 +225,11 @@ class TrainStepper:
         (new_params, new_opt_state, metrics).
         """
 
-        def train_step(params, opt_state, batch, rng, n_steps=None):
+        def train_step(params, opt_state, batch, rng, n_steps=None,
+                       labels=None):
             (loss, metrics), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True
-            )(params, batch, rng, n_steps)
+            )(params, batch, rng, n_steps, labels)
             updates, new_opt_state = self.optimization.tx.update(
                 grads, opt_state, params
             )
@@ -243,8 +247,8 @@ class TrainStepper:
         )
 
     def build_valid_step(self):
-        def valid_step(params, batch, rng, n_steps=None):
-            _, metrics = self.loss_fn(params, batch, rng, n_steps)
+        def valid_step(params, batch, rng, n_steps=None, labels=None):
+            _, metrics = self.loss_fn(params, batch, rng, n_steps, labels)
             return metrics
 
         return jax.jit(valid_step, static_argnums=(3,))

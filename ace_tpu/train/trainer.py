@@ -323,7 +323,7 @@ class Trainer:
             n_steps = self.train_stepper.sample_n_forward_steps(epoch)
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, batch.data, self._next_rng(),
-                n_steps,
+                n_steps, batch.labels,
             )
             self.train_stepper.optimization._count += 1
             if self.train_stepper.ema is not None:

@@ -289,3 +289,61 @@ def test_cp_factorized_spectral_weights():
     out = cp.apply(p_cp, x)
     assert out.shape == (1, 8, 16, 2)
     assert bool(jnp.all(jnp.isfinite(out)))
+
+
+def test_label_conditioned_sfno_end_to_end(tmp_path):
+    """Dataset labels flow through loader -> batch -> step -> model
+    (reference: fme/core/labels.py + ContextConfig label conditioning)."""
+    import dataclasses as dc
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    import flax
+
+    from ace_tpu.models.conditional_sfno import NoiseConditionedSFNO
+
+    # model level: labels change outputs once conditioning weights are
+    # nonzero
+    net = NoiseConditionedSFNO(
+        img_shape=(8, 16), in_chans=2, out_chans=2, embed_dim=8,
+        noise_embed_dim=4, num_layers=1, n_labels=3, label_embed_dim=2,
+        data_grid="equiangular",
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(1, 8, 16, 2), jnp.float32
+    )
+    lab_a = jnp.asarray([[1.0, 0.0, 0.0]])
+    lab_b = jnp.asarray([[0.0, 1.0, 0.0]])
+    params = net.init(jax.random.PRNGKey(0), x, labels=lab_a)
+    flat = flax.traverse_util.flatten_dict(params)
+    perturbed = {
+        k: (v + 0.1 if "w_scale_2d" in "/".join(map(str, k)) else v)
+        for k, v in flat.items()
+    }
+    params = flax.traverse_util.unflatten_dict(perturbed)
+    o_a = net.apply(params, x, labels=lab_a)
+    o_b = net.apply(params, x, labels=lab_b)
+    assert not np.allclose(np.asarray(o_a), np.asarray(o_b))
+
+    # loader level: dataset labels arrive one-hot on the batch
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.data.loading import DataLoaderConfig
+    from ace_tpu.data.requirements import DataRequirements
+    from ace_tpu.testing import SyntheticData
+
+    data = SyntheticData(tmp_path / "d", ["a"], n_time=8)
+    cfg = from_dict(DataLoaderConfig, {
+        "dataset": {
+            "data_path": str(data.data_dir), "labels": ["era5"]
+        },
+        "batch_size": 2,
+        "num_data_workers": 1,
+    })
+    gridded = cfg.build(
+        DataRequirements(names=["a"], n_timesteps=2), train=False
+    )
+    assert gridded.dataset_info.all_labels == ("era5",)
+    batch = next(iter(gridded.loader))
+    assert batch.labels.shape == (2, 1)
+    np.testing.assert_array_equal(np.asarray(batch.labels), 1.0)
