@@ -372,6 +372,94 @@ class XarrayDataset:
 
 
 @dataclasses.dataclass
+class ConcatDatasetConfig:
+    """Time-concatenation of separately configured datasets
+    (reference: fme/core/dataset/concat.py:107 ConcatDatasetConfig).
+    """
+
+    concat: list[XarrayDataConfig]
+    strict: bool = True
+
+    def build(self) -> "ConcatXarrayDataset":
+        return ConcatXarrayDataset(
+            [cfg.build() for cfg in self.concat], strict=self.strict
+        )
+
+
+class ConcatXarrayDataset:
+    """Datasets concatenated along time, in the given order."""
+
+    def __init__(self, datasets: list["XarrayDataset"], strict=True):
+        self._datasets = datasets
+        first = datasets[0]
+        for other in datasets[1:]:
+            if strict and not (
+                other.horizontal_coordinates
+                == first.horizontal_coordinates
+            ):
+                raise ValueError(
+                    "concatenated datasets have mismatched coordinates"
+                )
+        self._offsets = np.concatenate(
+            [[0], np.cumsum([d.n_times for d in datasets])]
+        )
+        values = np.concatenate(
+            [d.all_time.values for d in datasets]
+        )
+        self.all_time = TimeCoord(values, first.all_time.calendar)
+
+    @property
+    def names(self) -> list[str]:
+        return self._datasets[0].names
+
+    @property
+    def n_times(self) -> int:
+        return int(self._offsets[-1])
+
+    @property
+    def timestep(self):
+        return self._datasets[0].timestep
+
+    @property
+    def horizontal_coordinates(self):
+        return self._datasets[0].horizontal_coordinates
+
+    @property
+    def vertical_coordinate(self):
+        return self._datasets[0].vertical_coordinate
+
+    @property
+    def dataset_info(self) -> DatasetInfo:
+        return self._datasets[0].dataset_info
+
+    def get_window(self, start: int, n_timesteps: int, names: list[str]):
+        # windows never span segment boundaries in the reference either;
+        # read piecewise and concatenate
+        pieces = []
+        times = []
+        remaining = n_timesteps
+        pos = start
+        while remaining > 0:
+            seg = int(np.searchsorted(self._offsets, pos, "right") - 1)
+            if seg >= len(self._datasets):
+                raise IndexError("window exceeds concatenated length")
+            local = pos - int(self._offsets[seg])
+            n = min(remaining, self._datasets[seg].n_times - local)
+            window, t = self._datasets[seg].get_window(local, n, names)
+            pieces.append(window)
+            times.append(t.values)
+            pos += n
+            remaining -= n
+        merged = {
+            k: np.concatenate([p[k] for p in pieces], axis=0)
+            for k in pieces[0]
+        }
+        return merged, TimeCoord(
+            np.concatenate(times), self.all_time.calendar
+        )
+
+
+@dataclasses.dataclass
 class MergeDatasetConfig:
     """Variable-wise merge of datasets sharing a time coordinate; the
     first source containing a variable wins

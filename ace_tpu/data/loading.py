@@ -20,7 +20,12 @@ import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.core.dataset_info import DatasetInfo
-from ace_tpu.data.dataset import XarrayDataConfig, XarrayDataset
+from ace_tpu.data.dataset import (
+    ConcatDatasetConfig,
+    MergeDatasetConfig,
+    XarrayDataConfig,
+    XarrayDataset,
+)
 from ace_tpu.data.requirements import DataRequirements
 from ace_tpu.data.time import TimeCoord
 from ace_tpu.core.typing_ import TensorDict
@@ -319,7 +324,7 @@ class DataLoaderConfig:
     fme/ace/data_loading/config.py:15; time_buffer semantics :31).
     """
 
-    dataset: XarrayDataConfig
+    dataset: ConcatDatasetConfig | MergeDatasetConfig | XarrayDataConfig
     batch_size: int = 1
     num_data_workers: int = 4
     prefetch_factor: int = 2

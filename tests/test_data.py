@@ -298,3 +298,29 @@ def test_time_slice_and_repeated_interval_subsets(tmp_path):
         },
     })
     assert cfg3.build().n_times == 8
+
+
+def test_concat_dataset_config(tmp_path):
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.data.loading import DataLoaderConfig
+    from ace_tpu.data.requirements import DataRequirements
+    from ace_tpu.testing import SyntheticData
+
+    d1 = SyntheticData(tmp_path / "a", ["v"], n_time=6)
+    d2 = SyntheticData(tmp_path / "b", ["v"], n_time=4)
+    cfg = from_dict(DataLoaderConfig, {
+        "dataset": {"concat": [
+            {"data_path": str(d1.data_dir)},
+            {"data_path": str(d2.data_dir)},
+        ]},
+        "batch_size": 2,
+        "num_data_workers": 1,
+    })
+    gridded = cfg.build(
+        DataRequirements(names=["v"], n_timesteps=2), train=False
+    )
+    assert gridded.dataset.n_times == 10
+    batches = list(gridded.loader)
+    assert sum(b.data["v"].shape[0] for b in batches) > 0
+    for b in batches:
+        assert b.data["v"].shape[1:] == (2, 8, 16)
