@@ -15,6 +15,7 @@ from ace_tpu.core.corrector.atmosphere import (
     AtmosphereCorrector,
     AtmosphereCorrectorConfig,
 )
+from ace_tpu.core.corrector.registry import CorrectorSelector
 from ace_tpu.core.dataset_info import DatasetInfo
 from ace_tpu.core.normalizer import (
     NetworkAndLossNormalizationConfig,
@@ -162,8 +163,8 @@ class SingleModuleStepConfig(StepConfigABC):
     out_names: list[str]
     normalization: NetworkAndLossNormalizationConfig
     ocean: OceanConfig | None = None
-    corrector: AtmosphereCorrectorConfig = dataclasses.field(
-        default_factory=AtmosphereCorrectorConfig
+    corrector: AtmosphereCorrectorConfig | CorrectorSelector = (
+        dataclasses.field(default_factory=AtmosphereCorrectorConfig)
     )
     next_step_forcing_names: list[str] = dataclasses.field(default_factory=list)
     prescribed_prognostic_names: list[str] = dataclasses.field(
@@ -300,11 +301,16 @@ class SingleModuleStep(StepABC):
         if not config.corrector.is_noop:
             if dataset_info.timestep is None:
                 raise ValueError("corrector requires dataset_info.timestep")
-            self.corrector: AtmosphereCorrector | None = config.corrector.build(
-                dataset_info.gridded_operations,
-                dataset_info.atmosphere_vertical_coordinate,
-                dataset_info.timestep,
-            )
+            if isinstance(config.corrector, CorrectorSelector):
+                self.corrector = (
+                    config.corrector.build_from_dataset_info(dataset_info)
+                )
+            else:
+                self.corrector = config.corrector.build(
+                    dataset_info.gridded_operations,
+                    dataset_info.atmosphere_vertical_coordinate,
+                    dataset_info.timestep,
+                )
         else:
             self.corrector = None
 

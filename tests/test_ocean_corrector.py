@@ -127,3 +127,85 @@ def test_hfds_correction_methods():
         out = corrector(input_data, gen, input_data, {})
         assert "hfds" in out.delta
         assert np.isfinite(np.asarray(out.corrected["hfds"])).all()
+
+
+def test_ice_budget_correction_conserves_and_bounds():
+    """(reference model: fme/core/corrector/ice.py tests)."""
+    import jax.numpy as jnp
+
+    from ace_tpu.core.corrector.ice import IceBudgetCorrectionConfig
+
+    cfg = IceBudgetCorrectionConfig(
+        corrected_variables={"siconc": ["src", "snk", "xprt"]}
+    )
+    rng = np.random.RandomState(0)
+    dt = 6 * 3600.0
+    old = jnp.asarray(rng.uniform(0, 1, (2, 4, 8)), jnp.float32)
+    gen = {
+        "src": jnp.asarray(np.abs(rng.randn(2, 4, 8)) / dt, jnp.float32),
+        "snk": jnp.asarray(-np.abs(rng.randn(2, 4, 8)) / dt, jnp.float32),
+        "xprt": jnp.asarray(rng.randn(2, 4, 8) / dt, jnp.float32),
+    }
+    out = cfg(gen, {"siconc": old}, timestep=dt)
+    sic = np.asarray(out["siconc"])
+    # bounded to [0, 1] within fp tolerance
+    assert sic.min() >= -1e-5
+    assert sic.max() <= 1.0 + 1e-5
+    # reconstruction identity: new = old + dt * (src + snk + xprt)
+    np.testing.assert_allclose(
+        sic,
+        np.asarray(old)
+        + dt * (np.asarray(out["src"]) + np.asarray(out["snk"])
+                + np.asarray(out["xprt"])),
+        atol=1e-4,
+    )
+    # sign constraints preserved
+    assert np.asarray(out["src"]).min() >= -1e-6
+    assert np.asarray(out["snk"]).max() <= 1e-6
+
+
+def test_ice_corrector_selector_in_step():
+    import jax
+    import jax.numpy as jnp
+
+    from tests.test_step_stepper import _dataset_info
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.core.step.single_module import SingleModuleStepConfig
+
+    cfg = from_dict(SingleModuleStepConfig, {
+        "builder": {"type": "Linear", "config": {}},
+        "in_names": ["siconc"],
+        "out_names": ["siconc", "src", "snk", "xprt"],
+        "normalization": {"network": {
+            "means": {"siconc": 0.0, "src": 0.0, "snk": 0.0, "xprt": 0.0},
+            "stds": {"siconc": 1.0, "src": 1.0, "snk": 1.0, "xprt": 1.0},
+        }},
+        "corrector": {
+            "type": "ice_corrector",
+            "config": {"budget_correction": {
+                "corrected_variables": {
+                    "siconc": ["src", "snk", "xprt"]
+                }
+            }},
+        },
+    })
+    step = cfg.get_step(_dataset_info())
+    from ace_tpu.core.corrector.ice import IceCorrector
+
+    assert isinstance(step.corrector, IceCorrector)
+    params = step.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    from ace_tpu.core.step.base import StepArgs
+    from tests.test_step_stepper import NLAT, NLON
+
+    inputs = {
+        "siconc": jnp.asarray(
+            rng.uniform(0, 1, (1, NLAT, NLON)), jnp.float32
+        )
+    }
+    out = step.step(params, StepArgs(
+        input=inputs, next_step_input_data={},
+        stepper_state=step.init_stepper_state(inputs),
+    ))
+    sic = np.asarray(out.output["siconc"])
+    assert sic.min() >= -1e-5 and sic.max() <= 1.0 + 1e-5
