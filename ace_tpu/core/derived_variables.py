@@ -141,3 +141,102 @@ def compute_derived_quantities(
         except (KeyError, ValueError):
             logging.debug(f"cannot compute derived variable {label}")
     return out
+
+
+# ----- ocean derived variables (reference: ocean_derived_variables.py) --
+
+
+_OCEAN_DERIVED_VARIABLE_REGISTRY: dict = {}
+
+
+def ocean_register(metadata: VariableMetadata, exists_ok: bool = False):
+    def decorator(func):
+        _OCEAN_DERIVED_VARIABLE_REGISTRY[func.__name__] = (
+            func, metadata, exists_ok
+        )
+        return func
+
+    return decorator
+
+
+def get_ocean_derived_variable_metadata() -> dict[str, VariableMetadata]:
+    return {
+        label: meta
+        for label, (_, meta, _) in
+        _OCEAN_DERIVED_VARIABLE_REGISTRY.items()
+    }
+
+
+@ocean_register(
+    VariableMetadata("J/m**2", "Column-integrated ocean heat content")
+)
+def ocean_heat_content(data, timestep):
+    return data.ocean_heat_content
+
+
+@ocean_register(VariableMetadata(
+    "W/m**2", "Tendency of column-integrated ocean heat content"
+))
+def ocean_heat_content_tendency(data, timestep):
+    ohc = data.ocean_heat_content
+    tend = jnp.diff(ohc, axis=1) / timestep.total_seconds()
+    return jnp.concatenate(
+        [jnp.zeros_like(ohc[:, :1]), tend], axis=1
+    )
+
+
+@ocean_register(VariableMetadata(
+    "W/m**2",
+    "Implied advective tendency of ocean heat content assuming closed "
+    "budget",
+))
+def implied_tendency_of_ocean_heat_content_due_to_advection(
+    data, timestep
+):
+    return (
+        ocean_heat_content_tendency(data, timestep)
+        - data.net_energy_flux_into_ocean
+    )
+
+
+@ocean_register(VariableMetadata(
+    "W/m**2", "Net energy flux through surface and sea floor into ocean"
+))
+def net_energy_flux_into_ocean_column(data, timestep):
+    return data.net_energy_flux_into_ocean
+
+
+@ocean_register(
+    VariableMetadata("[0-1]", "sea ice concentration"), exists_ok=True
+)
+def sea_ice_fraction(data, timestep):
+    return data.sea_ice_fraction
+
+
+def compute_ocean_derived_quantities(
+    data: TensorDict,
+    depth_coordinate,
+    timestep: datetime.timedelta,
+    forcing_data: TensorDict | None = None,
+) -> TensorDict:
+    """(reference: ocean_derived_variables.py:104)."""
+    from ace_tpu.core.ocean_data import OceanData
+
+    out = dict(data)
+    merged = dict(data)
+    if forcing_data is not None:
+        for k, v in forcing_data.items():
+            merged.setdefault(k, v)
+    ocean = OceanData(merged, depth_coordinate)
+    for label, (func, _, exists_ok) in (
+        _OCEAN_DERIVED_VARIABLE_REGISTRY.items()
+    ):
+        if label in out and not exists_ok:
+            continue
+        if label in out:
+            continue
+        try:
+            out[label] = func(ocean, timestep)
+        except (KeyError, ValueError):
+            logging.debug(f"cannot compute ocean derived {label}")
+    return out

@@ -134,7 +134,9 @@ class OceanData:
         try:
             return self._get("geothermal_heat_flux")
         except KeyError:
-            return jnp.zeros_like(self.sea_surface_temperature)
+            return jnp.zeros_like(
+                jnp.asarray(self.sea_surface_fraction)
+            )
 
     @property
     def sea_surface_fraction(self):
@@ -142,6 +144,14 @@ class OceanData:
             return self._get("sea_surface_fraction")
         except KeyError:
             return 1.0 - self.land_fraction
+
+    @property
+    def net_energy_flux_into_ocean(self):
+        """(reference: ocean_data.py:188)."""
+        return (
+            self.net_downward_surface_heat_flux
+            + self.geothermal_heat_flux
+        ) * self.sea_surface_fraction
 
 
 FREEZING_KELVIN = FREEZING_TEMPERATURE_KELVIN

@@ -186,3 +186,41 @@ def test_weighted_mean_ignores_zero_weight_nans():
     data = jnp.asarray([1.0, float("nan"), 3.0])
     weights = jnp.asarray([1.0, 0.0, 1.0])
     assert float(weighted_mean(data, weights, dim=0)) == 2.0
+
+
+def test_ocean_derived_quantities():
+    from datetime import timedelta
+
+    import jax.numpy as jnp
+
+    from ace_tpu.core.coordinates import DepthCoordinate
+    from ace_tpu.core.derived_variables import (
+        compute_ocean_derived_quantities,
+    )
+
+    rng = np.random.RandomState(0)
+    dc = DepthCoordinate(
+        idepth=np.asarray([0.0, 10.0, 30.0]),
+        mask=np.ones((4, 8, 2), np.float32),
+    )
+    data = {
+        "thetao_0": jnp.asarray(rng.rand(1, 3, 4, 8) * 10 + 280,
+                                jnp.float32),
+        "thetao_1": jnp.asarray(rng.rand(1, 3, 4, 8) * 5 + 275,
+                                jnp.float32),
+        "hfds": jnp.asarray(rng.randn(1, 3, 4, 8) * 10, jnp.float32),
+        "land_fraction": jnp.zeros((1, 3, 4, 8), jnp.float32),
+    }
+    out = compute_ocean_derived_quantities(
+        data, dc, timedelta(hours=6)
+    )
+    assert "ocean_heat_content" in out
+    assert "ocean_heat_content_tendency" in out
+    assert "net_energy_flux_into_ocean_column" in out
+    ohc = np.asarray(out["ocean_heat_content"])
+    assert ohc.shape == (1, 3, 4, 8)
+    assert (ohc > 0).all()
+    # tendency consistent with finite difference
+    tend = np.asarray(out["ocean_heat_content_tendency"])
+    expected = (ohc[:, 1:] - ohc[:, :-1]) / (6 * 3600.0)
+    np.testing.assert_allclose(tend[:, 1:], expected, rtol=2e-3)
