@@ -268,3 +268,33 @@ def test_downscaler_predict_entry(tmp_path):
     with h5py.File(path, "r") as f:
         assert f["temp"].shape == (2, 2, 16, 32)
         assert np.isfinite(f["temp"][:]).all()
+
+
+def test_downscaling_evaluator_entry(tmp_path):
+    # train a tiny model first (reuses the training test fixture)
+    test_downscaling_train_and_patched_generate(tmp_path)
+    import yaml
+
+    config = {
+        "experiment_dir": str(tmp_path / "eval"),
+        "checkpoint_path": os.path.join(
+            str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+        ),
+        "coarse_data": {"data_path": str(tmp_path / "coarse" / "data")},
+        "fine_data": {"data_path": str(tmp_path / "fine" / "data")},
+        "n_samples": 2,
+        "n_timesteps": 2,
+        "coarse_patch_extent_lat": 4,
+        "coarse_patch_extent_lon": 8,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+    }
+    config_path = tmp_path / "eval.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.downscaling.evaluator import main
+
+    logs = main([str(config_path)])
+    assert "downscaling/crps/temp" in logs
+    assert "downscaling/rmse_of_ensemble_mean/temp" in logs
+    assert all(np.isfinite(v) for v in logs.values())
