@@ -43,6 +43,9 @@ class UNetConfig:
         default_factory=lambda: [1, 2, 2]
     )
     num_res_blocks: int = 2
+    attn_levels: list[int] = dataclasses.field(default_factory=list)
+    bottleneck_attention: bool = True
+    num_heads: int = 4
     compute_dtype: str = "float32"
 
 
@@ -89,6 +92,9 @@ class DiffusionModel:
             base_channels=config.module.base_channels,
             channel_mults=tuple(config.module.channel_mults),
             num_res_blocks=config.module.num_res_blocks,
+            attn_levels=tuple(config.module.attn_levels),
+            bottleneck_attention=config.module.bottleneck_attention,
+            num_heads=config.module.num_heads,
             dtype=jnp.dtype(config.module.compute_dtype),
         )
         self.params: Any = None

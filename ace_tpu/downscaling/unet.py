@@ -63,6 +63,29 @@ class ResBlock(nn.Module):
         return x + h
 
 
+class SelfAttention2d(nn.Module):
+    """Spatial self-attention over the flattened grid
+    (reference: physicsnemo_unets_v2/unets.py attn_resolutions /
+    bottleneck_attention blocks). Zero-init output projection so the
+    block starts as identity.
+    """
+
+    channels: int
+    num_heads: int = 4
+    dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        y = nn.GroupNorm(num_groups=min(32, c), dtype=jnp.float32)(x)
+        y = y.reshape(b, h * w, c)
+        y = nn.MultiHeadDotProductAttention(
+            num_heads=self.num_heads, dtype=self.dtype,
+            out_kernel_init=nn.initializers.zeros, name="attn",
+        )(y, y)
+        return x + y.reshape(b, h, w, c)
+
+
 class DiffusionUNet(nn.Module):
     """Raw network F for EDM preconditioning.
 
@@ -75,6 +98,12 @@ class DiffusionUNet(nn.Module):
     channel_mults: Sequence[int] = (1, 2, 2)
     num_res_blocks: int = 2
     emb_dim: int = 256
+    # levels (indices into channel_mults) whose residual blocks are
+    # followed by self-attention; the bottleneck always attends when
+    # bottleneck_attention is set (reference: unets.py attn_resolutions)
+    attn_levels: Sequence[int] = ()
+    bottleneck_attention: bool = True
+    num_heads: int = 4
     dtype: jnp.dtype = jnp.float32
 
     @nn.compact
@@ -95,6 +124,11 @@ class DiffusionUNet(nn.Module):
             for j in range(self.num_res_blocks):
                 h = ResBlock(ch, self.emb_dim, dtype=self.dtype,
                              name=f"down_{level}_{j}")(h, emb)
+                if level in self.attn_levels:
+                    h = SelfAttention2d(
+                        ch, num_heads=self.num_heads, dtype=self.dtype,
+                        name=f"down_attn_{level}_{j}",
+                    )(h)
                 skips.append(h)
             if level < len(self.channel_mults) - 1:
                 h = nn.Conv(ch, (3, 3), strides=(2, 2), dtype=self.dtype,
@@ -103,6 +137,11 @@ class DiffusionUNet(nn.Module):
         # middle
         h = ResBlock(h.shape[-1], self.emb_dim, dtype=self.dtype,
                      name="mid_0")(h, emb)
+        if self.bottleneck_attention:
+            h = SelfAttention2d(
+                h.shape[-1], num_heads=self.num_heads, dtype=self.dtype,
+                name="mid_attn",
+            )(h)
         h = ResBlock(h.shape[-1], self.emb_dim, dtype=self.dtype,
                      name="mid_1")(h, emb)
         # decoder
@@ -113,6 +152,11 @@ class DiffusionUNet(nn.Module):
                 h = jnp.concatenate([h, skip], axis=-1)
                 h = ResBlock(ch, self.emb_dim, dtype=self.dtype,
                              name=f"up_{level}_{j}")(h, emb)
+                if level in self.attn_levels:
+                    h = SelfAttention2d(
+                        ch, num_heads=self.num_heads, dtype=self.dtype,
+                        name=f"up_attn_{level}_{j}",
+                    )(h)
             if level > 0:
                 target_ch = self.base_channels * self.channel_mults[level - 1]
                 new_h = h.shape[-3] * 2
