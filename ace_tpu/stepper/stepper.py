@@ -232,6 +232,38 @@ class StepperConfig:
 
 
 @dataclasses.dataclass
+class CheckpointStepperConfig:
+    """Define the stepper by loading its configuration from a saved
+    checkpoint (reference: fme/ace/stepper/single_module.py:786
+    CheckpointStepperConfig). Weight initialization is separate
+    (parameter_init under stepper_training).
+    """
+
+    checkpoint_path: str
+
+    def to_stepper_config(self) -> "StepperConfig":
+        import json
+
+        from ace_tpu.stepper.checkpoint import load_msgpack
+
+        payload = load_msgpack(self.checkpoint_path)
+        return StepperConfig.from_state(
+            json.loads(payload["stepper"]["config"])
+        )
+
+    def get_stepper(self, dataset_info: DatasetInfo) -> "Stepper":
+        return self.to_stepper_config().get_stepper(dataset_info)
+
+    @property
+    def in_names(self) -> list[str]:
+        return self.to_stepper_config().in_names
+
+    @property
+    def out_names(self) -> list[str]:
+        return self.to_stepper_config().out_names
+
+
+@dataclasses.dataclass
 class StepperOverrideConfig:
     """Inference-time overrides of a serialized stepper's configuration
     (reference: fme/ace/stepper/single_module.py:1848

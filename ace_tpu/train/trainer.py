@@ -27,7 +27,7 @@ from ace_tpu.stepper.checkpoint import (
     load_train_checkpoint,
     save_train_checkpoint,
 )
-from ace_tpu.stepper.stepper import StepperConfig
+from ace_tpu.stepper.stepper import CheckpointStepperConfig, StepperConfig
 from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
 
 
@@ -108,7 +108,7 @@ class TrainConfig:
 
     train_loader: DataLoaderConfig
     validation_loader: DataLoaderConfig
-    stepper: StepperConfig
+    stepper: StepperConfig | CheckpointStepperConfig
     optimization: OptimizationConfig
     max_epochs: int
     experiment_dir: str
@@ -140,6 +140,10 @@ class TrainConfig:
         return self.stepper_training.max_n_forward_steps
 
     def build_trainer(self) -> "Trainer":
+        if isinstance(self.stepper, CheckpointStepperConfig):
+            # resolve once so data requirements and checkpoints see the
+            # full config
+            self.stepper = self.stepper.to_stepper_config()
         requirements = DataRequirements(
             names=sorted(
                 set(self.stepper.step.input_names)

@@ -206,3 +206,27 @@ def test_segment_epochs_limits_run(tmp_path):
     trainer2 = main([str(config_path)])
     # second invocation resumed at epoch 1 and stopped after epoch 2
     assert trainer2.start_epoch == 1
+
+
+def test_checkpoint_stepper_config_finetune(tmp_path):
+    """TrainConfig.stepper can point at a saved checkpoint
+    (reference: single_module.py:786 CheckpointStepperConfig)."""
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    main([str(config_path)])
+    ckpt = os.path.join(
+        cfg["experiment_dir"], "training_checkpoints", "ckpt.msgpack"
+    )
+    cfg2 = _config(tmp_path, data, max_epochs=1)
+    cfg2["experiment_dir"] = str(tmp_path / "finetune")
+    cfg2["stepper"] = {"checkpoint_path": ckpt}
+    config_path2 = tmp_path / "config2.yaml"
+    with open(config_path2, "w") as f:
+        yaml.safe_dump(cfg2, f)
+    trainer = main([str(config_path2)])
+    assert trainer.num_batches_seen > 0
