@@ -42,6 +42,10 @@ class InlineInferenceConfig:
     n_forward_steps: int = 2
     forward_steps_in_memory: int = 2
     epochs: Slice = dataclasses.field(default_factory=Slice)
+    # multiple named entries combine their errors by weight for the
+    # best-inference checkpoint (reference: train_config.py:133-137)
+    name: str | None = None
+    weight: float = 1.0
 
 
 @dataclasses.dataclass
@@ -121,7 +125,15 @@ class TrainConfig:
     validate_using_ema: bool = True
     log_train_every_n_batches: int = 10
     checkpoint_save_epochs: Slice | None = None
-    inference: InlineInferenceConfig | None = None
+    inference: list[InlineInferenceConfig] | InlineInferenceConfig | None = None
+
+    @property
+    def inference_entries(self) -> list[InlineInferenceConfig]:
+        if self.inference is None:
+            return []
+        if isinstance(self.inference, InlineInferenceConfig):
+            return [self.inference]
+        return list(self.inference)
     # save a restart checkpoint every N batches within an epoch (0 = off)
     # (reference: trainer.py mid-epoch restart checkpoints :544-556)
     checkpoint_every_n_batches: int = 0
@@ -281,11 +293,32 @@ class Trainer:
             with timer.context("validation"):
                 valid_metrics = self.validate()
             inference_metrics: dict[str, float] = {}
-            if self.config.inference is not None and (
-                self.config.inference.epochs.contains(epoch)
-            ):
+            entries = [
+                (i, e) for i, e in
+                enumerate(self.config.inference_entries)
+                if e.epochs.contains(epoch)
+            ]
+            if entries:
                 with timer.context("inline_inference"):
-                    inference_metrics = self.inference_one_epoch()
+                    weighted_error = 0.0
+                    have_error = False
+                    multiple = len(self.config.inference_entries) > 1
+                    for i, entry in entries:
+                        prefix = entry.name or (
+                            f"inference_{i}" if multiple else ""
+                        )
+                        logs = self.inference_one_epoch(entry)
+                        err = logs.pop("inference_error", None)
+                        if err is not None:
+                            weighted_error += entry.weight * err
+                            have_error = True
+                        for k, v in logs.items():
+                            key = f"{prefix}/{k}" if prefix else k
+                            inference_metrics[key] = v
+                    if have_error:
+                        inference_metrics["inference_error"] = (
+                            weighted_error
+                        )
             all_metrics = {
                 **{f"train/{k}": v for k, v in train_metrics.items()},
                 **{f"val/{k}": v for k, v in valid_metrics.items()},
@@ -400,7 +433,7 @@ class Trainer:
         result.update(one_step.get_logs())
         return result
 
-    def inference_one_epoch(self) -> dict[str, float]:
+    def inference_one_epoch(self, cfg: InlineInferenceConfig) -> dict[str, float]:
         """Run inline autoregressive inference with the validation params
         (reference: trainer.py:842); tracks best_inference_error for the
         best-inference checkpoint.
@@ -411,7 +444,6 @@ class Trainer:
         from ace_tpu.inference.loop import run_inference
         from ace_tpu.stepper.stepper import PrognosticState
 
-        cfg = self.config.inference
         stepper = self.stepper
         data = cfg.loader.build(
             forcing_names=stepper.forcing_window_names,

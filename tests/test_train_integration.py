@@ -230,3 +230,48 @@ def test_checkpoint_stepper_config_finetune(tmp_path):
         yaml.safe_dump(cfg2, f)
     trainer = main([str(config_path2)])
     assert trainer.num_batches_seen > 0
+
+
+def test_multiple_named_inline_inference_entries(tmp_path):
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=12)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    cfg["inference"] = [
+        {
+            "name": "short",
+            "weight": 0.25,
+            "loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0]},
+            },
+            "n_forward_steps": 2,
+            "forward_steps_in_memory": 2,
+        },
+        {
+            "name": "long",
+            "weight": 0.75,
+            "loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0]},
+            },
+            "n_forward_steps": 4,
+            "forward_steps_in_memory": 2,
+        },
+    ]
+    config_path = tmp_path / "config.yaml"
+    import yaml as _yaml
+
+    with open(config_path, "w") as f:
+        _yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    trainer = main([str(config_path)])
+    assert np.isfinite(trainer.best_inference_error)
+    # metrics file carries both named entries plus the combined error
+    import json
+
+    with open(os.path.join(cfg["experiment_dir"], "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    keys = set().union(*[r.keys() for r in rows])
+    assert any(k.startswith("inference/short/") for k in keys)
+    assert any(k.startswith("inference/long/") for k in keys)
+    assert "inference/inference_error" in keys
