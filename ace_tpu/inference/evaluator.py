@@ -91,3 +91,70 @@ def main(argv=None):
 
 if __name__ == "__main__":
     main()
+
+
+@dataclasses.dataclass
+class DatasetComparisonConfig:
+    """Compare a prediction dataset against a target dataset through the
+    paired aggregators, with no model in the loop
+    (reference: fme/ace/inference/loop.py:29 run_dataset_comparison +
+    fme/ace/inference/evaluator.py dataset-comparison mode).
+    """
+
+    experiment_dir: str
+    n_forward_steps: int
+    prediction_loader: InferenceDataLoaderConfig
+    target_loader: InferenceDataLoaderConfig
+    variable_names: list[str]
+    forward_steps_in_memory: int = 10
+    aggregator: InferenceAggregatorConfig = dataclasses.field(
+        default_factory=InferenceAggregatorConfig
+    )
+    logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
+
+
+def run_dataset_comparison(config: DatasetComparisonConfig) -> dict:
+    """(reference: loop.py:29)."""
+    config.logging.configure(config.experiment_dir)
+    pred = config.prediction_loader.build(
+        forcing_names=config.variable_names,
+        prognostic_names=[],
+        n_forward_steps=config.n_forward_steps,
+        forward_steps_in_memory=config.forward_steps_in_memory,
+    )
+    target = config.target_loader.build(
+        forcing_names=config.variable_names,
+        prognostic_names=[],
+        n_forward_steps=config.n_forward_steps,
+        forward_steps_in_memory=config.forward_steps_in_memory,
+    )
+    aggregator = config.aggregator.build(
+        target.dataset_info, n_timesteps=config.n_forward_steps
+    )
+    from ace_tpu.data.time import TimeCoord
+
+    n_windows = 0
+    for (pred_batch, _), (tgt_batch, _) in zip(
+        pred.windows(), target.windows()
+    ):
+        gen = {
+            k: jax.numpy.asarray(v[:, 1:])
+            for k, v in pred_batch.data.items()
+            if k in config.variable_names
+        }
+        tgt = {
+            k: jax.numpy.asarray(v[:, 1:])
+            for k, v in tgt_batch.data.items()
+            if k in config.variable_names
+        }
+        time = TimeCoord(
+            tgt_batch.time.values[:, 1:], tgt_batch.time.calendar
+        )
+        aggregator.record_batch(gen, tgt, time=time)
+        n_windows += 1
+        logging.info(f"dataset comparison window {n_windows} done")
+    logs = aggregator.get_logs()
+    aggregator.flush_diagnostics(
+        os.path.join(config.experiment_dir, "diagnostics")
+    )
+    return {"logs": logs, "n_windows": n_windows}

@@ -214,3 +214,36 @@ def test_segmented_inference_matches_single_run(trained, tmp_path):
     ]
     segmented = np.concatenate(seg_parts, axis=1)
     np.testing.assert_allclose(segmented, single, atol=1e-5)
+
+
+def test_dataset_comparison(tmp_path):
+    """(reference: fme/ace/inference/loop.py:29 run_dataset_comparison)."""
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.inference.evaluator import (
+        DatasetComparisonConfig,
+        run_dataset_comparison,
+    )
+    from ace_tpu.testing import SyntheticData
+
+    pred = SyntheticData(tmp_path / "pred", ["t2m"], n_time=8)
+    tgt = SyntheticData(tmp_path / "tgt", ["t2m"], n_time=8)
+    cfg = from_dict(DatasetComparisonConfig, {
+        "experiment_dir": str(tmp_path / "out"),
+        "n_forward_steps": 4,
+        "forward_steps_in_memory": 2,
+        "variable_names": ["t2m"],
+        "prediction_loader": {
+            "dataset": {"data_path": str(pred.data_dir)},
+            "start_indices": {"list": [0]},
+        },
+        "target_loader": {
+            "dataset": {"data_path": str(tgt.data_dir)},
+            "start_indices": {"list": [0]},
+        },
+        "logging": {"log_to_screen": False, "log_to_file": False},
+    })
+    result = run_dataset_comparison(cfg)
+    assert result["n_windows"] == 2
+    assert any(
+        k.startswith("time_mean/rmse") for k in result["logs"]
+    )
