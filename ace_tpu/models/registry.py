@@ -83,16 +83,13 @@ class SphericalFourierNeuralOperatorBuilder(ModuleConfig):
     compute_dtype: str = "float32"
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
-        if self.spectral_transform != "sht":
-            raise NotImplementedError(
-                "only spectral_transform='sht' is supported"
-            )
         if self.filter_type != "linear":
             raise NotImplementedError("only filter_type='linear' is supported")
         return SphericalFourierNeuralOperatorNet(
             img_shape=dataset_info.img_shape,
             in_chans=n_in_channels,
             out_chans=n_out_channels,
+            spectral_transform=self.spectral_transform,
             embed_dim=self.embed_dim,
             num_layers=self.num_layers,
             operator_type=self.operator_type,
@@ -152,6 +149,7 @@ class SFNO_V0_1_0(ModuleConfig):
             img_shape=dataset_info.img_shape,
             in_chans=n_in_channels,
             out_chans=n_out_channels,
+            spectral_transform=self.spectral_transform,
             embed_dim=self.embed_dim,
             num_layers=self.num_layers,
             operator_type=self.operator_type,

@@ -343,6 +343,9 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     out_chans: int
     embed_dim: int = 256
     num_layers: int = 12
+    # "sht" (spherical) or "fft" (plane 2D Fourier; reference:
+    # makani/sfnonet.py:496 spectral_transform="fft" branch)
+    spectral_transform: str = "sht"
     operator_type: str = "diagonal"
     scale_factor: int = 1
     residual_filter_factor: int = 1
@@ -376,10 +379,26 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
         modes_lon = int((self.w // 2 + 1) * self.hard_thresholding_fraction)
 
         kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True)
-        self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
-        self.itrans_up = InverseRealSHT(nlat, nlon, grid=self.data_grid, **kw)
-        self.trans = RealSHT(self.h, self.w, grid="legendre-gauss", **kw)
-        self.itrans = InverseRealSHT(self.h, self.w, grid="legendre-gauss", **kw)
+        if self.spectral_transform == "fft":
+            from ace_tpu.ops.fft2 import InverseRealFFT2, RealFFT2
+
+            self.trans_down = RealFFT2(nlat, nlon, **kw)
+            self.itrans_up = InverseRealFFT2(nlat, nlon, **kw)
+            self.trans = RealFFT2(self.h, self.w, **kw)
+            self.itrans = InverseRealFFT2(self.h, self.w, **kw)
+        elif self.spectral_transform == "sht":
+            self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
+            self.itrans_up = InverseRealSHT(
+                nlat, nlon, grid=self.data_grid, **kw
+            )
+            self.trans = RealSHT(self.h, self.w, grid="legendre-gauss", **kw)
+            self.itrans = InverseRealSHT(
+                self.h, self.w, grid="legendre-gauss", **kw
+            )
+        else:
+            raise ValueError(
+                f"unknown spectral_transform {self.spectral_transform!r}"
+            )
 
         if self.residual_filter_factor > 1:
             mlr = int(nlat // self.residual_filter_factor)

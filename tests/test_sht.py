@@ -146,3 +146,40 @@ def test_truncation_pads_and_clips():
     assert c.shape == (6, 5)
     y = isht(c)
     assert y.shape == (nlat, nlon)
+
+
+def test_fft2_roundtrip_and_sfno_fft_transform():
+    from ace_tpu.ops.fft2 import InverseRealFFT2, RealFFT2
+
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, 12, 24, 3), jnp.float32)
+    fwd = RealFFT2(12, 24)
+    inv = InverseRealFFT2(12, 24)
+    back = inv(fwd(x))
+    np.testing.assert_allclose(np.asarray(back), np.asarray(x), atol=1e-5)
+    # truncated modes roundtrip the low-frequency content
+    fwd_t = RealFFT2(12, 24, lmax=6, mmax=6)
+    inv_t = InverseRealFFT2(12, 24, lmax=6, mmax=6)
+    low = inv(
+        jnp.pad(fwd(x)[..., :6, :6, :],
+                ((0, 0), (0, 6), (0, 7), (0, 0)))
+    )
+    back_t = inv_t(fwd_t(x))
+    np.testing.assert_allclose(
+        np.asarray(back_t), np.asarray(low), atol=1e-5
+    )
+
+    import jax
+
+    from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+
+    net = SphericalFourierNeuralOperatorNet(
+        img_shape=(12, 24), in_chans=2, out_chans=2, embed_dim=8,
+        num_layers=2, operator_type="diagonal",
+        spectral_transform="fft", data_grid="equiangular",
+        scale_factor=1,
+    )
+    params = net.init(jax.random.PRNGKey(0), x[..., :2])
+    out = net.apply(params, x[..., :2])
+    assert out.shape == (2, 12, 24, 2)
+    assert bool(jnp.all(jnp.isfinite(out)))
