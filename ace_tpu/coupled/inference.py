@@ -274,3 +274,7 @@ def main(argv=None):
     config.logging.configure(config.experiment_dir)
     logging.info("Starting coupled inference")
     return run_coupled_inference(config)
+
+
+if __name__ == "__main__":
+    main()

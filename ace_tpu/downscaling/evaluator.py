@@ -111,3 +111,7 @@ def main(argv=None):
     prepare_directory(config.experiment_dir, data)
     config.logging.configure(config.experiment_dir)
     return run_downscaling_evaluator(config)
+
+
+if __name__ == "__main__":
+    main()

@@ -99,3 +99,7 @@ def main(argv=None):
     prepare_directory(config.experiment_dir, data)
     config.logging.configure(config.experiment_dir)
     return run_downscaler(config)
+
+
+if __name__ == "__main__":
+    main()
