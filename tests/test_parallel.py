@@ -138,3 +138,57 @@ def test_train_step_gradient_mesh_invariance():
         np.testing.assert_allclose(
             np.asarray(a), np.asarray(b), atol=5e-5
         )
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4)])
+def test_fcn3_forward_mesh_invariance(mesh_shape):
+    """FCN3 (DISCO gathers + SHT einsums) reproduces single-device
+    results under spatial decomposition."""
+    from ace_tpu.models.fcn3 import FourCastNet3
+
+    net = FourCastNet3(
+        img_shape=(16, 32), n_atmo_channels=2, n_atmo_groups=2,
+        n_surf_channels=2, n_aux_channels=1, scale_factor=2,
+        num_layers=2, atmo_embed_dim=4, surf_embed_dim=4,
+        aux_embed_dim=4, kernel_shape=(2, 1),
+        model_grid_type="legendre-gauss",
+    )
+    rng = np.random.RandomState(0)
+    x_atmo = jnp.asarray(rng.randn(8, 16, 32, 4), jnp.float32)
+    x_surf = jnp.asarray(rng.randn(8, 16, 32, 2), jnp.float32)
+    x_aux = jnp.asarray(rng.randn(8, 16, 32, 1), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x_atmo, x_surf, x_aux)
+    fwd = jax.jit(lambda p, a, s, f: net.apply(p, a, s, f)[0])
+    ref = np.asarray(fwd(params, x_atmo, x_surf, x_aux))
+
+    mesh = MeshConfig(*mesh_shape).build()
+    with jax.set_mesh(mesh):
+        spec = NamedSharding(mesh, batch_spec(4, has_channel=True))
+        args = [jax.device_put(v, spec) for v in (x_atmo, x_surf, x_aux)]
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        out = np.asarray(fwd(ps, *args))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2)])
+def test_localnet_forward_mesh_invariance(mesh_shape):
+    from ace_tpu.models.localnet import LocalNet
+
+    net = LocalNet(
+        img_shape=(16, 32), in_chans=3, out_chans=2, embed_dim=8,
+        noise_embed_dim=0, block_types=("disco", "conv1x1"),
+        kernel_shape=(2, 1),
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(8, 16, 32, 3), jnp.float32)
+    params = net.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, v: net.apply(p, v))
+    ref = np.asarray(fwd(params, x))
+    mesh = MeshConfig(*mesh_shape).build()
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(
+            x, NamedSharding(mesh, batch_spec(4, has_channel=True))
+        )
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        out = np.asarray(fwd(ps, xs))
+    np.testing.assert_allclose(out, ref, atol=2e-5)
