@@ -38,10 +38,47 @@ class PairedDataConfig:
 
 
 @dataclasses.dataclass
-class DownscalingTrainConfig:
-    """(reference: fme/downscaling/train.py:391 TrainerConfig, subset —
-    region_sampling lands in a later round).
+class RegionSamplingConfig:
+    """Oversample training patches whose center falls in a lat/lon region
+    (reference: fme/downscaling/data/datasets.py:657
+    RegionSamplingConfig): in-region patch origins carry relative weight
+    ``weight``, others weight 1; total patches per batch unchanged.
     """
+
+    lat_interval: list[float] | None = None
+    lon_interval: list[float] | None = None
+    weight: float = 1.0
+
+    def __post_init__(self):
+        if self.weight <= 0:
+            raise ValueError("region sampling weight must be > 0")
+
+    def origin_weights(self, lat: np.ndarray, lon: np.ndarray,
+                       patch_shape: tuple[int, int]) -> np.ndarray:
+        """Weight per valid (y0, x0) patch origin based on the patch
+        CENTER's coordinates."""
+        ph, pw = patch_shape
+        n_y = len(lat) - ph + 1
+        n_x = len(lon) - pw + 1
+        center_lat = lat[np.arange(n_y) + ph // 2]
+        center_lon = lon[np.arange(n_x) + pw // 2]
+        in_lat = np.ones(n_y, bool)
+        in_lon = np.ones(n_x, bool)
+        if self.lat_interval is not None:
+            lo, hi = self.lat_interval
+            in_lat = (center_lat >= lo) & (center_lat <= hi)
+        if self.lon_interval is not None:
+            lo, hi = self.lon_interval
+            in_lon = (center_lon >= lo) & (center_lon <= hi)
+        weights = np.where(
+            in_lat[:, None] & in_lon[None, :], self.weight, 1.0
+        )
+        return weights / weights.sum()
+
+
+@dataclasses.dataclass
+class DownscalingTrainConfig:
+    """(reference: fme/downscaling/train.py:391 TrainerConfig)."""
 
     experiment_dir: str
     max_epochs: int
@@ -57,6 +94,7 @@ class DownscalingTrainConfig:
     segment_epochs: int | None = None
     coarse_patch_extent_lat: int | None = None
     coarse_patch_extent_lon: int | None = None
+    region_sampling: RegionSamplingConfig | None = None
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     seed: int = 0
 
@@ -66,6 +104,13 @@ class DownscalingTrainConfig:
         ):
             raise ValueError(
                 "set both or neither of coarse_patch_extent_lat/lon"
+            )
+        if (
+            self.region_sampling is not None
+            and self.coarse_patch_extent_lat is None
+        ):
+            raise ValueError(
+                "region_sampling requires coarse_patch_extent_lat/lon"
             )
 
     @property
@@ -190,8 +235,18 @@ class DownscalingTrainer:
                 ph, pw = self.patch_shape
                 f = self.model.config.downscale_factor
                 h, w = self.coarse_ds.dataset_info.img_shape
-                y0 = int(rng.randint(0, h - ph + 1))
-                x0 = int(rng.randint(0, w - pw + 1))
+                if self.config.region_sampling is not None:
+                    hc = self.coarse_ds.dataset_info.horizontal_coordinates
+                    weights = self.config.region_sampling.origin_weights(
+                        np.asarray(hc.lat), np.asarray(hc.lon),
+                        self.patch_shape,
+                    )
+                    flat = rng.choice(weights.size, p=weights.ravel())
+                    y0, x0 = np.unravel_index(flat, weights.shape)
+                    y0, x0 = int(y0), int(x0)
+                else:
+                    y0 = int(rng.randint(0, h - ph + 1))
+                    x0 = int(rng.randint(0, w - pw + 1))
                 coarse = {
                     k: v[..., y0 : y0 + ph, x0 : x0 + pw]
                     for k, v in coarse.items()

@@ -298,3 +298,24 @@ def test_downscaling_evaluator_entry(tmp_path):
     assert "downscaling/crps/temp" in logs
     assert "downscaling/rmse_of_ensemble_mean/temp" in logs
     assert all(np.isfinite(v) for v in logs.values())
+
+
+def test_region_sampling_weights():
+    from ace_tpu.downscaling.train import RegionSamplingConfig
+
+    lat = np.linspace(-88, 88, 45)
+    lon = np.linspace(0, 352, 45)
+    cfg = RegionSamplingConfig(
+        lat_interval=[-20, 20], lon_interval=[90, 180], weight=10.0
+    )
+    w = cfg.origin_weights(lat, lon, (8, 8))
+    assert abs(w.sum() - 1.0) < 1e-9
+    # in-region origins are 10x more likely than out-of-region
+    center_lat = lat[np.arange(len(lat) - 7) + 4]
+    center_lon = lon[np.arange(len(lon) - 7) + 4]
+    inside = (
+        (center_lat[:, None] >= -20) & (center_lat[:, None] <= 20)
+        & (center_lon[None, :] >= 90) & (center_lon[None, :] <= 180)
+    )
+    ratio = w[inside].mean() / w[~inside].mean()
+    np.testing.assert_allclose(ratio, 10.0, rtol=1e-9)
