@@ -115,11 +115,14 @@ class BenchmarkABC(abc.ABC):
             return acc
 
         jit_rep = jax.jit(repeated)
-        jax.block_until_ready(jit_rep(*args))  # compile
+        # force a scalar host transfer per repeat: block_until_ready does
+        # not reliably block over remote-TPU tunnels, so only reading the
+        # value guarantees the computation finished
+        float(jit_rep(*args))  # compile
         times = []
         for _ in range(n_repeats):
             t0 = time.perf_counter()
-            jax.block_until_ready(jit_rep(*args))
+            float(jit_rep(*args))
             times.append(
                 (time.perf_counter() - t0) * 1e3 / inner_iters
             )

@@ -144,6 +144,10 @@ class TrainConfig:
     # run validation (and inline inference) once before any training
     # (reference: generics/trainer.py:156 evaluate_before_training)
     evaluate_before_training: bool = False
+    # after each epoch, evaluate the training loss (no updates, EMA
+    # params) on this many batches of an independent shuffle
+    # (reference: generics/trainer.py:597 train_evaluation_batches)
+    train_evaluation_batches: int = 0
     seed: int = 0
 
     @property
@@ -381,7 +385,27 @@ class Trainer:
                 and count % self.config.checkpoint_every_n_batches == 0
             ):
                 self._save_latest()
-        return {k: v / max(count, 1) for k, v in totals.items()}
+        metrics_out = {k: v / max(count, 1) for k, v in totals.items()}
+        if self.config.train_evaluation_batches > 0:
+            # independent shuffle: offset the epoch seed so batches are
+            # uncorrelated with the just-trained pass
+            self.train_data.set_epoch(epoch + 104729)
+            params = self._validation_params()
+            losses = []
+            for i, batch in enumerate(self.train_data):
+                if i >= self.config.train_evaluation_batches:
+                    break
+                m = self._valid_step(
+                    params, batch.data, self._next_rng(), None,
+                    batch.labels,
+                )
+                losses.append(float(m["loss"]))
+            if losses:
+                metrics_out["loss_independent_shuffle"] = float(
+                    np.mean(losses)
+                )
+            self.train_data.set_epoch(epoch)
+        return metrics_out
 
     def _validation_params(self):
         if (

@@ -275,3 +275,20 @@ def test_multiple_named_inline_inference_entries(tmp_path):
     assert any(k.startswith("inference/short/") for k in keys)
     assert any(k.startswith("inference/long/") for k in keys)
     assert "inference/inference_error" in keys
+
+
+def test_train_evaluation_batches(tmp_path):
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    cfg["train_evaluation_batches"] = 2
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    main([str(config_path)])
+    import json
+
+    with open(os.path.join(cfg["experiment_dir"], "metrics.jsonl")) as f:
+        rows = [json.loads(line) for line in f]
+    assert any("train/loss_independent_shuffle" in r for r in rows)
