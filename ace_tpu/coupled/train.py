@@ -59,6 +59,14 @@ class CoupledTrainConfig:
     ocean_loss: StepLossConfig = dataclasses.field(
         default_factory=StepLossConfig
     )
+    # per-component loss schedules (reference: fme/coupled/loss.py:4
+    # ComponentLossSchedule): a weight of 0 removes the component from
+    # the objective; optimize_last_step_only restricts each component's
+    # loss to its final rollout step
+    atmosphere_loss_weight: float = 1.0
+    ocean_loss_weight: float = 1.0
+    atmosphere_optimize_last_step_only: bool = False
+    ocean_optimize_last_step_only: bool = False
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     seed: int = 0
 
@@ -164,14 +172,25 @@ class CoupledTrainer:
             for k in coupled.ocean.out_names
             if k in ocean_batch
         }
-        loss_a = self.atmos_loss(
-            {k: a_out[k] for k in a_target}, a_target, 0
-        ).total
-        loss_o = self.ocean_loss(
-            {k: o_out[k] for k in o_target}, o_target, 0
-        ).total
-        return loss_a + loss_o, {
-            "loss": loss_a + loss_o,
+        cfg = self.config
+        if cfg.atmosphere_optimize_last_step_only:
+            a_out_l = {k: a_out[k][:, -1:] for k in a_target}
+            a_target = {k: v[:, -1:] for k, v in a_target.items()}
+        else:
+            a_out_l = {k: a_out[k] for k in a_target}
+        if cfg.ocean_optimize_last_step_only:
+            o_out_l = {k: o_out[k][:, -1:] for k in o_target}
+            o_target = {k: v[:, -1:] for k, v in o_target.items()}
+        else:
+            o_out_l = {k: o_out[k] for k in o_target}
+        loss_a = self.atmos_loss(a_out_l, a_target, 0).total
+        loss_o = self.ocean_loss(o_out_l, o_target, 0).total
+        total = (
+            cfg.atmosphere_loss_weight * loss_a
+            + cfg.ocean_loss_weight * loss_o
+        )
+        return total, {
+            "loss": total,
             "atmosphere_loss": loss_a,
             "ocean_loss": loss_o,
         }
