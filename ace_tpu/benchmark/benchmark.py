@@ -80,10 +80,12 @@ class BenchmarkABC(abc.ABC):
         return total
 
     def run(self, n_repeats: int = 10, check_regression: bool = True,
-            inner_iters: int = 10) -> BenchmarkResult:
+            inner_iters: int = 100) -> BenchmarkResult:
         """Time the kernel with an in-jit scan of ``inner_iters``
-        applications so per-dispatch overhead (notable over remote-TPU
-        tunnels) is amortized out of the per-iteration number.
+        applications so per-dispatch overhead is amortized out of the
+        per-iteration number. Remote-TPU tunnels add ~25 ms of round-trip
+        latency per call, so inner_iters must be large for sub-ms kernels
+        (100 iters -> 0.25 ms of residual overhead).
         """
         import jax.numpy as jnp
 

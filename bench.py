@@ -106,18 +106,20 @@ def main():
         outputs, _, final = stepper.predict_fn(
             params, ic_data, forcing, st, jax.random.PRNGKey(0)
         )
-        return outputs["PRESsfc"][:, -1]
+        # scalar result: reading it on the host guarantees completion
+        # (block_until_ready does not reliably block over remote-TPU
+        # tunnels)
+        return jnp.mean(outputs["PRESsfc"][:, -1])
 
     # warmup/compile
     t0 = time.time()
-    rollout(params, ic2.data, forcing, ic2.stepper_state).block_until_ready()
+    float(rollout(params, ic2.data, forcing, ic2.stepper_state))
     compile_time = time.time() - t0
 
     n_repeats = 3
     t0 = time.time()
     for _ in range(n_repeats):
-        rollout(params, ic2.data, forcing,
-                ic2.stepper_state).block_until_ready()
+        float(rollout(params, ic2.data, forcing, ic2.stepper_state))
     elapsed = time.time() - t0
     steps_per_sec = n_steps * n_repeats / elapsed
     # 6h steps -> simulated years per wall-clock day
