@@ -325,11 +325,12 @@ class SingleModuleStep(StepABC):
     def init_params(self, rng: jax.Array):
         import jax.numpy as jnp
 
-        nlat, nlon = self._dataset_info.img_shape
+        # img_shape is (lat, lon) or (face, height, width) for HEALPix
+        spatial = tuple(self._dataset_info.img_shape)
         n_in = len(self.in_packer.names)
         if self._config.include_channel_mask_inputs:
             n_in *= 2
-        dummy = jnp.zeros((1, nlat, nlon, n_in))
+        dummy = jnp.zeros((1, *spatial, n_in))
         if self.secondary_decoder is None:
             return self.module.init(rng, dummy)
         k_main, k_sec = jax.random.split(rng)

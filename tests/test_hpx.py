@@ -169,3 +169,84 @@ def test_healpix_dataset_loading(tmp_path):
 
     info2 = DatasetInfo.from_state(ds.dataset_info.get_state())
     assert info2.horizontal_coordinates == ds.horizontal_coordinates
+
+
+def test_healpix_unet_trains_end_to_end(tmp_path):
+    """HEALPix dataset -> loader -> HEALPixUNet -> train step, on
+    (face, height, width) data."""
+    import yaml
+
+    from ace_tpu.data.store import write_h5
+    from ace_tpu.data.time import TimeCoord
+    from ace_tpu.testing import save_stats_files
+
+    nside = 8
+    rng = np.random.RandomState(0)
+    data_dir = tmp_path / "data"
+    data_dir.mkdir()
+    n_time = 8
+    time = TimeCoord.from_range("2000-01-01T00:00", n_time, 21600)
+    fields = {"prog": None, "forc": None}
+    arrays = {
+        name: rng.randn(n_time, 12, nside, nside).astype(np.float32)
+        for name in fields
+    }
+    arrays.update({
+        "face": np.arange(12).astype(np.float64),
+        "height": np.arange(nside).astype(np.float64),
+        "width": np.arange(nside).astype(np.float64),
+    })
+    dims = {name: ("time", "face", "height", "width") for name in fields}
+    dims.update({
+        "face": ("face",), "height": ("height",), "width": ("width",),
+    })
+    write_h5(str(data_dir / "d.nc"), arrays, dims, time=time)
+    save_stats_files(
+        tmp_path / "stats-mean.nc", tmp_path / "stats-std.nc",
+        ["prog", "forc"],
+    )
+
+    config = {
+        "experiment_dir": str(tmp_path / "out"),
+        "max_epochs": 1,
+        "save_checkpoint": True,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "train_loader": {
+            "dataset": {"data_path": str(data_dir)},
+            "batch_size": 2,
+            "num_data_workers": 1,
+        },
+        "validation_loader": {
+            "dataset": {"data_path": str(data_dir)},
+            "batch_size": 2,
+            "num_data_workers": 1,
+        },
+        "optimization": {"lr": 1e-3},
+        "stepper_training": {"n_forward_steps": 1, "loss": {"type": "MSE"}},
+        "stepper": {
+            "step": {
+                "type": "single_module",
+                "config": {
+                    "builder": {
+                        "type": "HEALPixUNet",
+                        "config": {
+                            "hidden_channels": [8, 16],
+                        },
+                    },
+                    "in_names": ["prog", "forc"],
+                    "out_names": ["prog"],
+                    "normalization": {"network": {
+                        "global_means_path": str(tmp_path / "stats-mean.nc"),
+                        "global_stds_path": str(tmp_path / "stats-std.nc"),
+                    }},
+                },
+            }
+        },
+    }
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    from ace_tpu.train.train import main
+
+    trainer = main([str(config_path)])
+    assert np.isfinite(trainer.best_validation_loss)
