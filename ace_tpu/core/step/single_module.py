@@ -337,7 +337,7 @@ class SingleModuleStep(StepABC):
         return {
             "main": self.module.init(k_main, dummy),
             "secondary_decoder": self.secondary_decoder.init_params(
-                k_sec, (nlat, nlon)
+                k_sec, spatial
             ),
         }
 
