@@ -234,3 +234,114 @@ class PatchPredictor:
             )
         fine_patches = [scale_patch(p, factor) for p in patches]
         return composite_patch_predictions(predictions, fine_patches)
+
+
+@dataclasses.dataclass
+class DeterministicModelConfig:
+    """Deterministic (regression) downscaling model
+    (reference: fme/downscaling/_deterministic_models.py:24
+    DeterministicModelConfig). module: "SwinIR" (pixel-shuffle
+    super-resolution) or "interpolate" (bilinear baseline). Exposes the
+    same loss_fn/generate API as DiffusionModel so trainers and
+    predictors accept either.
+    """
+
+    in_names: list[str]
+    out_names: list[str]
+    normalization: PairedNormalizationConfig
+    loss: str = "MSE"
+    module: str = "SwinIR"
+    downscale_factor: int = 1
+    embed_dim: int = 96
+    depths: list[int] = dataclasses.field(default_factory=lambda: [4, 4, 4])
+    num_heads: int = 4
+    window_size: list[int] = dataclasses.field(
+        default_factory=lambda: [4, 8]
+    )
+
+    def build(self, dataset_info: DatasetInfo) -> "DeterministicModel":
+        return DeterministicModel(self, dataset_info)
+
+
+class DeterministicModel:
+    def __init__(self, config: DeterministicModelConfig,
+                 dataset_info: DatasetInfo):
+        self.config = config
+        self.dataset_info = dataset_info
+        self.in_packer = Packer(config.in_names)
+        self.out_packer = Packer(config.out_names)
+        self.coarse_normalizer: StandardNormalizer = (
+            config.normalization.coarse.build(config.in_names)
+        )
+        self.fine_normalizer: StandardNormalizer = (
+            config.normalization.fine.build(config.out_names)
+        )
+        if config.module == "SwinIR":
+            from ace_tpu.downscaling.swinir import SwinIR
+
+            self.net = SwinIR(
+                out_channels=len(config.out_names),
+                upscale_factor=config.downscale_factor,
+                embed_dim=config.embed_dim,
+                depths=tuple(config.depths),
+                num_heads=config.num_heads,
+                window_size=tuple(config.window_size),
+            )
+        elif config.module == "interpolate":
+            self.net = None  # bilinear baseline, no parameters
+        else:
+            raise ValueError(f"unknown module {config.module!r}")
+        self.params: Any = None
+
+    def init_params(self, rng: jax.Array, img_shape=None):
+        nlat, nlon = img_shape or self.dataset_info.img_shape
+        if self.net is None:
+            self.params = {}
+            return self.params
+        x = jnp.zeros((1, nlat, nlon, len(self.config.in_names)))
+        self.params = self.net.init(rng, x)
+        return self.params
+
+    def _predict_norm(self, params, cond):
+        f = self.config.downscale_factor
+        if self.net is None:
+            b, h, w, c = cond.shape
+            up = jax.image.resize(
+                cond, (b, h * f, w * f, c), method="bilinear"
+            )
+            # baseline predicts output vars by name-matching inputs
+            idx = [
+                self.config.in_names.index(n)
+                for n in self.config.out_names
+            ]
+            return up[..., idx]
+        return self.net.apply(params, cond)
+
+    def loss_fn(self, params, coarse: TensorMapping, fine: TensorMapping,
+                rng: jax.Array):
+        cond = self.in_packer.pack(
+            self.coarse_normalizer.normalize(dict(coarse))
+        )
+        target = self.out_packer.pack(
+            self.fine_normalizer.normalize(dict(fine))
+        )
+        pred = self._predict_norm(params, cond)
+        if self.config.loss == "MSE":
+            return jnp.mean((pred - target) ** 2)
+        if self.config.loss == "L1":
+            return jnp.mean(jnp.abs(pred - target))
+        raise ValueError(f"unknown loss {self.config.loss!r}")
+
+    def generate(self, coarse: TensorMapping, rng: jax.Array,
+                 params=None, n_samples: int = 1) -> TensorDict:
+        params = params if params is not None else self.params
+        cond = self.in_packer.pack(
+            self.coarse_normalizer.normalize(dict(coarse))
+        )
+        pred = self._predict_norm(params, cond)
+        stacked = jnp.repeat(pred[:, None], n_samples, axis=1)
+        result = {
+            name: stacked[..., i]
+            for i, name in enumerate(self.config.out_names)
+        }
+        return self.fine_normalizer.denormalize(result)

@@ -21,7 +21,11 @@ from ace_tpu.core.config import from_dict, to_dict
 from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
 from ace_tpu.core.wandb import DiskMetricLogger
 from ace_tpu.data.dataset import XarrayDataConfig
-from ace_tpu.downscaling.models import DiffusionModel, DiffusionModelConfig
+from ace_tpu.downscaling.models import (
+    DeterministicModelConfig,
+    DiffusionModel,
+    DiffusionModelConfig,
+)
 from ace_tpu.stepper.checkpoint import load_msgpack, save_msgpack
 from ace_tpu.train.trainer import LoggingConfig
 
@@ -82,7 +86,7 @@ class DownscalingTrainConfig:
 
     experiment_dir: str
     max_epochs: int
-    model: DiffusionModelConfig
+    model: DeterministicModelConfig | DiffusionModelConfig
     train_data: PairedDataConfig
     validation_data: PairedDataConfig | None = None
     optimization: OptimizationConfig = dataclasses.field(
@@ -125,23 +129,29 @@ def save_downscaling_checkpoint(path: str, model: DiffusionModel,
 
     save_msgpack(path, {
         "config": json.dumps(to_dict(model.config)),
+        "model_type": type(model.config).__name__,
         "dataset_info": json.dumps(model.dataset_info.get_state()),
         "params": jax.tree_util.tree_map(np.asarray, params),
     })
 
 
-def load_downscaling_model(path: str) -> DiffusionModel:
+def load_downscaling_model(path: str):
     import json
 
     from ace_tpu.core.dataset_info import DatasetInfo
     from flax import serialization
 
     payload = load_msgpack(path)
-    config = from_dict(DiffusionModelConfig, json.loads(payload["config"]))
+    cls = (
+        DeterministicModelConfig
+        if payload.get("model_type") == "DeterministicModelConfig"
+        else DiffusionModelConfig
+    )
+    config = from_dict(cls, json.loads(payload["config"]))
     dataset_info = DatasetInfo.from_state(
         json.loads(payload["dataset_info"])
     )
-    model = DiffusionModel(config, dataset_info)
+    model = config.build(dataset_info)
     template = model.init_params(jax.random.PRNGKey(0))
     model.params = serialization.from_state_dict(
         template, payload["params"]
@@ -173,9 +183,7 @@ class DownscalingTrainer:
         else:
             self.patch_shape = None
             model_coarse_shape = coarse_shape
-        self.model = DiffusionModel(
-            config.model, self.coarse_ds.dataset_info
-        )
+        self.model = config.model.build(self.coarse_ds.dataset_info)
         self.params = self.model.init_params(
             jax.random.PRNGKey(config.seed), img_shape=model_coarse_shape
         )

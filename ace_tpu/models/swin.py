@@ -146,9 +146,11 @@ class SwinBlock(nn.Module):
                        slice(h - sh, h)):
                 img_mask[:, hs] = cnt
                 cnt += 1
-            m_windows = np.asarray(window_partition(
-                jnp.asarray(img_mask), wh, ww
-            ))[..., 0]
+            # pure-numpy window partition: the mask must be a compile-time
+            # constant (building it with traced ops breaks under jit)
+            m = img_mask.reshape(1, h // wh, wh, w // ww, ww, 1)
+            m = m.transpose(0, 1, 3, 2, 4, 5)
+            m_windows = m.reshape(-1, wh * ww)
             diff = m_windows[:, None, :] - m_windows[:, :, None]
             mask = jnp.asarray(
                 np.where(diff != 0, -100.0, 0.0), jnp.float32

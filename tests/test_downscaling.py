@@ -319,3 +319,106 @@ def test_region_sampling_weights():
     )
     ratio = w[inside].mean() / w[~inside].mean()
     np.testing.assert_allclose(ratio, 10.0, rtol=1e-9)
+
+
+def test_deterministic_swinir_downscaling(tmp_path):
+    import yaml
+
+    from ace_tpu.testing import SyntheticData
+
+    names = ["temp"]
+    coarse = SyntheticData(
+        tmp_path / "coarse", names, n_time=6, nlat=8, nlon=16
+    )
+    fine = SyntheticData(
+        tmp_path / "fine", names, n_time=6, nlat=16, nlon=32
+    )
+    config = {
+        "experiment_dir": str(tmp_path / "out"),
+        "max_epochs": 1,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "optimization": {"lr": 1e-3},
+        "model": {
+            "in_names": names,
+            "out_names": names,
+            "downscale_factor": 2,
+            "module": "SwinIR",
+            "loss": "MSE",
+            "embed_dim": 8,
+            "depths": [2],
+            "num_heads": 2,
+            "window_size": [4, 8],
+            "normalization": {
+                "coarse": {
+                    "global_means_path": str(coarse.mean_path),
+                    "global_stds_path": str(coarse.std_path),
+                },
+                "fine": {
+                    "global_means_path": str(fine.mean_path),
+                    "global_stds_path": str(fine.std_path),
+                },
+            },
+        },
+        "train_data": {
+            "coarse": {"data_path": str(coarse.data_dir)},
+            "fine": {"data_path": str(fine.data_dir)},
+            "batch_size": 2,
+        },
+    }
+    config_path = tmp_path / "swinir.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.downscaling.train import load_downscaling_model, main
+
+    main([str(config_path)])
+    model = load_downscaling_model(os.path.join(
+        str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+    ))
+    coarse_data = {
+        "temp": jnp.asarray(
+            np.random.RandomState(0).randn(1, 8, 16), jnp.float32
+        )
+    }
+    out = model.generate(
+        coarse_data, jax.random.PRNGKey(0), params=model.params,
+        n_samples=2,
+    )
+    assert out["temp"].shape == (1, 2, 16, 32)
+    # deterministic: both samples identical
+    np.testing.assert_array_equal(
+        np.asarray(out["temp"][:, 0]), np.asarray(out["temp"][:, 1])
+    )
+
+
+def test_interpolate_baseline_downscaling():
+    from datetime import timedelta
+
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.core.coordinates import LatLonCoordinates
+    from ace_tpu.core.dataset_info import DatasetInfo
+    from ace_tpu.downscaling.models import DeterministicModelConfig
+
+    info = DatasetInfo(
+        horizontal_coordinates=LatLonCoordinates(
+            lat=np.linspace(-80, 80, 8),
+            lon=np.linspace(0, 360, 16, endpoint=False),
+        ),
+        timestep=timedelta(hours=6),
+    )
+    cfg = from_dict(DeterministicModelConfig, {
+        "in_names": ["temp"],
+        "out_names": ["temp"],
+        "module": "interpolate",
+        "downscale_factor": 2,
+        "normalization": {
+            "coarse": {"means": {"temp": 0.0}, "stds": {"temp": 1.0}},
+            "fine": {"means": {"temp": 0.0}, "stds": {"temp": 1.0}},
+        },
+    })
+    model = cfg.build(info)
+    model.init_params(jax.random.PRNGKey(0))
+    coarse = {"temp": jnp.ones((1, 8, 16), jnp.float32) * 3.0}
+    out = model.generate(coarse, jax.random.PRNGKey(0), n_samples=1)
+    assert out["temp"].shape == (1, 1, 16, 32)
+    np.testing.assert_allclose(np.asarray(out["temp"]), 3.0, atol=1e-6)
