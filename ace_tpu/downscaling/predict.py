@@ -22,6 +22,21 @@ from ace_tpu.train.trainer import LoggingConfig
 
 
 @dataclasses.dataclass
+class EventConfig:
+    """Large-ensemble downscaling of a single dated snapshot over an
+    optional lat/lon crop (reference: fme/downscaling/predict.py:39
+    EventConfig, EventDownscaler :89).
+    """
+
+    name: str
+    date: str  # "%Y-%m-%dT%H:%M"
+    lat_extent: list[float] | None = None
+    lon_extent: list[float] | None = None
+    n_samples: int = 64
+    save_generated_samples: bool = False
+
+
+@dataclasses.dataclass
 class DownscalerConfig:
     """(reference: fme/downscaling/predict.py:249 DownscalerConfig)."""
 
@@ -35,6 +50,7 @@ class DownscalerConfig:
     coarse_patch_extent_lon: int | None = None
     coarse_horizontal_overlap: int = 1
     seed: int = 0
+    events: list[EventConfig] = dataclasses.field(default_factory=list)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
 
     def __post_init__(self):
@@ -80,12 +96,102 @@ def run_downscaler(config: DownscalerConfig) -> str:
             outputs.setdefault(k, []).append(np.asarray(v[0]))
         logging.info(f"downscaled timestep {t}")
 
+    for event in config.events:
+        run_event(config, model, generate, event)
+
     os.makedirs(config.experiment_dir, exist_ok=True)
     path = os.path.join(config.experiment_dir, "downscaled_predictions.nc")
     arrays = {
         k: np.stack(v, axis=0) for k, v in outputs.items()
     }  # [time, sample, H, W]
     dims = {k: ("time", "sample", "lat", "lon") for k in arrays}
+    write_h5(path, arrays, dims)
+    logging.info(f"wrote {path}")
+    return path
+
+
+def run_event(config, model, generate, event: EventConfig):
+    """(reference: predict.py:89 EventDownscaler.run): generate a large
+    ensemble for one dated snapshot in groups, stream mean/variance, and
+    optionally keep all samples.
+    """
+    from ace_tpu.data.time import parse_datetime_string
+
+    ds = config.coarse_data.build()
+    target_us = parse_datetime_string(event.date, ds.all_time.calendar)
+    t = int(np.argmin(np.abs(
+        np.asarray(ds.all_time.values, np.int64) - target_us
+    )))
+    names = model.config.in_names
+    window, _ = ds.get_window(t, 1, names)
+    hc = ds.dataset_info.horizontal_coordinates
+    lat = np.asarray(hc.lat)
+    lon = np.asarray(hc.lon)
+    lat_sel = np.ones(len(lat), bool)
+    lon_sel = np.ones(len(lon), bool)
+    if event.lat_extent is not None:
+        lat_sel = (lat >= event.lat_extent[0]) & (
+            lat <= event.lat_extent[1]
+        )
+    if event.lon_extent is not None:
+        lon_sel = (lon >= event.lon_extent[0]) & (
+            lon <= event.lon_extent[1]
+        )
+    y0, y1 = np.nonzero(lat_sel)[0][[0, -1]]
+    x0, x1 = np.nonzero(lon_sel)[0][[0, -1]]
+    coarse = {
+        k: jnp.asarray(v[..., y0 : y1 + 1, x0 : x1 + 1])
+        for k, v in window.items()
+    }
+    rng = jax.random.PRNGKey(config.seed + hash(event.name) % 2**16)
+    group = 8
+    count = 0
+    mean = None
+    m2 = None
+    samples = []
+    while count < event.n_samples:
+        n = min(group, event.n_samples - count)
+        rng, sub = jax.random.split(rng)
+        gen = generate(coarse, sub, params=model.params, n_samples=n)
+        for k, v in gen.items():
+            arr = np.asarray(v[0])  # [n, H, W]
+            if mean is None:
+                mean = {}
+                m2 = {}
+            if k not in mean:
+                mean[k] = np.zeros(arr.shape[1:], np.float64)
+                m2[k] = np.zeros(arr.shape[1:], np.float64)
+            for member in arr:
+                count_k = count + 1
+                delta = member - mean[k]
+                mean[k] += delta / count_k
+                m2[k] += delta * (member - mean[k])
+        if event.save_generated_samples:
+            samples.append(
+                {k: np.asarray(v[0]) for k, v in gen.items()}
+            )
+        count += n
+        logging.info(
+            f"event {event.name}: {count}/{event.n_samples} samples"
+        )
+    os.makedirs(config.experiment_dir, exist_ok=True)
+    arrays = {}
+    dims = {}
+    for k in mean:
+        arrays[f"{k}_mean"] = mean[k].astype(np.float32)
+        arrays[f"{k}_std"] = np.sqrt(
+            m2[k] / max(count - 1, 1)
+        ).astype(np.float32)
+        dims[f"{k}_mean"] = ("lat", "lon")
+        dims[f"{k}_std"] = ("lat", "lon")
+        if event.save_generated_samples:
+            arrays[k] = np.concatenate(
+                [s[k] for s in samples], axis=0
+            ).astype(np.float32)
+            dims[k] = ("sample", "lat", "lon")
+    path = os.path.join(
+        config.experiment_dir, f"{event.name}_event.nc"
+    )
     write_h5(path, arrays, dims)
     logging.info(f"wrote {path}")
     return path

@@ -193,8 +193,12 @@ class SpectralConvS2(nn.Module):
             jnp.einsum, eq, precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
-        outr = ein(xr, wr) - ein(xi, wi)
-        outi = ein(xr, wi) + ein(xi, wr)
+        # Karatsuba complex multiply: 3 matmuls instead of 4
+        # (out_r = rr - ii, out_i = (xr+xi)(wr+wi) - rr - ii)
+        rr = ein(xr, wr)
+        ii = ein(xi, wi)
+        outr = rr - ii
+        outi = ein(xr + xi, wr + wi) - rr - ii
 
         if self.lora_rank > 0 and self.operator_type == "dhconv":
             r = self.lora_rank

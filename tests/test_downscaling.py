@@ -422,3 +422,40 @@ def test_interpolate_baseline_downscaling():
     out = model.generate(coarse, jax.random.PRNGKey(0), n_samples=1)
     assert out["temp"].shape == (1, 1, 16, 32)
     np.testing.assert_allclose(np.asarray(out["temp"]), 3.0, atol=1e-6)
+
+
+def test_event_downscaling(tmp_path):
+    test_downscaling_train_and_patched_generate(tmp_path)
+    import yaml
+
+    config = {
+        "experiment_dir": str(tmp_path / "events"),
+        "checkpoint_path": os.path.join(
+            str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+        ),
+        "coarse_data": {"data_path": str(tmp_path / "coarse" / "data")},
+        "n_samples": 1,
+        "n_timesteps": 1,
+        "events": [{
+            "name": "storm",
+            "date": "2000-01-01T12:00",
+            "n_samples": 4,
+            "save_generated_samples": True,
+        }],
+        "logging": {"log_to_screen": False, "log_to_file": False},
+    }
+    config_path = tmp_path / "events.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    from ace_tpu.downscaling.predict import main
+
+    main([str(config_path)])
+    import h5py
+
+    with h5py.File(
+        os.path.join(str(tmp_path / "events"), "storm_event.nc"), "r"
+    ) as f:
+        assert f["temp_mean"].shape == (16, 32)
+        assert f["temp_std"].shape == (16, 32)
+        assert f["temp"].shape == (4, 16, 32)
+        assert np.isfinite(f["temp_mean"][:]).all()
