@@ -113,6 +113,42 @@ class RealSHT:
             return self._forward(x, "...kjc,jm->...kmc", "...kmc,mlk->...lmc")
         return self._forward(x, "...kj,jm->...km", "...km,mlk->...lm")
 
+    def forward_fused(self, x: jax.Array, l_tile=36, c_tile=64,
+                      k_tile=36) -> jax.Array:
+        """Fused DFT+Legendre Pallas path (channels-last [B, K, J, C]
+        only): keeps the DFT intermediate in VMEM instead of HBM — see
+        ops/pallas_sht.py. Pads M to a multiple of 8 and L/C/K to the
+        tile grid, then slices back. True f32 accumulation in-kernel.
+        """
+        from ace_tpu.ops.pallas_sht import fused_sht
+
+        if not self.channels_last or x.ndim != 4:
+            raise ValueError("forward_fused needs [B, K, J, C] input")
+        x = x.astype(jnp.float32)
+        b, k_dim, j_dim, c_dim = x.shape
+
+        def pad_to(v, mult):
+            return (mult - v % mult) % mult
+
+        pk = pad_to(k_dim, k_tile)
+        pm = pad_to(self.mmax, 8)
+        plt = pad_to(self.lmax, l_tile)
+        pc = pad_to(c_dim, c_tile)
+        xp = jnp.pad(x, ((0, 0), (0, pk), (0, 0), (0, pc)))
+        dft_r = jnp.pad(self._fc, ((0, 0), (0, pm)))
+        dft_i = jnp.pad(self._fs, ((0, 0), (0, pm)))
+        # kernel wants leg as [L, K, M]
+        leg = jnp.pad(
+            self.weights, ((0, pm), (0, plt), (0, pk))
+        ).transpose(1, 2, 0)
+        out_r, out_i = fused_sht(
+            xp, dft_r, dft_i, leg,
+            l_tile=l_tile, c_tile=c_tile, k_tile=k_tile,
+        )
+        out_r = out_r[:, : self.lmax, : self.mmax, :c_dim]
+        out_i = out_i[:, : self.lmax, : self.mmax, :c_dim]
+        return jax.lax.complex(out_r, out_i)
+
     def _forward(self, x, dft_eq, leg_eq):
         # JAX's TPU default decomposes f32 matmuls to ONE bf16 pass
         # (~2e-2 relative error) — unacceptable for a spectral transform.
