@@ -17,30 +17,37 @@ import functools
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, dftr_ref, dfti_ref, leg_ref, outr_ref, outi_ref,
-            *, n_k_tiles):
-    k = pl.program_id(2)
-    x = x_ref[...]  # [kT, J, cT]
-    dr = dftr_ref[...]  # [J, M]
-    di = dfti_ref[...]
+            xm_r_ref, xm_i_ref):
+    # grid = (c_tiles, k_tiles, l_tiles); l innermost so the DFT result
+    # for the current (c, k) tile is computed once into VMEM scratch and
+    # reused by every l tile
+    k = pl.program_id(1)
+    l = pl.program_id(2)
+
+    @pl.when(l == 0)
+    def _dft():
+        x = x_ref[...]  # [kT, J, cT]
+        xm_r_ref[...] = jax.lax.dot_general(
+            x, dftr_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).transpose(0, 2, 1)  # [kT, M, cT]
+        xm_i_ref[...] = jax.lax.dot_general(
+            x, dfti_ref[...], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).transpose(0, 2, 1)
+
     leg = leg_ref[...]  # [lT, kT, M]
-    # DFT stage, in VMEM: [kT, M, cT]
-    xm_r = jax.lax.dot_general(
-        x, dr, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).transpose(0, 2, 1)
-    xm_i = jax.lax.dot_general(
-        x, di, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).transpose(0, 2, 1)
-    # Legendre stage: [lT, kT, M] x [kT, M, cT] -> [lT, M, cT]
     acc_r = jnp.einsum(
-        "lkm,kmc->lmc", leg, xm_r, preferred_element_type=jnp.float32
+        "lkm,kmc->lmc", leg, xm_r_ref[...],
+        preferred_element_type=jnp.float32,
     )
     acc_i = jnp.einsum(
-        "lkm,kmc->lmc", leg, xm_i, preferred_element_type=jnp.float32
+        "lkm,kmc->lmc", leg, xm_i_ref[...],
+        preferred_element_type=jnp.float32,
     )
 
     @pl.when(k == 0)
@@ -57,8 +64,8 @@ def _kernel(x_ref, dftr_ref, dfti_ref, leg_ref, outr_ref, outi_ref,
 @functools.partial(
     jax.jit, static_argnames=("l_tile", "c_tile", "k_tile", "interpret")
 )
-def fused_sht(x, dft_r, dft_i, leg, *, l_tile=36, c_tile=64,
-              k_tile=36, interpret=False):
+def fused_sht(x, dft_r, dft_i, leg, *, l_tile=12, c_tile=128,
+              k_tile=16, interpret=False):
     """x [B, K, J, C] f32; dft [J, M]; leg [L, K, M] (note layout) ->
     (out_r, out_i) [B, L, M, C].
 
@@ -72,37 +79,42 @@ def fused_sht(x, dft_r, dft_i, leg, *, l_tile=36, c_tile=64,
     l_dim = leg.shape[0]
     assert k_dim % k_tile == 0 and l_dim % l_tile == 0
     assert c_dim % c_tile == 0 and m_dim % 8 == 0
-    grid = (l_dim // l_tile, c_dim // c_tile, k_dim // k_tile)
+    assert k_tile % 8 == 0, "Mosaic: leg block's sublane dim is k_tile"
+    grid = (c_dim // c_tile, k_dim // k_tile, l_dim // l_tile)
 
     def run_one(x1):
         return pl.pallas_call(
-            functools.partial(_kernel, n_k_tiles=grid[2]),
+            _kernel,
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
                     (k_tile, j_dim, c_tile),
-                    lambda l, c, k: (k, 0, c),
+                    lambda c, k, l: (k, 0, c),
                 ),
-                pl.BlockSpec((j_dim, m_dim), lambda l, c, k: (0, 0)),
-                pl.BlockSpec((j_dim, m_dim), lambda l, c, k: (0, 0)),
+                pl.BlockSpec((j_dim, m_dim), lambda c, k, l: (0, 0)),
+                pl.BlockSpec((j_dim, m_dim), lambda c, k, l: (0, 0)),
                 pl.BlockSpec(
                     (l_tile, k_tile, m_dim),
-                    lambda l, c, k: (l, k, 0),
+                    lambda c, k, l: (l, k, 0),
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
                     (l_tile, m_dim, c_tile),
-                    lambda l, c, k: (l, 0, c),
+                    lambda c, k, l: (l, 0, c),
                 ),
                 pl.BlockSpec(
                     (l_tile, m_dim, c_tile),
-                    lambda l, c, k: (l, 0, c),
+                    lambda c, k, l: (l, 0, c),
                 ),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((l_dim, m_dim, c_dim), jnp.float32),
                 jax.ShapeDtypeStruct((l_dim, m_dim, c_dim), jnp.float32),
+            ],
+            scratch_shapes=[
+                pltpu.VMEM((k_tile, m_dim, c_tile), jnp.float32),
+                pltpu.VMEM((k_tile, m_dim, c_tile), jnp.float32),
             ],
             interpret=interpret,
         )(x1, dft_r, dft_i, leg)

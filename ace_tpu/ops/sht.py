@@ -113,8 +113,8 @@ class RealSHT:
             return self._forward(x, "...kjc,jm->...kmc", "...kmc,mlk->...lmc")
         return self._forward(x, "...kj,jm->...km", "...km,mlk->...lm")
 
-    def forward_fused(self, x: jax.Array, l_tile=36, c_tile=64,
-                      k_tile=36) -> jax.Array:
+    def forward_fused(self, x: jax.Array, l_tile=12, c_tile=128,
+                      k_tile=16, interpret=False) -> jax.Array:
         """Fused DFT+Legendre Pallas path (channels-last [B, K, J, C]
         only): keeps the DFT intermediate in VMEM instead of HBM — see
         ops/pallas_sht.py. Pads M to a multiple of 8 and L/C/K to the
@@ -144,6 +144,7 @@ class RealSHT:
         out_r, out_i = fused_sht(
             xp, dft_r, dft_i, leg,
             l_tile=l_tile, c_tile=c_tile, k_tile=k_tile,
+            interpret=interpret,
         )
         out_r = out_r[:, : self.lmax, : self.mmax, :c_dim]
         out_i = out_i[:, : self.lmax, : self.mmax, :c_dim]

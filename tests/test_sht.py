@@ -188,9 +188,6 @@ def test_fft2_roundtrip_and_sfno_fft_transform():
 def test_fused_pallas_sht_matches_einsum_path():
     """The fused DFT+Legendre Pallas kernel reproduces the einsum SHT
     (interpret mode on CPU; the TPU path compiles the same kernel)."""
-    import jax
-
-    from ace_tpu.ops.pallas_sht import fused_sht
     from ace_tpu.ops.sht import RealSHT
 
     nlat, nlon, C = 36, 72, 64
@@ -198,24 +195,8 @@ def test_fused_pallas_sht_matches_einsum_path():
     rng = np.random.RandomState(0)
     x = jnp.asarray(rng.randn(1, nlat, nlon, C), jnp.float32)
     ref = sht(x)
-
-    def pad_to(v, mult):
-        return (mult - v % mult) % mult
-
-    l_tile, c_tile, k_tile = 18, 32, 18
-    pm = pad_to(sht.mmax, 8)
-    plt = pad_to(sht.lmax, l_tile)
-    dft_r = jnp.pad(sht._fc, ((0, 0), (0, pm)))
-    dft_i = jnp.pad(sht._fs, ((0, 0), (0, pm)))
-    leg = jnp.pad(
-        sht.weights, ((0, pm), (0, plt), (0, 0))
-    ).transpose(1, 2, 0)
-    out_r, out_i = fused_sht(
-        x, dft_r, dft_i, leg, l_tile=l_tile,
-        c_tile=c_tile, k_tile=k_tile, interpret=True,
-    )
-    fused = jax.lax.complex(
-        out_r[:, : sht.lmax, : sht.mmax], out_i[:, : sht.lmax, : sht.mmax]
+    fused = sht.forward_fused(
+        x, l_tile=12, c_tile=32, k_tile=8, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=2e-3
