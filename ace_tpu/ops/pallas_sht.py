@@ -8,8 +8,13 @@ the [l, m, c] output across k grid steps — the intermediate never
 round-trips through HBM. The k axis is the innermost (sequential) grid
 dimension so output revisiting implements the reduction.
 
-Used opportunistically by RealSHT on TPU (fallback: the einsum path,
-which XLA compiles well everywhere and is the reference semantics).
+Status: EXPERIMENTAL, not used by default. Measured on TPU v5e at the
+ACE2 problem size, the einsum path (0.76 ms) beats this kernel — Mosaic
+block constraints force small l/k tiles and per-step reloads of the
+Legendre block, so the HBM saved on the intermediate is repaid in
+operand traffic. Kept as a validated reference kernel and a starting
+point for future Mosaic work; RealSHT.__call__ always uses the einsum
+path.
 """
 
 import functools
@@ -21,34 +26,36 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _kernel(x_ref, dftr_ref, dfti_ref, leg_ref, outr_ref, outi_ref,
-            xm_r_ref, xm_i_ref):
-    # grid = (c_tiles, k_tiles, l_tiles); l innermost so the DFT result
-    # for the current (c, k) tile is computed once into VMEM scratch and
-    # reused by every l tile
-    k = pl.program_id(1)
-    l = pl.program_id(2)
+            *, k_tile):
+    # grid = (l_tiles, c_tiles, k_tiles); k INNERMOST so the revisited
+    # output block's grid steps are consecutive — the accumulation
+    # contract Pallas TPU guarantees. (A scratch-cached variant with l
+    # innermost produced wrong results: non-consecutive output revisits
+    # do not preserve the accumulator.) Mosaic's batched dot_general
+    # wants the batch (m) dimension leading in BOTH operands.
+    k = pl.program_id(2)
 
-    @pl.when(l == 0)
-    def _dft():
-        x = x_ref[...]  # [kT, J, cT]
-        xm_r_ref[...] = jax.lax.dot_general(
-            x, dftr_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).transpose(0, 2, 1)  # [kT, M, cT]
-        xm_i_ref[...] = jax.lax.dot_general(
-            x, dfti_ref[...], (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ).transpose(0, 2, 1)
+    x = x_ref[...]  # [kT, J, cT]
+    xm_r = jax.lax.dot_general(
+        x, dftr_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(2, 0, 1)  # [kT, cT, M] -> [M, kT, cT]
+    xm_i = jax.lax.dot_general(
+        x, dfti_ref[...], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).transpose(2, 0, 1)
 
-    leg = leg_ref[...]  # [lT, kT, M]
-    acc_r = jnp.einsum(
-        "lkm,kmc->lmc", leg, xm_r_ref[...],
-        preferred_element_type=jnp.float32,
-    )
-    acc_i = jnp.einsum(
-        "lkm,kmc->lmc", leg, xm_i_ref[...],
-        preferred_element_type=jnp.float32,
-    )
+    # leg block is [lT, K, M]; slice the current k tile on the sublane
+    # dim (8-aligned), then rotate m to the front for the batched dot
+    leg = leg_ref[:, pl.dslice(k * k_tile, k_tile), :]  # [lT, kT, M]
+    leg = leg.transpose(2, 0, 1)  # [M, lT, kT]
+    dims = (((2,), (1,)), ((0,), (0,)))  # contract k, batch m
+    acc_r = jax.lax.dot_general(
+        leg, xm_r, dims, preferred_element_type=jnp.float32
+    ).transpose(1, 0, 2)  # [M, lT, cT] -> [lT, M, cT]
+    acc_i = jax.lax.dot_general(
+        leg, xm_i, dims, preferred_element_type=jnp.float32
+    ).transpose(1, 0, 2)
 
     @pl.when(k == 0)
     def _init():
@@ -64,8 +71,8 @@ def _kernel(x_ref, dftr_ref, dfti_ref, leg_ref, outr_ref, outi_ref,
 @functools.partial(
     jax.jit, static_argnames=("l_tile", "c_tile", "k_tile", "interpret")
 )
-def fused_sht(x, dft_r, dft_i, leg, *, l_tile=12, c_tile=128,
-              k_tile=16, interpret=False):
+def fused_sht(x, dft_r, dft_i, leg, *, l_tile=8, c_tile=128,
+              k_tile=8, interpret=False):
     """x [B, K, J, C] f32; dft [J, M]; leg [L, K, M] (note layout) ->
     (out_r, out_i) [B, L, M, C].
 
@@ -79,42 +86,40 @@ def fused_sht(x, dft_r, dft_i, leg, *, l_tile=12, c_tile=128,
     l_dim = leg.shape[0]
     assert k_dim % k_tile == 0 and l_dim % l_tile == 0
     assert c_dim % c_tile == 0 and m_dim % 8 == 0
-    assert k_tile % 8 == 0, "Mosaic: leg block's sublane dim is k_tile"
-    grid = (c_dim // c_tile, k_dim // k_tile, l_dim // l_tile)
+    assert k_tile % 8 == 0 and l_tile % 8 == 0, (
+        "Mosaic sublane constraint: k_tile and l_tile must be 8-multiples"
+    )
+    grid = (l_dim // l_tile, c_dim // c_tile, k_dim // k_tile)
 
     def run_one(x1):
         return pl.pallas_call(
-            _kernel,
+            functools.partial(_kernel, k_tile=k_tile),
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
                     (k_tile, j_dim, c_tile),
-                    lambda c, k, l: (k, 0, c),
+                    lambda l, c, k: (k, 0, c),
                 ),
-                pl.BlockSpec((j_dim, m_dim), lambda c, k, l: (0, 0)),
-                pl.BlockSpec((j_dim, m_dim), lambda c, k, l: (0, 0)),
+                pl.BlockSpec((j_dim, m_dim), lambda l, c, k: (0, 0)),
+                pl.BlockSpec((j_dim, m_dim), lambda l, c, k: (0, 0)),
                 pl.BlockSpec(
-                    (l_tile, k_tile, m_dim),
-                    lambda c, k, l: (l, k, 0),
+                    (l_tile, k_dim, m_dim),
+                    lambda l, c, k: (l, 0, 0),
                 ),
             ],
             out_specs=[
                 pl.BlockSpec(
                     (l_tile, m_dim, c_tile),
-                    lambda c, k, l: (l, 0, c),
+                    lambda l, c, k: (l, 0, c),
                 ),
                 pl.BlockSpec(
                     (l_tile, m_dim, c_tile),
-                    lambda c, k, l: (l, 0, c),
+                    lambda l, c, k: (l, 0, c),
                 ),
             ],
             out_shape=[
                 jax.ShapeDtypeStruct((l_dim, m_dim, c_dim), jnp.float32),
                 jax.ShapeDtypeStruct((l_dim, m_dim, c_dim), jnp.float32),
-            ],
-            scratch_shapes=[
-                pltpu.VMEM((k_tile, m_dim, c_tile), jnp.float32),
-                pltpu.VMEM((k_tile, m_dim, c_tile), jnp.float32),
             ],
             interpret=interpret,
         )(x1, dft_r, dft_i, leg)

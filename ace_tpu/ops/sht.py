@@ -113,8 +113,8 @@ class RealSHT:
             return self._forward(x, "...kjc,jm->...kmc", "...kmc,mlk->...lmc")
         return self._forward(x, "...kj,jm->...km", "...km,mlk->...lm")
 
-    def forward_fused(self, x: jax.Array, l_tile=12, c_tile=128,
-                      k_tile=16, interpret=False) -> jax.Array:
+    def forward_fused(self, x: jax.Array, l_tile=8, c_tile=128,
+                      k_tile=8, interpret=False) -> jax.Array:
         """Fused DFT+Legendre Pallas path (channels-last [B, K, J, C]
         only): keeps the DFT intermediate in VMEM instead of HBM — see
         ops/pallas_sht.py. Pads M to a multiple of 8 and L/C/K to the

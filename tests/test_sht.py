@@ -196,7 +196,7 @@ def test_fused_pallas_sht_matches_einsum_path():
     x = jnp.asarray(rng.randn(1, nlat, nlon, C), jnp.float32)
     ref = sht(x)
     fused = sht.forward_fused(
-        x, l_tile=12, c_tile=32, k_tile=8, interpret=True
+        x, l_tile=16, c_tile=32, k_tile=8, interpret=True
     )
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=2e-3
