@@ -198,6 +198,21 @@ class CoupledTrainer:
     def train(self):
         config = self.config
         params = self.coupled.init_params(jax.random.PRNGKey(config.seed))
+        # resume from previously saved component checkpoints when present
+        # (reference: coupled trainer restarts)
+        ckpt_dir = os.path.join(
+            config.experiment_dir, "training_checkpoints"
+        )
+        atmos_path = os.path.join(ckpt_dir, "atmosphere_ckpt.msgpack")
+        ocean_path = os.path.join(ckpt_dir, "ocean_ckpt.msgpack")
+        if os.path.exists(atmos_path) and os.path.exists(ocean_path):
+            from ace_tpu.stepper.checkpoint import load_stepper
+
+            logging.info("resuming coupled training from checkpoints")
+            params = {
+                "atmosphere": load_stepper(atmos_path).params,
+                "ocean": load_stepper(ocean_path).params,
+            }
         opt_state = self.tx.init(params)
         rng = jax.random.PRNGKey(config.seed + 1)
 

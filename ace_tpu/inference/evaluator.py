@@ -17,7 +17,7 @@ from ace_tpu.inference.data_writer import DataWriterConfig
 from ace_tpu.inference.loop import run_inference
 from ace_tpu.stepper.checkpoint import load_stepper
 from ace_tpu.stepper.insolation import DerivedForcingsConfig
-from ace_tpu.stepper.stepper import PrognosticState
+from ace_tpu.stepper.stepper import PrognosticState, StepperOverrideConfig
 from ace_tpu.train.trainer import LoggingConfig
 
 
@@ -40,11 +40,14 @@ class EvaluatorConfig:
     derived_forcings: DerivedForcingsConfig = dataclasses.field(
         default_factory=DerivedForcingsConfig
     )
+    stepper_override: StepperOverrideConfig | None = None
 
 
 def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
     config.logging.configure(config.experiment_dir)
-    stepper = load_stepper(config.checkpoint_path)
+    stepper = load_stepper(
+        config.checkpoint_path, override=config.stepper_override
+    )
     data = config.loader.build(
         forcing_names=stepper.forcing_window_names,
         prognostic_names=stepper.prognostic_names,
