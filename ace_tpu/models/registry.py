@@ -80,6 +80,8 @@ class SphericalFourierNeuralOperatorBuilder(ModuleConfig):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     data_grid: str = "legendre-gauss"
+    # "default" | "high" (TF32-equivalent) | "highest" (true fp32)
+    spectral_precision: str = "high"
     compute_dtype: str = "float32"
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
@@ -90,6 +92,7 @@ class SphericalFourierNeuralOperatorBuilder(ModuleConfig):
             in_chans=n_in_channels,
             out_chans=n_out_channels,
             spectral_transform=self.spectral_transform,
+            spectral_precision=self.spectral_precision,
             embed_dim=self.embed_dim,
             num_layers=self.num_layers,
             operator_type=self.operator_type,

@@ -70,6 +70,10 @@ class SpectralConvS2(nn.Module):
     # weight[i,o,l] = sum_r a[i,r] b[o,r] c[l,r], complex factors
     factorization: str | None = None
     rank: float = 1.0
+    # matmul precision of the complex filter einsums; None inherits the
+    # forward transform's precision (HIGH = TF32-equivalent by default —
+    # see ops/sht.py precision note)
+    precision: Any = None
 
     @nn.compact
     def __call__(self, x):
@@ -189,8 +193,16 @@ class SpectralConvS2(nn.Module):
         # spectral filter weights act in fp32 space; HIGH (3-pass bf16,
         # TF32-equivalent) avoids the default 1-pass bf16 decomposition
         # (see ace_tpu/ops/sht.py precision note)
+        prec = (
+            self.precision
+            if self.precision is not None
+            else getattr(
+                self.forward_transform, "precision",
+                jax.lax.Precision.HIGH,
+            )
+        )
         ein = functools.partial(
-            jnp.einsum, eq, precision=jax.lax.Precision.HIGH,
+            jnp.einsum, eq, precision=prec,
             preferred_element_type=jnp.float32,
         )
         # note: a 3-matmul Karatsuba complex multiply was measured
@@ -212,14 +224,14 @@ class SpectralConvS2(nn.Module):
             )
             eq_l = "...lmi,irl->...lmr"
             ein_a = functools.partial(
-                jnp.einsum, eq_l, precision=jax.lax.Precision.HIGH,
+                jnp.einsum, eq_l, precision=prec,
                 preferred_element_type=jnp.float32,
             )
             ar = ein_a(xr, la[..., 0]) - ein_a(xi, la[..., 1])
             ai = ein_a(xr, la[..., 1]) + ein_a(xi, la[..., 0])
             eq_b = "...lmr,rol->...lmo"
             ein_b = functools.partial(
-                jnp.einsum, eq_b, precision=jax.lax.Precision.HIGH,
+                jnp.einsum, eq_b, precision=prec,
                 preferred_element_type=jnp.float32,
             )
             outr = outr + ein_b(ar, lb[..., 0]) - ein_b(ai, lb[..., 1])
@@ -365,6 +377,10 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     pos_embed: bool | str = True
     factorization: str | None = None
     rank: float = 1.0
+    # "default" (1-pass bf16, fastest, ~2e-2 SHT err — measured 75 vs 49
+    # steps/s on the ACE2 bench), "high" (TF32-equivalent, the default),
+    # or "highest" (true fp32)
+    spectral_precision: str = "high"
     # weight-shared repetition of the whole block stack (reference:
     # makani/sfnonet.py:526 _forward_features)
     repeat_layers: int = 1
@@ -382,7 +398,13 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
         modes_lat = int(self.h * self.hard_thresholding_fraction)
         modes_lon = int((self.w // 2 + 1) * self.hard_thresholding_fraction)
 
-        kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True)
+        self._prec = {
+            "default": jax.lax.Precision.DEFAULT,
+            "high": jax.lax.Precision.HIGH,
+            "highest": jax.lax.Precision.HIGHEST,
+        }[self.spectral_precision]
+        kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True,
+                  precision=self._prec)
         if self.spectral_transform == "fft":
             from ace_tpu.ops.fft2 import InverseRealFFT2, RealFFT2
 

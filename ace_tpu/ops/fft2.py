@@ -17,7 +17,11 @@ import jax.numpy as jnp
 
 class RealFFT2:
     def __init__(self, nlat: int, nlon: int, lmax: int | None = None,
-                 mmax: int | None = None, channels_last: bool = True):
+                 mmax: int | None = None, channels_last: bool = True,
+                 precision=None):
+        # precision accepted for interface parity with RealSHT; the XLA
+        # FFT is exact in float32
+        self.precision = precision
         self.nlat, self.nlon = nlat, nlon
         self.lmax = lmax or nlat
         self.mmax = mmax or (nlon // 2 + 1)
@@ -40,7 +44,9 @@ class RealFFT2:
 
 class InverseRealFFT2:
     def __init__(self, nlat: int, nlon: int, lmax: int | None = None,
-                 mmax: int | None = None, channels_last: bool = True):
+                 mmax: int | None = None, channels_last: bool = True,
+                 precision=None):
+        self.precision = precision
         self.nlat, self.nlon = nlat, nlon
         self.lmax = lmax or nlat
         self.mmax = mmax or (nlon // 2 + 1)
