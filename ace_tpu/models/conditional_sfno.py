@@ -261,6 +261,13 @@ class NoiseConditionedSFNO(nn.Module):
         kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True)
         self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
         self.itrans_up = InverseRealSHT(nlat, nlon, grid=self.data_grid, **kw)
+        # internal blocks transform on the legendre-gauss grid; only the
+        # first forward and last inverse touch the data grid (reference:
+        # conditional_sfno/sfnonet.py:464-473)
+        self.trans = RealSHT(nlat, nlon, grid="legendre-gauss", **kw)
+        self.itrans = InverseRealSHT(
+            nlat, nlon, grid="legendre-gauss", **kw
+        )
         self._lmax, self._mmax = modes_lat, modes_lon
 
     def _make_noise(self, batch: int):
@@ -354,9 +361,12 @@ class NoiseConditionedSFNO(nn.Module):
             is_local = (
                 self.local_blocks is not None and i in self.local_blocks
             )
+            first, last = i == 0, i == self.num_layers - 1
             h = ConditionalFNOBlock(
-                forward_transform=self.trans_down,
-                inverse_transform=self.itrans_up,
+                forward_transform=self.trans_down if first else self.trans,
+                inverse_transform=(
+                    self.itrans_up if last else self.itrans
+                ),
                 embed_dim=self.embed_dim,
                 embed_dim_noise=cond_dim,
                 operator_type=self.operator_type,

@@ -144,7 +144,7 @@ class HEALPixConvBlock(nn.Module):
             self.channels, (self.kernel_size, self.kernel_size),
             padding="VALID", dtype=self.dtype, name="conv",
         )(flat)
-        out = nn.gelu(out)
+        out = nn.gelu(out, approximate=False)
         return out.reshape(*batch_dims, *out.shape[-3:])
 
 

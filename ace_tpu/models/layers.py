@@ -9,6 +9,8 @@ transposes. Norms reduce over the leading spatial axes.
 from collections.abc import Callable
 
 import flax.linen as nn
+import functools
+
 import jax
 import jax.numpy as jnp
 
@@ -79,7 +81,7 @@ class MLP(nn.Module):
 
     hidden_features: int
     out_features: int
-    act: Callable = nn.gelu
+    act: Callable = functools.partial(nn.gelu, approximate=False)
     drop_rate: float = 0.0
     dtype: jnp.dtype = jnp.float32
 

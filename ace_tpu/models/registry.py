@@ -218,7 +218,7 @@ class MLPModule(nn.Module):
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         for i in range(self.num_hidden_layers):
-            x = nn.gelu(nn.Dense(self.hidden_channels, name=f"hidden_{i}")(x))
+            x = nn.gelu(nn.Dense(self.hidden_channels, name=f"hidden_{i}")(x), approximate=False)
         return nn.Dense(self.out_channels, name="out")(x)
 
 
@@ -492,7 +492,7 @@ class LandNetModule(nn.Module):
                 axis=-1,
             )
         for i, dim in enumerate(self.hidden_dims):
-            x = nn.gelu(nn.Dense(dim, name=f"hidden_{i}")(x))
+            x = nn.gelu(nn.Dense(dim, name=f"hidden_{i}")(x), approximate=False)
         return nn.Dense(self.out_channels, name="out")(x)
 
 

@@ -35,7 +35,9 @@ from ace_tpu.models.layers import (
 from ace_tpu.ops.sht import InverseRealSHT, RealSHT
 
 _ACTIVATIONS = {
-    "gelu": nn.gelu,
+    # exact (erf) gelu to match torch.nn.GELU's default — flax's default
+    # is the tanh approximation, which differs by ~1e-3 on O(1) inputs
+    "gelu": functools.partial(nn.gelu, approximate=False),
     "relu": nn.relu,
     "silu": nn.silu,
 }

@@ -217,3 +217,74 @@ def convert_reference_checkpoint(path: str, output_path: str):
     stepper.params = flax_params
     save_stepper(output_path, stepper, stepper_config)
     return output_path
+
+
+def torch_csfno_to_flax(torch_state: Mapping[str, Any],
+                        num_layers: int) -> dict:
+    """Map a conditional-SFNO torch state_dict (reference:
+    fme/core/models/conditional_sfno/sfnonet.py get_lat_lon_sfnonet, the
+    ACE2-ERA5 NoiseConditionedSFNO backbone) to the ace_tpu
+    NoiseConditionedSFNO flax param tree.
+    """
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+
+    def conv1x1_to_dense(key):
+        # [out, in, 1, 1] -> [in, out]
+        return arr(key)[:, :, 0, 0].T
+
+    params: dict = {
+        "encoder_0": {
+            "kernel": conv1x1_to_dense("encoder.0.weight"),
+            "bias": arr("encoder.0.bias"),
+        },
+        "encoder_out": {"kernel": conv1x1_to_dense("encoder.2.weight")},
+        "decoder_0": {
+            "kernel": conv1x1_to_dense("decoder.0.weight"),
+            "bias": arr("decoder.0.bias"),
+        },
+        "decoder_out": {"kernel": conv1x1_to_dense("decoder.2.weight")},
+    }
+    if "pos_embed" in torch_state:
+        pe = arr("pos_embed")  # [1, C, H, W]
+        params["pos_embed"] = np.moveaxis(pe, 1, -1)
+    for i in range(num_layers):
+        pre = f"blocks.{i}."
+        block: dict = {}
+        for norm in ("norm0", "norm1"):
+            block[norm] = {
+                "w_scale_2d": {"kernel": conv1x1_to_dense(
+                    f"{pre}{norm}.W_scale_2d.weight"
+                )},
+                "w_bias_2d": {"kernel": conv1x1_to_dense(
+                    f"{pre}{norm}.W_bias_2d.weight"
+                )},
+            }
+        # filter weight [groups=1, l, out, in, 2] (reference contraction
+        # "bgixy,gxoi->bgoxy", s2convolutions.py:135) -> [in, out, l, 2];
+        # bias [1, C, 1, 1] -> [C]
+        w = arr(f"{pre}filter.filter.weight")[0]
+        block["filter"] = {
+            "weight": np.transpose(w, (2, 1, 0, 3)),
+            "bias": arr(f"{pre}filter.filter.bias")[0, :, 0, 0],
+        }
+        block["inner_skip"] = {
+            "kernel": conv1x1_to_dense(f"{pre}inner_skip.weight"),
+            "bias": arr(f"{pre}inner_skip.bias"),
+        }
+        block["mlp"] = {
+            "fc1": {
+                "kernel": conv1x1_to_dense(f"{pre}mlp.fwd.0.weight"),
+                "bias": arr(f"{pre}mlp.fwd.0.bias"),
+            },
+            "fc2": {
+                "kernel": conv1x1_to_dense(f"{pre}mlp.fwd.2.weight"),
+                "bias": arr(f"{pre}mlp.fwd.2.bias"),
+            },
+        }
+        params[f"block_{i}"] = block
+    return {"params": params}

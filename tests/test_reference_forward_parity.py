@@ -48,10 +48,15 @@ def _install_stubs():
             weights = pct * w[None, None, :]
             fc, fs, _, _ = _dft_matrices(nlon, self.mmax)
             self.register_buffer(
-                "leg", torch.as_tensor(np.ascontiguousarray(weights))
+                "leg",
+                torch.as_tensor(np.ascontiguousarray(weights)).float(),
             )
-            self.register_buffer("fc", torch.as_tensor(np.asarray(fc)))
-            self.register_buffer("fs", torch.as_tensor(np.asarray(fs)))
+            self.register_buffer(
+                "fc", torch.as_tensor(np.asarray(fc)).float()
+            )
+            self.register_buffer(
+                "fs", torch.as_tensor(np.asarray(fs)).float()
+            )
 
         def forward(self, x):  # [B, C, H, W] -> complex [B, C, l, m]
             xr = torch.einsum("bchj,jm->bchm", x, self.fc)
@@ -74,10 +79,14 @@ def _install_stubs():
             )
             _, _, ic, is_ = _dft_matrices(nlon, self.mmax)
             self.register_buffer(
-                "leg", torch.as_tensor(np.ascontiguousarray(pct))
+                "leg", torch.as_tensor(np.ascontiguousarray(pct)).float()
             )
-            self.register_buffer("ic", torch.as_tensor(np.asarray(ic)))
-            self.register_buffer("is_", torch.as_tensor(np.asarray(is_)))
+            self.register_buffer(
+                "ic", torch.as_tensor(np.asarray(ic)).float()
+            )
+            self.register_buffer(
+                "is_", torch.as_tensor(np.asarray(is_)).float()
+            )
 
         def forward(self, coeffs):  # complex [B, C, l, m] -> [B, C, H, W]
             cr, ci = coeffs.real.float(), coeffs.imag.float()
@@ -265,3 +274,140 @@ def test_autoregressive_rollout_matches_reference(n_steps=3):
             atol=5e-4 * (step + 1),
             err_msg=f"diverged at autoregressive step {step}",
         )
+
+
+def _install_csfno_stubs():
+    """Stubs for the conditional-SFNO package (the ACE2-ERA5 backbone):
+    Distributed facade (serving this repo's torch SHT stubs), timers,
+    and the unavailable tensorly/tltorch imports."""
+    import torch
+
+    th = sys.modules.get("torch_harmonics")
+    if th is None:
+        _install_stubs()
+        th = sys.modules["torch_harmonics"]
+
+    class _Dist:
+        _inst = None
+
+        @classmethod
+        def get_instance(cls):
+            if cls._inst is None:
+                cls._inst = cls()
+            return cls._inst
+
+        def get_sht(self, nlat, nlon, lmax=None, mmax=None,
+                    grid="legendre-gauss"):
+            return th.RealSHT(nlat, nlon, lmax=lmax, mmax=mmax, grid=grid)
+
+        def get_isht(self, nlat, nlon, lmax=None, mmax=None,
+                     grid="legendre-gauss"):
+            return th.InverseRealSHT(
+                nlat, nlon, lmax=lmax, mmax=mmax, grid=grid
+            )
+
+        def get_local_slices(self, shape):
+            return slice(None), slice(None)
+
+        def get_seed(self):
+            return 0
+
+        @property
+        def world_size(self):
+            return 1
+
+    dist_mod = types.ModuleType("fme.core.distributed")
+    dist_mod.Distributed = _Dist
+    sys.modules["fme.core.distributed"] = dist_mod
+    dist_mod2 = types.ModuleType("fme.core.distributed.distributed")
+    dist_mod2.Distributed = _Dist
+    sys.modules["fme.core.distributed.distributed"] = dist_mod2
+
+    timer_mod = types.ModuleType("fme.core.benchmark.timer")
+
+    class NullTimer:
+        def child(self, *a):
+            return self
+
+        def __enter__(self):
+            return self
+
+        def __exit__(self, *a):
+            return False
+
+    timer_mod.Timer = NullTimer
+    timer_mod.NullTimer = NullTimer
+    sys.modules["fme.core.benchmark.timer"] = timer_mod
+
+    base = "/root/reference/fme/core/models/conditional_sfno"
+    pkg = types.ModuleType("fme.core.models.conditional_sfno")
+    pkg.__path__ = [base]
+    sys.modules.setdefault(
+        "fme.core.models",
+        types.ModuleType("fme.core.models"),
+    ).__path__ = ["/root/reference/fme/core/models"]
+    sys.modules["fme.core.models.conditional_sfno"] = pkg
+
+    full = "fme.core.models.conditional_sfno.sfnonet"
+    spec = importlib.util.spec_from_file_location(
+        full, base + "/sfnonet.py"
+    )
+    sfnonet = importlib.util.module_from_spec(spec)
+    sys.modules[full] = sfnonet
+    spec.loader.exec_module(sfnonet)
+    return sfnonet
+
+
+def test_forward_matches_reference_conditional_sfno():
+    """ACE2-ERA5 backbone parity: the reference conditional SFNO and
+    this repo's NoiseConditionedSFNO agree with shared weights (zero
+    noise drives the deterministic path; conditioning weights map 1:1
+    through torch_csfno_to_flax)."""
+    import torch
+
+    from ace_tpu.models.conditional_sfno import NoiseConditionedSFNO
+    from ace_tpu.utils.torch_convert import torch_csfno_to_flax
+
+    sfnonet = _install_csfno_stubs()
+    layers = sys.modules["fme.core.models.conditional_sfno.layers"]
+
+    torch.manual_seed(0)
+    cfg = sfnonet.SFNONetConfig(embed_dim=16, num_layers=2)
+    ctx_cfg = layers.ContextConfig(
+        embed_dim_scalar=0, embed_dim_noise=4,
+        embed_dim_labels=0, embed_dim_pos=0,
+    )
+    ref = sfnonet.get_lat_lon_sfnonet(
+        params=cfg, in_chans=3, out_chans=3, img_shape=(16, 32),
+        data_grid="equiangular", context_config=ctx_cfg,
+    ).eval()
+    # randomize the (zero-initialized) conditioning weights so the
+    # mapping itself is exercised, even though zero noise nulls them
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "W_scale_2d" in name or "W_bias_2d" in name:
+                p.normal_(0.0, 0.02)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+    noise = torch.zeros(2, 4, 16, 32)
+    ctx = layers.Context(
+        embedding_scalar=None, embedding_pos=None, labels=None,
+        noise=noise,
+    )
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x), ctx).numpy()
+
+    params = torch_csfno_to_flax(ref.state_dict(), num_layers=2)
+    net = NoiseConditionedSFNO(
+        img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=16,
+        noise_embed_dim=4, num_layers=2, data_grid="equiangular",
+    )
+    x_cl = jnp.asarray(np.moveaxis(x, 1, -1))
+    # no noise rng -> zero noise, matching the reference call
+    y_mine = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params), x_cl
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-4
+    )
