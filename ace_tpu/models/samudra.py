@@ -15,8 +15,12 @@ import jax.numpy as jnp
 
 
 def capped_gelu(x, cap: float = 1.0):
-    """GELU clamped at ``cap`` (reference: activations.py CappedGELU)."""
-    return jnp.minimum(nn.gelu(x), cap)
+    """GELU clamped at ``cap`` (reference: activations.py CappedGELU).
+
+    The reference uses torch.nn.GELU's exact (erf) form, not the tanh
+    approximation.
+    """
+    return jnp.minimum(nn.gelu(x, approximate=False), cap)
 
 
 def pad_lon_circular_lat_zero(x, pad: int):
@@ -159,16 +163,30 @@ class Samudra(nn.Module):
             dh = skip.shape[-3] - x.shape[-3]
             dw = skip.shape[-2] - x.shape[-2]
             if dw > 0:
-                x = jnp.concatenate([x, x[..., :, :dw, :]], axis=-2)
+                # circular pad split left/right as the reference does
+                # (samudra.py:198 pads_lr with mode=self.pad)
+                left, right = dw // 2, dw - dw // 2
+                parts = []
+                if left:
+                    parts.append(x[..., :, -left:, :])
+                parts.append(x)
+                if right:
+                    parts.append(x[..., :, :right, :])
+                x = jnp.concatenate(parts, axis=-2)
             if dh > 0:
                 cfg = [(0, 0)] * x.ndim
                 cfg[-3] = (dh // 2, dh - dh // 2)
                 x = jnp.pad(x, cfg)
             x = x + skip if x.shape[-1] == skip.shape[-1] else x
+            # The reference's final decoder block reuses the previous loop's
+            # index (samudra.py:151-163 uses dilation_reversed[i] where i is
+            # left over from the pairwise loop), so its dilation is
+            # dilation_reversed[len-2], not [len-1].
+            dil_idx = min(i, max(len(self.ch_width) - 2, 0))
             x = ConvNeXtBlock(
                 out_channels=widths_up[i] if i < len(widths_up) else
                 self.ch_width[0],
-                dilation=dil_up[i],
+                dilation=dil_up[dil_idx],
                 upscale_factor=self.upscale_factor, norm=self.norm,
                 dtype=self.dtype, name=f"up_{i}",
             )(x)

@@ -411,3 +411,84 @@ def test_forward_matches_reference_conditional_sfno():
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-4
     )
+
+
+def test_forward_matches_reference_samudra():
+    """Ocean-emulator parity: the reference Samudra (pure torch) and this
+    repo's flax port agree with shared weights."""
+    import torch
+
+    from ace_tpu.models.samudra import Samudra as MySamudra
+
+    base = "/root/reference/fme/ace/models/ocean/m2lines"
+    for name in ["fme", "fme.ace", "fme.ace.models",
+                 "fme.ace.models.ocean"]:
+        if name not in sys.modules:
+            mod = types.ModuleType(name)
+            mod.__path__ = []
+            sys.modules[name] = mod
+    pkg = types.ModuleType("fme.ace.models.ocean.m2lines")
+    pkg.__path__ = [base]
+    sys.modules["fme.ace.models.ocean.m2lines"] = pkg
+    spec = importlib.util.spec_from_file_location(
+        "fme.ace.models.ocean.m2lines.samudra", base + "/samudra.py"
+    )
+    samudra = importlib.util.module_from_spec(spec)
+    sys.modules["fme.ace.models.ocean.m2lines.samudra"] = samudra
+    spec.loader.exec_module(samudra)
+
+    torch.manual_seed(0)
+    ref = samudra.Samudra(
+        input_channels=4, output_channels=3, ch_width=[8, 16],
+        dilation=[1, 2], n_layers=[1, 1],
+    ).eval()
+    state = ref.state_dict()
+
+    def conv(key):
+        # [out, in, kh, kw] -> [kh, kw, in, out]
+        return np.transpose(np.asarray(state[key].numpy()), (2, 3, 1, 0))
+
+    def block(prefix, with_skip):
+        out = {
+            "conv1": {"kernel": conv(f"{prefix}.convblock.0.weight"),
+                      "bias": np.asarray(
+                          state[f"{prefix}.convblock.0.bias"])},
+            "conv2": {"kernel": conv(f"{prefix}.convblock.3.weight"),
+                      "bias": np.asarray(
+                          state[f"{prefix}.convblock.3.bias"])},
+            "conv_out": {"kernel": conv(f"{prefix}.convblock.6.weight"),
+                         "bias": np.asarray(
+                             state[f"{prefix}.convblock.6.bias"])},
+        }
+        if with_skip:
+            out["skip_conv"] = {
+                "kernel": conv(f"{prefix}.skip_module.weight"),
+                "bias": np.asarray(state[f"{prefix}.skip_module.bias"]),
+            }
+        return out
+
+    params = {"params": {
+        "down_0": block("layers.0", True),
+        "down_1": block("layers.2", True),
+        "bottleneck": block("layers.4", False),
+        "up_0": block("layers.6", True),
+        "up_1": block("layers.8", False),
+        "head": {"kernel": conv("layers.9.weight"),
+                 "bias": np.asarray(state["layers.9.bias"])},
+    }}
+
+    net = MySamudra(
+        out_channels=3, ch_width=(8, 16), dilation=(1, 2),
+        n_layers=(1, 1),
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 8, 16).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x)).numpy()
+    y_mine = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.asarray(np.moveaxis(x, 1, -1)),
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-5
+    )
