@@ -126,7 +126,7 @@ class DiffusionModel:
             (1, nlat * f, nlon * f, len(self.config.in_names))
         )
         sigma = jnp.zeros((1,))
-        self.params = self.net.init(rng, x, cond, sigma)
+        self.params = jax.jit(self.net.init)(rng, x, cond, sigma)
         return self.params
 
     def _denoiser(self, params):
@@ -299,7 +299,7 @@ class DeterministicModel:
             self.params = {}
             return self.params
         x = jnp.zeros((1, nlat, nlon, len(self.config.in_names)))
-        self.params = self.net.init(rng, x)
+        self.params = jax.jit(self.net.init)(rng, x)
         return self.params
 
     def _predict_norm(self, params, cond):

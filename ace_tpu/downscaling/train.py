@@ -152,7 +152,9 @@ def load_downscaling_model(path: str):
         json.loads(payload["dataset_info"])
     )
     model = config.build(dataset_info)
-    template = model.init_params(jax.random.PRNGKey(0))
+    # abstract init: the template only supplies pytree structure, so skip
+    # the real (device-executing) parameter initialization
+    template = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
     model.params = serialization.from_state_dict(
         template, payload["params"]
     )

@@ -70,10 +70,9 @@ def run_inference(
         )
         if writer is not None:
             with timer.context("data_writer"):
-                writer.append_batch(
-                    {k_: np.asarray(v) for k_, v in outputs.items()},
-                    out_time,
-                )
+                # one overlapped device->host transfer for the whole dict
+                # (per-variable np.asarray would serialize the round trips)
+                writer.append_batch(jax.device_get(outputs), out_time)
         if aggregator is not None:
             with timer.context("aggregator"):
                 target = None

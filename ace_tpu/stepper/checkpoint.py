@@ -59,8 +59,12 @@ def build_stepper_from_state(state: dict) -> tuple[Stepper, StepperConfig]:
     config = StepperConfig.from_state(json.loads(state["config"]))
     dataset_info = DatasetInfo.from_state(json.loads(state["dataset_info"]))
     stepper = config.get_stepper(dataset_info)
-    # restore params with correct pytree structure via a template init
-    template = stepper.step.init_params(jax.random.PRNGKey(0))
+    # restore params with correct pytree structure via an abstract template
+    # init (eval_shape runs no device computation — a real init here would
+    # execute the full model forward just to throw the values away)
+    template = jax.eval_shape(
+        stepper.step.init_params, jax.random.PRNGKey(0)
+    )
     stepper.params = serialization.from_state_dict(template, state["params"])
     return stepper, config
 

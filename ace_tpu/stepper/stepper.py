@@ -84,7 +84,9 @@ class Stepper:
         return self.step.dataset_info
 
     def init_params(self, rng: jax.Array):
-        self.params = self.step.init_params(rng)
+        # jit so initialization is one compiled program rather than
+        # thousands of individually dispatched ops
+        self.params = jax.jit(self.step.init_params)(rng)
         return self.params
 
     def get_initial_state(self, ic: PrognosticState) -> PrognosticState:
