@@ -58,12 +58,13 @@ class ConditionalLayerNorm(nn.Module):
 
     n_channels: int
     embed_dim_noise: int = 0
+    embed_dim_labels: int = 0
     global_layer_norm: bool = False
     eps: float = 1e-5
     elementwise_affine: bool = False
 
     @nn.compact
-    def __call__(self, x, noise=None):
+    def __call__(self, x, noise=None, labels=None):
         if self.global_layer_norm:
             # normalize over (lat, lon, channel) jointly
             orig_dtype = x.dtype
@@ -106,6 +107,22 @@ class ConditionalLayerNorm(nn.Module):
             )
             scale = scale + w_scale(noise.astype(y.dtype))
             bias = bias + w_bias(noise.astype(y.dtype))
+        if self.embed_dim_labels > 0:
+            if labels is None:
+                raise ValueError("label conditioning requires labels input")
+            # per-sample label terms, broadcast over space (reference:
+            # layers.py W_scale_labels/W_bias_labels, zero-init weights)
+            lab = labels.astype(y.dtype)
+            s_lab = nn.Dense(
+                self.n_channels, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name="w_scale_labels",
+            )(lab)
+            b_lab = nn.Dense(
+                self.n_channels, kernel_init=nn.initializers.zeros,
+                bias_init=nn.initializers.zeros, name="w_bias_labels",
+            )(lab)
+            scale = scale + s_lab[:, None, None, :]
+            bias = bias + b_lab[:, None, None, :]
         return y * scale + bias
 
 

@@ -400,12 +400,38 @@ class HEALPixUNetBuilder(ModuleConfig):
         )
 
 
+def _swin_lat_coords(dataset_info, use_cpb_scaling: bool):
+    """1D latitudes for cos-lat CPB scaling, or None when disabled
+    (reference: fme/ace/registry/swin_transformer.py use_cpb_scaling)."""
+    if not use_cpb_scaling:
+        return None
+    coords = dataset_info.horizontal_coordinates
+    lat = getattr(coords, "lat", None)
+    if lat is None:
+        raise ValueError(
+            "SwinTransformer requires 1D latitude coordinates for "
+            "cos-lat CPB scaling (set use_cpb_scaling=False to disable)"
+        )
+    return tuple(np.asarray(lat, np.float64).tolist())
+
+
+def _swin_padding_kwargs(padding_conf):
+    if not padding_conf or not padding_conf.get("activate", False):
+        return {}
+    return {
+        "padding_mode": padding_conf.get("mode", "earth"),
+        "pad_lat": tuple(padding_conf.get("pad_lat", [40, 40])),
+        "pad_lon": tuple(padding_conf.get("pad_lon", [40, 40])),
+    }
+
+
 @ModuleSelector.register("NoiseConditionedSwinTransformer")
 @dataclasses.dataclass
 class NoiseConditionedSwinTransformerBuilder(ModuleConfig):
-    """Stochastic Swin: fresh Gaussian noise each forward conditions every
-    block's layer norms (reference: fme/ace/registry/
-    swin_transformer.py:132 NoiseConditionedSwinTransformerBuilder).
+    """Stochastic Swin U-Net: fresh Gaussian noise each forward
+    conditions every block's ConditionalLayerNorm (reference:
+    fme/ace/registry/swin_transformer.py:132
+    NoiseConditionedSwinTransformerBuilder).
     """
 
     embed_dim: int = 96
@@ -415,31 +441,47 @@ class NoiseConditionedSwinTransformerBuilder(ModuleConfig):
     )
     window_size: list[int] = dataclasses.field(default_factory=lambda: [4, 8])
     mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    use_skip: bool = True
+    mlp_layer: str = "mlp"
     noise_embed_dim: int = 256
+    label_embed_dim: int = 0
+    cpb_hidden_dim: int = 64
+    padding_conf: dict | None = None
+    use_cpb_scaling: bool = True
     compute_dtype: str = "float32"
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
         from ace_tpu.models.swin import SwinTransformerNet
 
-        depths = [2 * self.depth_multiplier, 6 * self.depth_multiplier,
-                  6 * self.depth_multiplier, 2 * self.depth_multiplier]
         return SwinTransformerNet(
             out_channels=n_out_channels,
+            img_shape=tuple(dataset_info.img_shape),
             embed_dim=self.embed_dim,
-            depths=tuple(depths),
+            depth_multiplier=self.depth_multiplier,
             num_heads=tuple(self.num_heads),
-            window_size=tuple(self.window_size),
+            window_size=(self.window_size[0], self.window_size[1]),
             mlp_ratio=self.mlp_ratio,
+            drop_path_rate=self.drop_path_rate,
+            use_skip=self.use_skip,
+            mlp_layer=self.mlp_layer,
+            conditioning="cln",
+            n_labels=len(dataset_info.all_labels),
+            label_embed_dim=self.label_embed_dim,
             noise_embed_dim=self.noise_embed_dim,
+            cpb_hidden_dim=self.cpb_hidden_dim,
+            lat_coords=_swin_lat_coords(dataset_info, self.use_cpb_scaling),
             dtype=jnp.dtype(self.compute_dtype),
+            **_swin_padding_kwargs(self.padding_conf),
         )
 
 
 @ModuleSelector.register("SwinTransformer")
 @dataclasses.dataclass
 class SwinTransformerBuilder(ModuleConfig):
-    """Swin transformer config (reference: fme/ace/registry/
-    swin_transformer.py:38).
+    """Deterministic Swin U-Net config (reference:
+    fme/ace/registry/swin_transformer.py:38 SwinTransformerBuilder;
+    AdaLN label conditioning when the dataset defines labels).
     """
 
     embed_dim: int = 96
@@ -449,21 +491,36 @@ class SwinTransformerBuilder(ModuleConfig):
     )
     window_size: list[int] = dataclasses.field(default_factory=lambda: [4, 8])
     mlp_ratio: float = 4.0
+    drop_path_rate: float = 0.2
+    use_skip: bool = True
+    mlp_layer: str = "mlp"
+    embed_dim_scalar: int = 0
+    cpb_hidden_dim: int = 64
+    padding_conf: dict | None = None
+    use_cpb_scaling: bool = True
     compute_dtype: str = "float32"
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
         from ace_tpu.models.swin import SwinTransformerNet
 
-        depths = [2 * self.depth_multiplier, 6 * self.depth_multiplier,
-                  6 * self.depth_multiplier, 2 * self.depth_multiplier]
         return SwinTransformerNet(
             out_channels=n_out_channels,
+            img_shape=tuple(dataset_info.img_shape),
             embed_dim=self.embed_dim,
-            depths=tuple(depths),
+            depth_multiplier=self.depth_multiplier,
             num_heads=tuple(self.num_heads),
             window_size=(self.window_size[0], self.window_size[1]),
             mlp_ratio=self.mlp_ratio,
+            drop_path_rate=self.drop_path_rate,
+            use_skip=self.use_skip,
+            mlp_layer=self.mlp_layer,
+            conditioning="adaln",
+            embed_dim_scalar=self.embed_dim_scalar,
+            n_labels=len(dataset_info.all_labels),
+            cpb_hidden_dim=self.cpb_hidden_dim,
+            lat_coords=_swin_lat_coords(dataset_info, self.use_cpb_scaling),
             dtype=jnp.dtype(self.compute_dtype),
+            **_swin_padding_kwargs(self.padding_conf),
         )
 
 

@@ -288,3 +288,105 @@ def torch_csfno_to_flax(torch_state: Mapping[str, Any],
         }
         params[f"block_{i}"] = block
     return {"params": params}
+
+
+def torch_swin_to_flax(
+    torch_state: Mapping[str, Any],
+    depth_multiplier: int = 1,
+    conditioning: str = "adaln",
+) -> dict:
+    """Map a reference SwinTransformerNet state dict to ace_tpu flax params
+    (reference: fme/core/models/swin_transformer/swin_transformer.py:57,
+    swin_layers.py; torch [out, in] linears -> flax [in, out] kernels,
+    convs [O, I, kh, kw] -> [kh, kw, I, O])."""
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    def dense(key, bias=True):
+        out = {"kernel": np.transpose(arr(key + ".weight"), (1, 0))}
+        if bias:
+            out["bias"] = arr(key + ".bias")
+        return out
+
+    def conv(key):
+        return {
+            "kernel": np.transpose(arr(key + ".weight"), (2, 3, 1, 0)),
+            "bias": arr(key + ".bias"),
+        }
+
+    def norm(key):
+        return {"scale": arr(key + ".weight"), "bias": arr(key + ".bias")}
+
+    def cln(prefix):
+        out = {}
+        if prefix + ".W_scale_2d.weight" in torch_state:
+            out["w_scale_2d"] = {
+                "kernel": _conv1x1_to_dense(arr(prefix + ".W_scale_2d.weight"))
+            }
+            out["w_bias_2d"] = {
+                "kernel": _conv1x1_to_dense(arr(prefix + ".W_bias_2d.weight"))
+            }
+        if prefix + ".W_scale_labels.weight" in torch_state:
+            out["w_scale_labels"] = dense(prefix + ".W_scale_labels")
+            out["w_bias_labels"] = dense(prefix + ".W_bias_labels")
+        return out
+
+    def block(prefix):
+        out = {
+            "attn": {
+                "tau": arr(prefix + ".attn.tau"),
+                "qkv": dense(prefix + ".attn.qkv"),
+                "proj": dense(prefix + ".attn.proj"),
+                "cpb_fc1": dense(prefix + ".attn.cpb_mlp.0"),
+                "cpb_fc2": dense(prefix + ".attn.cpb_mlp.2"),
+            },
+            "column_mixer": dense(prefix + ".column_mixer.fc"),
+            "mlp": {
+                "fc1": dense(prefix + ".mlp.fc1"),
+                "fc2": dense(prefix + ".mlp.fc2"),
+            },
+        }
+        for n in ("norm1", "norm2"):
+            if conditioning == "cln":
+                out[n] = cln(prefix + "." + n)
+            else:
+                out[n] = norm(prefix + "." + n)
+        return out
+
+    def basic_layer(prefix, depth):
+        out = {
+            f"blocks_{i}": block(f"{prefix}.blocks.{i}")
+            for i in range(depth)
+        }
+        if prefix + ".adaln_scalar.1.weight" in torch_state:
+            out["adaln_scalar"] = dense(prefix + ".adaln_scalar.1")
+        if prefix + ".adaln_labels.1.weight" in torch_state:
+            out["adaln_labels"] = dense(prefix + ".adaln_labels.1")
+        return out
+
+    d = depth_multiplier
+    params = {
+        "encoder": conv("encoder"),
+        "channel_mixer": dense("channel_mixer.fc"),
+        "layer1": basic_layer("layer1", 2 * d),
+        "downsample": {
+            "norm": norm("downsample.norm"),
+            "reduction": dense("downsample.reduction", bias=False),
+        },
+        "layer2": basic_layer("layer2", 6 * d),
+        "layer3": basic_layer("layer3", 6 * d),
+        "upsample": {
+            "expand": dense("upsample.expand", bias=False),
+            "norm": norm("upsample.norm"),
+            "linear": dense("upsample.linear", bias=False),
+        },
+        "layer4": basic_layer("layer4", 2 * d),
+        "final_linear": dense("final_linear", bias=False),
+        "decoder": conv("decoder"),
+    }
+    if "label_embedding.weight" in torch_state:
+        params["label_embedding"] = dense("label_embedding")
+    return {"params": params}

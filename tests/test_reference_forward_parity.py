@@ -492,3 +492,120 @@ def test_forward_matches_reference_samudra():
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-5
     )
+
+
+def _load_reference_swin():
+    """Load the reference swin_transformer package (pure torch; its only
+    stub needs are the conditional_sfno layers + timers that
+    _install_csfno_stubs provides)."""
+    import importlib
+
+    _install_csfno_stubs()
+    return importlib.import_module("fme.core.models.swin_transformer")
+
+
+def test_forward_matches_reference_swin_adaln():
+    """Deterministic Swin U-Net parity (cos-lat CPB, skip, post-norm)."""
+    import torch
+
+    from ace_tpu.models.swin import SwinTransformerNet as MySwin
+    from ace_tpu.utils.torch_convert import torch_swin_to_flax
+
+    swin_mod = _load_reference_swin()
+    torch.manual_seed(0)
+    lat = torch.linspace(-82.5, 82.5, 16)
+    ref = swin_mod.SwinTransformerNet(
+        in_chans=3, out_chans=2, img_shape=(16, 32), embed_dim=16,
+        depth_multiplier=1, num_heads=(2, 2, 2, 2), window_size=(2, 4),
+        drop_path_rate=0.0, lat_coords=lat,
+    ).eval()
+    # randomize the zero-initialized CPB output layers so the mapping is
+    # exercised (they are zero at init, which would hide transposition bugs)
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "cpb_mlp.2" in name:
+                p.normal_(0.0, 0.5)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x)).numpy()
+
+    net = MySwin(
+        out_channels=2, img_shape=(16, 32), embed_dim=16,
+        num_heads=(2, 2, 2, 2), window_size=(2, 4), drop_path_rate=0.0,
+        lat_coords=tuple(lat.numpy().tolist()),
+    )
+    params = jax.tree_util.tree_map(
+        jnp.asarray, torch_swin_to_flax(ref.state_dict())
+    )
+    y_mine = net.apply(params, jnp.asarray(np.moveaxis(x, 1, -1)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-5
+    )
+
+
+def test_forward_matches_reference_swin_cln_earth_padding():
+    """Noise-conditioned (cln) Swin parity with earth boundary padding and
+    label conditioning; zero noise drives the deterministic path while the
+    randomized label/CLN weights exercise the mapping."""
+    import torch
+
+    from ace_tpu.models.swin import SwinTransformerNet as MySwin
+    from ace_tpu.utils.torch_convert import torch_swin_to_flax
+
+    swin_mod = _load_reference_swin()
+    layers = sys.modules["fme.core.models.conditional_sfno.layers"]
+
+    torch.manual_seed(1)
+    ctx_cfg = layers.ContextConfig(
+        embed_dim_scalar=0, embed_dim_noise=4, embed_dim_labels=2,
+        embed_dim_pos=0,
+    )
+    lat = torch.linspace(-82.5, 82.5, 16)
+    padding_conf = {
+        "activate": True, "mode": "earth",
+        "pad_lat": [2, 2], "pad_lon": [4, 4],
+    }
+    ref = swin_mod.SwinTransformerNet(
+        in_chans=3, out_chans=2, img_shape=(16, 32), embed_dim=16,
+        depth_multiplier=1, num_heads=(2, 2, 2, 2), window_size=(2, 4),
+        drop_path_rate=0.0, context_config=ctx_cfg, conditioning="cln",
+        lat_coords=lat, padding_conf=padding_conf,
+    ).eval()
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "W_scale_labels" in name or "W_bias_labels" in name:
+                p.normal_(0.0, 0.1)
+            if "cpb_mlp.2" in name:
+                p.normal_(0.0, 0.5)
+
+    rng = np.random.RandomState(2)
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+    labels = np.asarray([[1.0, 0.0], [0.0, 1.0]], np.float32)
+    noise = torch.zeros(2, 4, 16, 32)
+    ctx = layers.Context(
+        embedding_scalar=None, embedding_pos=None,
+        labels=torch.as_tensor(labels), noise=noise,
+    )
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x), ctx).numpy()
+
+    net = MySwin(
+        out_channels=2, img_shape=(16, 32), embed_dim=16,
+        num_heads=(2, 2, 2, 2), window_size=(2, 4), drop_path_rate=0.0,
+        conditioning="cln", n_labels=2, noise_embed_dim=4,
+        lat_coords=tuple(lat.numpy().tolist()),
+        padding_mode="earth", pad_lat=(2, 2), pad_lon=(4, 4),
+    )
+    params = jax.tree_util.tree_map(
+        jnp.asarray, torch_swin_to_flax(ref.state_dict(), conditioning="cln")
+    )
+    # no noise rng -> zero noise, matching the reference call
+    y_mine = net.apply(
+        params, jnp.asarray(np.moveaxis(x, 1, -1)),
+        labels=jnp.asarray(labels),
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-5
+    )
