@@ -14,6 +14,16 @@ pure function, rollouts are `lax.scan`, and scale-out is `jax.sharding.Mesh`
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if _os.environ.get("FME_FORCE_CPU") or _os.environ.get("ACE_TPU_FORCE_CPU"):
+    # force the CPU backend (reference: fme/core/device.py:13 force_cpu and
+    # the FME_FORCE_CPU env flag). Done via jax.config because this image
+    # pre-imports jax at interpreter startup, making JAX_PLATFORMS too late.
+    import jax as _jax
+
+    _jax.config.update("jax_platforms", "cpu")
+
 from ace_tpu.core.metrics import (  # noqa: F401
     root_mean_squared_error,
     spherical_area_weights,

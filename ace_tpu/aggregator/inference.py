@@ -150,6 +150,25 @@ class SpectrumAggregator:
         self._target_sum: TensorDict = {}
         self._n = 0
 
+    @classmethod
+    def for_dataset_info(cls, dataset_info) -> "SpectrumAggregator":
+        """Grid-appropriate spectrum aggregator: lat-lon SHT, or the
+        HEALPix SHT via gridded operations (reference:
+        fme/core/gridded_ops.py:518 get_real_sht)."""
+        img = dataset_info.img_shape
+        if len(img) == 2:
+            return cls(
+                img[0], img[1], dataset_info.horizontal_coordinates.grid
+            )
+        self = cls.__new__(cls)
+        hpx_sht = dataset_info.gridded_operations.get_real_sht()
+        # hpx forward is channels-last; fields here carry no channel axis
+        self._sht = lambda x: hpx_sht(x[..., None])[..., 0]
+        self._gen_sum = {}
+        self._target_sum = {}
+        self._n = 0
+        return self
+
     def _power(self, field) -> jnp.ndarray:
         coeffs = self._sht(field)
         weights = jnp.full((coeffs.shape[-1],), 2.0).at[0].set(1.0)
@@ -228,18 +247,17 @@ class InferenceEvaluatorAggregator:
     def __init__(self, dataset_info, config=None, n_timesteps: int = 0):
         config = config or InferenceAggregatorConfig()
         ops = dataset_info.gridded_operations
-        nlat, nlon = dataset_info.img_shape
+        is_latlon = len(dataset_info.img_shape) == 2
         self._aggregators: dict[str, Any] = {
             "time_mean": TimeMeanAggregator(ops),
         }
         if config.log_global_mean_time_series:
             self._aggregators["mean"] = GlobalMeanTimeSeriesAggregator(ops)
-        if config.log_zonal_mean_images:
+        if config.log_zonal_mean_images and is_latlon:
             self._aggregators["zonal_mean"] = ZonalMeanAggregator()
         if config.log_spectra:
-            grid = dataset_info.horizontal_coordinates.grid
-            self._aggregators["spectrum"] = SpectrumAggregator(
-                nlat, nlon, grid
+            self._aggregators["spectrum"] = (
+                SpectrumAggregator.for_dataset_info(dataset_info)
             )
         if config.log_histograms:
             from ace_tpu.aggregator.histogram import HistogramAggregator

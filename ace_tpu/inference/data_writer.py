@@ -19,6 +19,21 @@ from ace_tpu.data.time import TimeCoord
 from ace_tpu.core.typing_ import TensorMapping
 
 
+
+def _horizontal_coords_arrays(coords) -> tuple[dict, tuple]:
+    """(coords dict, spatial dim names) for lat-lon or HEALPix grids."""
+    if hasattr(coords, "lat"):
+        return (
+            {"lat": np.asarray(coords.lat), "lon": np.asarray(coords.lon)},
+            ("lat", "lon"),
+        )
+    names = ("face", "height", "width")
+    return (
+        {n: np.arange(s, dtype="f8") for n, s in zip(names, coords.shape)},
+        names,
+    )
+
+
 class H5DataWriter:
     """Appends [batch, time, lat, lon] batches along an unlimited time dim
     (reference: data_writer/raw.py).
@@ -35,8 +50,15 @@ class H5DataWriter:
         self._n_time = 0
         self._time_units = "seconds since 1970-01-01T00:00:00"
         coords = dataset_info.horizontal_coordinates
-        self._f.create_dataset("lat", data=np.asarray(coords.lat))
-        self._f.create_dataset("lon", data=np.asarray(coords.lon))
+        if hasattr(coords, "lat"):
+            self._f.create_dataset("lat", data=np.asarray(coords.lat))
+            self._f.create_dataset("lon", data=np.asarray(coords.lon))
+        else:
+            # HEALPix (face, height, width) index coordinates
+            for name, n in zip(
+                ("face", "height", "width"), coords.shape
+            ):
+                self._f.create_dataset(name, data=np.arange(n, dtype="f8"))
 
     def append_batch(self, data: TensorMapping, time: TimeCoord):
         names = self._names or list(data.keys())
@@ -122,7 +144,10 @@ class ZarrDataWriter:
 
         names = self._names or list(data.keys())
         n_new = time.values.shape[-1]
-        dims = ["sample", "time", "lat", "lon"]
+        _, spatial_dims = _horizontal_coords_arrays(
+            self._info.horizontal_coordinates
+        )
+        dims = ["sample", "time", *spatial_dims]
         if self._n_time == 0:
             for name in names:
                 arr = np.asarray(data[name])
@@ -188,13 +213,12 @@ def save_restart(path: str, prognostic_data: TensorMapping, time: TimeCoord,
     """
     from ace_tpu.data.store import write_h5
 
+    coords, spatial_dims = _horizontal_coords_arrays(
+        dataset_info.horizontal_coordinates
+    )
     data = {k: np.asarray(v) for k, v in prognostic_data.items()}
-    dims = {k: ("sample", "time", "lat", "lon")[: v.ndim]
+    dims = {k: ("sample", "time", *spatial_dims)[: v.ndim]
             for k, v in data.items()}
-    coords = {
-        "lat": np.asarray(dataset_info.horizontal_coordinates.lat),
-        "lon": np.asarray(dataset_info.horizontal_coordinates.lon),
-    }
     vals, units, calendar = encode_cf_time(time)
     data["time"] = np.atleast_2d(vals)
     dims["time"] = ("sample", "time")
@@ -309,7 +333,10 @@ class MonthlyMeanWriter:
                 [sums[k] / self._counts[k] for k in keys], axis=1
             )
             out_data[name] = stacked.astype(np.float32)
-            dims[name] = ("sample", "month", "lat", "lon")[: stacked.ndim]
+            _, spatial_dims = _horizontal_coords_arrays(
+                self._info.horizontal_coordinates
+            )
+            dims[name] = ("sample", "month", *spatial_dims)[: stacked.ndim]
         # month start times as the coordinate
         micros = np.asarray([
             int(encode_time(np.asarray([y]), m, 1)[0]) for y, m in keys
@@ -320,10 +347,9 @@ class MonthlyMeanWriter:
             [self._counts[k] for k in keys], np.int64
         )
         dims["counts"] = ("month",)
-        coords = {
-            "lat": np.asarray(self._info.horizontal_coordinates.lat),
-            "lon": np.asarray(self._info.horizontal_coordinates.lon),
-        }
+        coords, _ = _horizontal_coords_arrays(
+            self._info.horizontal_coordinates
+        )
         write_h5(self._path, out_data, dims, coords=coords)
 
 

@@ -378,25 +378,41 @@ class SamudraBuilder(ModuleConfig):
 @ModuleSelector.register("HEALPixUNet")
 @dataclasses.dataclass
 class HEALPixUNetBuilder(ModuleConfig):
-    """DLWP-style HEALPix UNet config
-    (reference: fme/ace/registry/hpx.py:15; operates on
-    [batch, 12, face, face, channel] data).
+    """DLWP-style HEALPix UNet config with the reference's encoder/decoder
+    block-config surface (reference: fme/ace/registry/hpx.py:15; operates
+    on [batch, 12, face, face, channel] data).
     """
 
-    hidden_channels: list[int] = dataclasses.field(
-        default_factory=lambda: [64, 128, 256]
-    )
-    n_layers_per_level: int = 2
+    encoder: Any = None
+    decoder: Any = None
     compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        from ace_tpu.core.config import from_dict
+        from ace_tpu.models.healpix import (
+            UNetDecoderConfig,
+            UNetEncoderConfig,
+        )
+
+        if isinstance(self.encoder, dict):
+            self.encoder = from_dict(UNetEncoderConfig, self.encoder)
+        if isinstance(self.decoder, dict):
+            self.decoder = from_dict(UNetDecoderConfig, self.decoder)
 
     def build(self, n_in_channels, n_out_channels, dataset_info):
         from ace_tpu.models.healpix import HEALPixUNet
 
+        if len(dataset_info.all_labels) > 0:
+            raise ValueError("HEALPixUNet does not support labels")
+        kwargs = {}
+        if self.encoder is not None:
+            kwargs["encoder"] = self.encoder
+        if self.decoder is not None:
+            kwargs["decoder"] = self.decoder
         return HEALPixUNet(
             out_channels=n_out_channels,
-            hidden_channels=tuple(self.hidden_channels),
-            n_layers_per_level=self.n_layers_per_level,
             dtype=jnp.dtype(self.compute_dtype),
+            **kwargs,
         )
 
 
@@ -537,19 +553,19 @@ class LandNetModule(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
-        if self.use_positional_embedding:
-            pe = self.param(
-                "pos_embed",
-                nn.initializers.truncated_normal(0.02),
-                (1, *self.img_shape, 8),
-                jnp.float32,
-            )
-            x = jnp.concatenate(
-                [x, jnp.broadcast_to(pe, (x.shape[0], *pe.shape[1:]))],
-                axis=-1,
-            )
+        # per-column 1x1 convs with ReLU, additive learned positional
+        # embedding after the first hidden layer (reference:
+        # land/land_net.py forward, land/layers.py)
         for i, dim in enumerate(self.hidden_dims):
-            x = nn.gelu(nn.Dense(dim, name=f"hidden_{i}")(x), approximate=False)
+            x = nn.relu(nn.Dense(dim, name=f"hidden_{i}")(x))
+            if self.use_positional_embedding and i == 0:
+                pe = self.param(
+                    "pos_embed",
+                    nn.initializers.normal(1.0),
+                    (1, *self.img_shape, dim),
+                    jnp.float32,
+                )
+                x = x + pe
         return nn.Dense(self.out_channels, name="out")(x)
 
 

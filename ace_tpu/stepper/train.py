@@ -83,9 +83,13 @@ class TrainStepper:
         info = step.dataset_info
         sht = None
         if train_config.loss.is_ensemble_loss:
-            nlat, nlon = info.img_shape
-            grid = info.horizontal_coordinates.grid
-            sht = RealSHT(nlat, nlon, grid=grid, channels_last=True)
+            if len(info.img_shape) == 2:
+                nlat, nlon = info.img_shape
+                grid = info.horizontal_coordinates.grid
+                sht = RealSHT(nlat, nlon, grid=grid, channels_last=True)
+            else:
+                # HEALPix: channels-last SHT via gridded operations
+                sht = info.gridded_operations.get_real_sht()
         # loss normalizer: network stats with residual stds for prognostics
         loss_normalizer = step.config.normalization.build_loss_normalizer(
             step.config._normalize_names,

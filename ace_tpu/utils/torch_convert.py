@@ -390,3 +390,83 @@ def torch_swin_to_flax(
     if "label_embedding.weight" in torch_state:
         params["label_embedding"] = dense("label_embedding")
     return {"params": params}
+
+
+def torch_hpx_unet_to_flax(
+    torch_state: Mapping[str, Any],
+    encoder_levels: int,
+    decoder_levels: int,
+) -> dict:
+    """Map a reference HEALPixUNet state dict to ace_tpu flax params
+    (reference: fme/ace/models/healpix/healpix_unet.py; ConvNeXt blocks
+    serialize as convblock.{0,2,4}.layers.{0,1} with the HEALPixLayer
+    padding module occupying index 0 for padded convs)."""
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(v.detach().cpu().numpy() if hasattr(v, "detach")
+                          else v)
+
+    def conv(key):
+        return {
+            "conv": {
+                "kernel": np.transpose(arr(key + ".weight"), (2, 3, 1, 0)),
+                "bias": arr(key + ".bias"),
+            }
+        }
+
+    def hpx_conv(prefix):
+        # HEALPixLayer: layers.1 when a padding module precedes the conv
+        # (3x3), layers.0 otherwise (1x1 / pools / transposed conv)
+        key = (
+            prefix + ".layers.1"
+            if prefix + ".layers.1.weight" in torch_state
+            else prefix + ".layers.0"
+        )
+        return conv(key)
+
+    def convnext(prefix):
+        out = {
+            "conv1": hpx_conv(prefix + ".convblock.0"),
+            "conv2": hpx_conv(prefix + ".convblock.2"),
+            "conv3": hpx_conv(prefix + ".convblock.4"),
+        }
+        if prefix + ".skip_module.layers.0.weight" in torch_state:
+            out["skip"] = hpx_conv(prefix + ".skip_module")
+        return out
+
+    def basic(prefix):
+        out = {}
+        n = 0
+        while True:
+            # activations occupy odd Sequential slots when present
+            for idx in (2 * n, n):
+                p = f"{prefix}.convblock.{idx}"
+                if (p + ".layers.0.weight" in torch_state
+                        or p + ".layers.1.weight" in torch_state):
+                    out[f"conv_{n}"] = hpx_conv(p)
+                    break
+            else:
+                break
+            n += 1
+        return out
+
+    params: dict = {}
+    for lvl in range(encoder_levels):
+        seq = 1 if lvl > 0 else 0  # Sequential(down?, conv)
+        params[f"encoder_conv_{lvl}"] = convnext(
+            f"encoder.encoder.{lvl}.{seq}"
+        )
+    for lvl in range(decoder_levels):
+        if lvl > 0:
+            tkey = f"decoder.decoder.{lvl}.upsamp.upsampler.0.layers.0"
+            w = arr(tkey + ".weight")  # [in, out, kh, kw]
+            params[f"decoder_up_{lvl}"] = {
+                "kernel": np.transpose(w, (2, 3, 0, 1)),
+                "bias": arr(tkey + ".bias"),
+            }
+        params[f"decoder_conv_{lvl}"] = convnext(
+            f"decoder.decoder.{lvl}.conv"
+        )
+    params["output_layer"] = basic("decoder.output_layer")
+    return {"params": params}

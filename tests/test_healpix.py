@@ -48,8 +48,29 @@ def test_healpix_pad_matches_reference(p):
 
 
 def test_healpix_unet_shapes_and_grads():
+    from ace_tpu.models.healpix import (
+        AvgPoolDownsamplingBlockConfig,
+        BasicConvBlockConfig,
+        CappedGELUConfig,
+        ConvNeXtBlockConfig,
+        TransposedConvUpsampleBlockConfig,
+        UNetDecoderConfig,
+        UNetEncoderConfig,
+    )
+
     model = HEALPixUNet(
-        out_channels=3, hidden_channels=(8, 16), n_layers_per_level=1
+        out_channels=3,
+        encoder=UNetEncoderConfig(
+            conv_block=ConvNeXtBlockConfig(activation=CappedGELUConfig()),
+            down_sampling_block=AvgPoolDownsamplingBlockConfig(),
+            n_channels=[8, 16], n_layers=[1, 1],
+        ),
+        decoder=UNetDecoderConfig(
+            conv_block=ConvNeXtBlockConfig(activation=CappedGELUConfig()),
+            up_sampling_block=TransposedConvUpsampleBlockConfig(),
+            output_layer=BasicConvBlockConfig(kernel_size=1, n_layers=1),
+            n_channels=[16, 8], n_layers=[1, 1],
+        ),
     )
     x = jnp.asarray(
         np.random.RandomState(0).randn(2, 12, 8, 8, 4), jnp.float32

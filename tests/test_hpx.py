@@ -230,7 +230,33 @@ def test_healpix_unet_trains_end_to_end(tmp_path):
                     "builder": {
                         "type": "HEALPixUNet",
                         "config": {
-                            "hidden_channels": [8, 16],
+                            "encoder": {
+                                "conv_block": {
+                                    "block_type": "ConvNeXtBlock",
+                                    "activation": {"cap_value": 10},
+                                },
+                                "down_sampling_block": {
+                                    "block_type": "AvgPool",
+                                },
+                                "n_channels": [8, 16],
+                                "n_layers": [1, 1],
+                            },
+                            "decoder": {
+                                "conv_block": {
+                                    "block_type": "ConvNeXtBlock",
+                                    "activation": {"cap_value": 10},
+                                },
+                                "up_sampling_block": {
+                                    "block_type": "TransposedConvUpsample",
+                                },
+                                "output_layer": {
+                                    "block_type": "BasicConvBlock",
+                                    "kernel_size": 1,
+                                    "n_layers": 1,
+                                },
+                                "n_channels": [16, 8],
+                                "n_layers": [1, 1],
+                            },
                         },
                     },
                     "in_names": ["prog", "forc"],

@@ -609,3 +609,161 @@ def test_forward_matches_reference_swin_cln_earth_padding():
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-5
     )
+
+
+def test_forward_matches_reference_healpix_unet():
+    """Full-model HEALPixUNet parity with shared weights (ConvNeXt blocks,
+    AvgPool down, transposed-conv up, dilations, capped-GELU; karlbauer
+    padding, which equals the earth2grid tables)."""
+    import importlib
+
+    import torch
+
+    from ace_tpu.models import healpix as hpx
+    from ace_tpu.utils.torch_convert import torch_hpx_unet_to_flax
+
+    base = "/root/reference/fme/ace/models/healpix"
+    for name in ["fme", "fme.ace", "fme.ace.models"]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    pkg = types.ModuleType("fme.ace.models.healpix")
+    pkg.__path__ = [base]
+    sys.modules["fme.ace.models.healpix"] = pkg
+    blocks = importlib.import_module(
+        "fme.ace.models.healpix.healpix_blocks"
+    )
+    enc_mod = importlib.import_module(
+        "fme.ace.models.healpix.healpix_encoder"
+    )
+    dec_mod = importlib.import_module(
+        "fme.ace.models.healpix.healpix_decoder"
+    )
+    unet_mod = importlib.import_module(
+        "fme.ace.models.healpix.healpix_unet"
+    )
+    act = importlib.import_module(
+        "fme.ace.models.healpix.healpix_activations"
+    )
+
+    conv = blocks.ConvNeXtBlockConfig(
+        activation=act.CappedGELUConfig(cap_value=10)
+    )
+    enc_cfg = enc_mod.UNetEncoderConfig(
+        conv_block=conv,
+        down_sampling_block=blocks.AvgPoolDownsamplingBlockConfig(),
+        n_channels=[8, 16], n_layers=[1, 1], dilations=[1, 2],
+    )
+    dec_cfg = dec_mod.UNetDecoderConfig(
+        conv_block=conv,
+        up_sampling_block=blocks.TransposedConvUpsampleBlockConfig(
+            activation=act.CappedGELUConfig(cap_value=10)
+        ),
+        output_layer=blocks.BasicConvBlockConfig(
+            kernel_size=1, n_layers=1
+        ),
+        n_channels=[16, 8], n_layers=[1, 1], dilations=[2, 1],
+    )
+    ctx = blocks.HEALPixBuildContext(hpx_padding_mode="karlbauer")
+    torch.manual_seed(0)
+    ref = unet_mod.HEALPixUNet(
+        encoder=enc_cfg.build(4, ctx=ctx),
+        decoder=dec_cfg.build(3, ctx=ctx),
+        input_channels=4, output_channels=3,
+    ).eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 12, 4, 8, 8).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x)).numpy()
+
+    net = hpx.HEALPixUNet(
+        out_channels=3,
+        encoder=hpx.UNetEncoderConfig(
+            conv_block=hpx.ConvNeXtBlockConfig(
+                activation=hpx.CappedGELUConfig(cap_value=10)
+            ),
+            down_sampling_block=hpx.AvgPoolDownsamplingBlockConfig(),
+            n_channels=[8, 16], n_layers=[1, 1], dilations=[1, 2],
+        ),
+        decoder=hpx.UNetDecoderConfig(
+            conv_block=hpx.ConvNeXtBlockConfig(
+                activation=hpx.CappedGELUConfig(cap_value=10)
+            ),
+            up_sampling_block=hpx.TransposedConvUpsampleBlockConfig(
+                activation=hpx.CappedGELUConfig(cap_value=10)
+            ),
+            output_layer=hpx.BasicConvBlockConfig(
+                kernel_size=1, n_layers=1
+            ),
+            n_channels=[16, 8], n_layers=[1, 1], dilations=[2, 1],
+        ),
+    )
+    params = jax.tree_util.tree_map(
+        jnp.asarray,
+        torch_hpx_unet_to_flax(
+            ref.state_dict(), encoder_levels=2, decoder_levels=2
+        ),
+    )
+    # ours is channels-last [B, 12, H, W, C]
+    y_mine = net.apply(params, jnp.asarray(np.moveaxis(x, 2, -1)))
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 2), y_ref, atol=2e-5
+    )
+
+
+def test_forward_matches_reference_land_net():
+    """LandNet parity: per-column 1x1-conv MLP with ReLU and additive
+    learned positional embedding after the first hidden layer."""
+    import importlib
+
+    import torch
+
+    from ace_tpu.models.registry import LandNetModule
+
+    base = "/root/reference/fme/ace/models/land"
+    for name in ["fme", "fme.ace", "fme.ace.models"]:
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__path__ = []
+            sys.modules[name] = m
+    pkg = types.ModuleType("fme.ace.models.land")
+    pkg.__path__ = [base]
+    sys.modules["fme.ace.models.land"] = pkg
+    land = importlib.import_module("fme.ace.models.land.land_net")
+
+    torch.manual_seed(0)
+    ref = land.LandNet(
+        img_shape=(8, 16), input_channels=4, hidden_dims=[6, 5],
+        output_channels=3, use_positional_embedding=True,
+    ).eval()
+    state = ref.state_dict()
+
+    def dense(key):
+        w = state[key + ".weight"].numpy()  # [O, I, 1, 1]
+        return {"kernel": np.transpose(w[..., 0, 0], (1, 0)),
+                "bias": state[key + ".bias"].numpy()}
+
+    params = {"params": {
+        "hidden_0": dense("model.0.layers.0"),
+        "hidden_1": dense("model.1.layers.0"),
+        "out": dense("model.2.layers.0"),
+        "pos_embed": np.moveaxis(state["pos_embed.pos_embed"].numpy(),
+                                 1, -1),
+    }}
+    net = LandNetModule(
+        img_shape=(8, 16), hidden_dims=(6, 5), out_channels=3,
+        use_positional_embedding=True,
+    )
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 4, 8, 16).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x)).numpy()
+    y_mine = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.asarray(np.moveaxis(x, 1, -1)),
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=1e-5
+    )
