@@ -16,6 +16,8 @@ from typing import Literal
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ace_tpu.models.layers import exact_gelu
 import numpy as np
 
 _ROT_AXES = (-3, -2)
@@ -133,7 +135,7 @@ def healpix_pad(x: jax.Array, p: int) -> jax.Array:
 def capped_gelu(x, cap: float = 10.0):
     """Exact-erf GELU clamped at ``cap``
     (reference: healpix_activations.py CappedGELU)."""
-    return jnp.minimum(nn.gelu(x, approximate=False), cap)
+    return jnp.minimum(exact_gelu(x), cap)
 
 
 def _apply_faces(x, fn):

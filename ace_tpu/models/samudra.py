@@ -13,6 +13,8 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ace_tpu.models.layers import exact_gelu
+
 
 def capped_gelu(x, cap: float = 1.0):
     """GELU clamped at ``cap`` (reference: activations.py CappedGELU).
@@ -20,7 +22,7 @@ def capped_gelu(x, cap: float = 1.0):
     The reference uses torch.nn.GELU's exact (erf) form, not the tanh
     approximation.
     """
-    return jnp.minimum(nn.gelu(x, approximate=False), cap)
+    return jnp.minimum(exact_gelu(x), cap)
 
 
 def pad_lon_circular_lat_zero(x, pad: int):

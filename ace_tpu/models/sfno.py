@@ -30,14 +30,15 @@ from ace_tpu.models.layers import (
     DropPath,
     InstanceNorm,
     LayerNorm2d,
+    exact_gelu,
     trunc_normal_init,
 )
 from ace_tpu.ops.sht import InverseRealSHT, RealSHT
 
 _ACTIVATIONS = {
-    # exact (erf) gelu to match torch.nn.GELU's default — flax's default
-    # is the tanh approximation, which differs by ~1e-3 on O(1) inputs
-    "gelu": functools.partial(nn.gelu, approximate=False),
+    # exact (erf) gelu to match torch.nn.GELU's default; bf16 activations
+    # take the 1-ulp-equivalent tanh fast path (see layers.exact_gelu)
+    "gelu": exact_gelu,
     "relu": nn.relu,
     "silu": nn.silu,
 }
@@ -210,7 +211,9 @@ class SpectralConvS2(nn.Module):
         # note: a 3-matmul Karatsuba complex multiply was measured
         # SLOWER here (2.56 vs 2.48 ms/block on v5e) — the filter is
         # HBM-bound, so the extra elementwise adds cost more than the
-        # saved matmul flops; keep the plain 4-einsum form
+        # saved matmul flops; a single [2i, 2o] block-matmul form won
+        # in isolation but lost ~7% end-to-end (concats break XLA's
+        # fusion with the surrounding transforms); keep 4 einsums
         outr = ein(xr, wr) - ein(xi, wi)
         outi = ein(xr, wi) + ein(xi, wr)
 

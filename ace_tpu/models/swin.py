@@ -29,6 +29,8 @@ from typing import Any
 import flax.linen as nn
 import jax
 import jax.numpy as jnp
+
+from ace_tpu.models.layers import exact_gelu
 import numpy as np
 
 
@@ -123,7 +125,7 @@ class Mlp(nn.Module):
     def __call__(self, x):
         c = x.shape[-1]
         x = nn.Dense(self.hidden_features, dtype=self.dtype, name="fc1")(x)
-        x = nn.gelu(x, approximate=False)
+        x = exact_gelu(x)
         return nn.Dense(c, dtype=self.dtype, name="fc2")(x)
 
 
