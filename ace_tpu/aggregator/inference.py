@@ -9,6 +9,7 @@ scalars, `get_diagnostics` returns named arrays for netCDF output.
 """
 
 import dataclasses
+import logging
 from typing import Any
 
 import jax.numpy as jnp
@@ -359,3 +360,51 @@ class InferenceEvaluatorAggregator:
                 {k: np.asarray(v) for k, v in diags.items()},
                 dims,
             )
+
+    def flush_images(self, output_dir: str):
+        """Render diagnostic maps/videos to PNG/GIF files — the
+        file-based equivalent of the reference's wandb Image/Video logs
+        (reference: fme/ace/aggregator/inference/main.py get_logs media;
+        plotting.py plot_imshow)."""
+        import os
+
+        from ace_tpu.aggregator import plotting
+
+        os.makedirs(output_dir, exist_ok=True)
+        items = dict(self._aggregators)
+        if self._annual is not None:
+            items["annual"] = self._annual
+        if self._trend is not None:
+            items["trend"] = self._trend
+        if self._seasonal is not None:
+            items["seasonal"] = self._seasonal
+        for label, agg in items.items():
+            if not hasattr(agg, "get_diagnostics"):
+                continue
+            for key, arr in agg.get_diagnostics().items():
+                arr = np.asarray(arr)
+                safe = f"{label}.{key}".replace("/", "_")
+                diverging = any(
+                    t in key for t in ("bias", "err", "anomaly", "trend")
+                )
+                try:
+                    if key.startswith("video-"):
+                        plotting.save_video_gif(
+                            os.path.join(output_dir, safe + ".gif"),
+                            arr, diverging=diverging,
+                        )
+                    elif arr.ndim == 2 or (
+                        arr.ndim == 3 and arr.shape[0] == 12
+                    ):
+                        vmin, vmax = plotting.get_cmap_limits(
+                            arr, diverging
+                        )
+                        fig = plotting.plot_imshow(
+                            arr, vmin=vmin, vmax=vmax,
+                            cmap="RdBu_r" if diverging else None,
+                        )
+                        plotting.save_figure(
+                            fig, os.path.join(output_dir, safe + ".png")
+                        )
+                except Exception:  # rendering must never fail a run
+                    logging.exception("failed to render %s", safe)

@@ -83,7 +83,12 @@ class VideoAggregator:
     def get_diagnostics(self) -> dict[str, np.ndarray]:
         if self._count is None:
             return {}
-        n = np.maximum(self._count, 1)[:, None, None]
+        first = next(iter(self._gen_sum.values()))
+        # broadcast the per-timestep count over any spatial rank
+        # ([H, W] lat-lon or [12, H, W] HEALPix faces)
+        n = np.maximum(self._count, 1).reshape(
+            (-1,) + (1,) * (first.ndim - 1)
+        )
         out: dict[str, np.ndarray] = {}
         for name, s in self._gen_sum.items():
             gen_mean = (s / n).astype(np.float32)

@@ -77,6 +77,9 @@ def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
     aggregator.flush_diagnostics(
         os.path.join(config.experiment_dir, "diagnostics")
     )
+    aggregator.flush_images(
+        os.path.join(config.experiment_dir, "plots")
+    )
     writer.close()
     GlobalTimer.get_instance().log_durations()
     return summary
@@ -159,5 +162,8 @@ def run_dataset_comparison(config: DatasetComparisonConfig) -> dict:
     logs = aggregator.get_logs()
     aggregator.flush_diagnostics(
         os.path.join(config.experiment_dir, "diagnostics")
+    )
+    aggregator.flush_images(
+        os.path.join(config.experiment_dir, "plots")
     )
     return {"logs": logs, "n_windows": n_windows}

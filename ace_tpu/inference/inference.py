@@ -110,6 +110,9 @@ def run_inference_from_config(config: InferenceConfig) -> dict:
     aggregator.flush_diagnostics(
         os.path.join(config.experiment_dir, "diagnostics")
     )
+    aggregator.flush_images(
+        os.path.join(config.experiment_dir, "plots")
+    )
     final_state: PrognosticState = summary["final_state"]
     last_time = forcing_data.dataset.all_time[
         [s + config.n_forward_steps for s in forcing_data._starts]
