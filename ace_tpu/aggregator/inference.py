@@ -120,24 +120,41 @@ class GlobalMeanTimeSeriesAggregator:
 
 
 class ZonalMeanAggregator:
-    """Time-mean zonal means (reference: inference/zonal_mean.py)."""
+    """Zonal-mean (Hovmöller) state as a function of latitude and time,
+    batch-averaged, for generated and target data
+    (reference: inference/zonal_mean.py ZonalMeanAggregator)."""
 
     def __init__(self):
-        self._gen_sum: TensorDict = {}
+        self._gen: dict[str, list[np.ndarray]] = {}
+        self._target: dict[str, list[np.ndarray]] = {}
         self._n = 0
 
     def record_batch(self, gen: TensorMapping, target=None):
         n_time = next(iter(gen.values())).shape[1]
         self._n += n_time
         for k, v in gen.items():
-            s = jnp.sum(jnp.mean(v, axis=-1), axis=1)  # mean lon, sum time
-            self._gen_sum[k] = self._gen_sum.get(k, 0.0) + s
+            # mean over lon and batch -> [time, lat]
+            zm = np.asarray(jnp.mean(jnp.mean(v, axis=-1), axis=0))
+            self._gen.setdefault(k, []).append(zm)
+        if target is not None:
+            for k, v in target.items():
+                if k in gen:
+                    zm = np.asarray(
+                        jnp.mean(jnp.mean(v, axis=-1), axis=0)
+                    )
+                    self._target.setdefault(k, []).append(zm)
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
-        return {
-            f"zonal_mean-{k}": np.asarray(jnp.mean(v / self._n, axis=0))
-            for k, v in self._gen_sum.items()
-        }
+        out = {}
+        for k, chunks in self._gen.items():
+            hov = np.concatenate(chunks, axis=0)  # [time, lat]
+            # lat on y, time on x, as the reference's images
+            out[f"gen_hovmoller-{k}"] = hov.T
+            out[f"zonal_mean-{k}"] = hov.mean(axis=0)
+            if k in self._target:
+                thov = np.concatenate(self._target[k], axis=0)
+                out[f"error_hovmoller-{k}"] = (hov - thov).T
+        return out
 
 
 class SpectrumAggregator:
