@@ -28,6 +28,7 @@ from ace_tpu.coupled.stepper import (
 )
 from ace_tpu.data.dataset import XarrayDataConfig
 from ace_tpu.data.time import TimeCoord
+from ace_tpu.aggregator.inference import InferenceAggregatorConfig
 from ace_tpu.inference.data_writer import H5DataWriter
 from ace_tpu.stepper.stepper import PrognosticState
 from ace_tpu.train.trainer import LoggingConfig
@@ -69,6 +70,12 @@ class CoupledInferenceConfig:
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     save_prediction_files: bool = True
     evaluate: bool = False  # paired aggregation vs target data
+    # full per-component aggregation (time-mean maps, spectra, zonal
+    # means, ...), namespaced per component as in the reference
+    # (fme/coupled/aggregator.py)
+    aggregator: "InferenceAggregatorConfig" = dataclasses.field(
+        default_factory=lambda: InferenceAggregatorConfig()
+    )
 
     def __post_init__(self):
         if self.n_coupled_steps % self.coupled_steps_in_memory != 0:
@@ -207,6 +214,15 @@ def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
             ocean_ds.dataset_info.horizontal_coordinates.area_weights
         )
     )
+    agg_a = agg_o = None
+    if config.evaluate:
+        agg_a = config.aggregator.build(
+            atmos_ds.dataset_info,
+            n_timesteps=config.n_coupled_steps * n_inner,
+        )
+        agg_o = config.aggregator.build(
+            ocean_ds.dataset_info, n_timesteps=config.n_coupled_steps
+        )
 
     rng = jax.random.PRNGKey(0)
     for i_win in range(n_windows):
@@ -240,14 +256,12 @@ def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
             writers["atmosphere"].append_batch(a_out, atmos_time)
             writers["ocean"].append_batch(o_out, ocean_time)
         if config.evaluate:
-            stats_a.record(
-                a_out,
-                {k: v[:, 1:] for k, v in atmos_forcing.items()},
-            )
-            stats_o.record(
-                o_out,
-                {k: v[:, 1:] for k, v in ocean_forcing.items()},
-            )
+            atmos_target = {k: v[:, 1:] for k, v in atmos_forcing.items()}
+            ocean_target = {k: v[:, 1:] for k, v in ocean_forcing.items()}
+            stats_a.record(a_out, atmos_target)
+            stats_o.record(o_out, ocean_target)
+            agg_a.record_batch(a_out, atmos_target, time=atmos_time)
+            agg_o.record_batch(o_out, ocean_target, time=ocean_time)
         logging.info(
             f"coupled window {i_win + 1}/{n_windows} complete "
             f"({(i_win + 1) * w}/{config.n_coupled_steps} ocean steps)"
@@ -259,6 +273,16 @@ def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
     if config.evaluate:
         logs.update(stats_a.get_logs("inference/atmosphere"))
         logs.update(stats_o.get_logs("inference/ocean"))
+        for comp, agg in (("atmosphere", agg_a), ("ocean", agg_o)):
+            logs.update({
+                f"{comp}/{k}": v for k, v in agg.get_logs().items()
+            })
+            agg.flush_diagnostics(os.path.join(
+                config.experiment_dir, "diagnostics", comp
+            ))
+            agg.flush_images(os.path.join(
+                config.experiment_dir, "plots", comp
+            ))
         DiskMetricLogger(
             os.path.join(config.experiment_dir, "metrics.jsonl")
         ).log(logs)

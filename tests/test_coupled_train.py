@@ -136,6 +136,16 @@ def test_coupled_inference_entry(tmp_path):
     )
     assert any(k.endswith("rmse/sst") for k in logs)
     assert all(np.isfinite(v) for v in logs.values())
+    # full per-component aggregation: time-mean RMSE logs, netCDF
+    # diagnostics and rendered maps for both components
+    assert any(k.startswith("ocean/time_mean/rmse/") for k in logs)
+    assert any(k.startswith("atmosphere/time_mean/rmse/") for k in logs)
+    for comp in ("atmosphere", "ocean"):
+        assert os.path.exists(os.path.join(
+            out_dir, "diagnostics", comp, "time_mean_diagnostics.nc"
+        ))
+        plots = os.listdir(os.path.join(out_dir, "plots", comp))
+        assert any(p.endswith(".png") for p in plots)
 
     # written ocean file has [n_ic, n_coupled_steps, ...] predictions
     import h5py
