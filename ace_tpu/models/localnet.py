@@ -27,6 +27,7 @@ def compute_cutoff_radius(nlat: int, kernel_shape, basis_type: str) -> float:
     factor = {
         "piecewise linear": 0.5,
         "morlet": 0.5,
+        "isotropic morlet": 0.5,
         "zernike": math.sqrt(2.0),
     }[basis_type]
     return (kernel_shape[0] + 1) * factor * math.pi / float(nlat - 1)

@@ -668,8 +668,8 @@ class FloeNetBuilder(ModuleConfig):
 class LocalNetBuilder(ModuleConfig):
     """Local neural operator with DISCO + conv1x1 blocks
     (reference: fme/ace/registry/local_net.py:103 LocalNetBuilder).
-    basis_type: only "piecewise linear" is implemented (morlet/zernike
-    bases land in a later round).
+    basis_type: "piecewise linear", "morlet", "isotropic morlet" or
+    "zernike" (ace_tpu/ops/disco.py, validated vs the torch reference).
     """
 
     embed_dim: int = 256

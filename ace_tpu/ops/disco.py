@@ -134,6 +134,36 @@ def _morlet_support(kernel_shape, r, phi, r_cutoff, width=1.0):
     )
 
 
+def _isotropic_morlet_support(kernel_shape, r, phi, r_cutoff, width=1.0):
+    """Radial-only Morlet basis (reference: _filter_basis.py:229
+    IsotropicMorletFilterBasis): Hann radial window times 1-D Fourier
+    harmonics in the normalized radius; independent of phi so learned
+    combinations are radially symmetric. ``kernel_shape`` counts radial
+    modes (first element if a tuple).
+    """
+    if isinstance(kernel_shape, (tuple, list)):
+        kernel_shape = kernel_shape[0]
+    cond = r <= r_cutoff
+    a_, b_ = np.nonzero(cond)
+    rr = r[a_, b_] / r_cutoff
+    hann = np.cos(0.5 * math.pi * rr / width) ** 2
+    iidx_parts, val_parts = [], []
+    for n in range(kernel_shape):
+        harmonic = (
+            np.sin(math.ceil(n / 2) * math.pi * rr / width)
+            if n % 2 == 1
+            else np.cos(math.ceil(n / 2) * math.pi * rr / width)
+        )
+        iidx_parts.append(
+            np.stack([np.full(len(a_), n), a_, b_], axis=1)
+        )
+        val_parts.append(hann * harmonic)
+    return (
+        np.concatenate(iidx_parts, axis=0),
+        np.concatenate(val_parts, axis=0),
+    )
+
+
 def _zernike_radial(r, n, m):
     out = np.zeros_like(r)
     for k in range((n - m) // 2 + 1):
@@ -187,6 +217,10 @@ def basis_kernel_size(kernel_shape, basis_type: str) -> int:
         return pl_kernel_size(kernel_shape)
     if basis_type == "morlet":
         return kernel_shape[0] * kernel_shape[1]
+    if basis_type == "isotropic morlet":
+        return kernel_shape[0] if isinstance(
+            kernel_shape, (tuple, list)
+        ) else kernel_shape
     if basis_type == "zernike":
         n = kernel_shape[0] if isinstance(
             kernel_shape, (tuple, list)
@@ -202,6 +236,8 @@ def evaluate_basis(kernel_shape, theta, phi, r_cutoff, basis_type: str):
         )
     if basis_type == "morlet":
         return _morlet_support(kernel_shape, theta, phi, r_cutoff)
+    if basis_type == "isotropic morlet":
+        return _isotropic_morlet_support(kernel_shape, theta, phi, r_cutoff)
     if basis_type == "zernike":
         return _zernike_support(kernel_shape, theta, phi, r_cutoff)
     raise ValueError(f"unknown basis type {basis_type!r}")

@@ -146,7 +146,9 @@ def test_localnet_builder_registry():
     assert out.shape == (1, *info.img_shape, 2)
 
 
-@pytest.mark.parametrize("basis_type", ["morlet", "zernike"])
+@pytest.mark.parametrize(
+    "basis_type", ["morlet", "isotropic morlet", "zernike"]
+)
 def test_disco_morlet_zernike_match_reference(basis_type):
     import torch
 
