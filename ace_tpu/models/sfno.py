@@ -107,13 +107,38 @@ class SpectralConvS2(nn.Module):
             or self.forward_transform.grid != self.inverse_transform.grid
         )
 
+        # real-pair hot path: avoid complex64 at the SHT boundary so XLA
+        # stays on pure f32 matmul fusions (neutral-to-slightly-positive
+        # end-to-end; falls back to the complex API for transforms
+        # without it, e.g. the distributed/FFT variants)
+        use_pair = hasattr(self.forward_transform, "forward_pair") and hasattr(
+            self.inverse_transform, "inverse_pair"
+        )
+
         residual = full_x
-        coeffs = self.forward_transform(x.astype(jnp.float32))
+        if use_pair:
+            xr_full, xi_full = self.forward_transform.forward_pair(
+                x.astype(jnp.float32)
+            )
+        else:
+            coeffs = self.forward_transform(x.astype(jnp.float32))
         if scale_residual:
-            residual = self.inverse_transform(
-                self.forward_transform(full_x.astype(jnp.float32))
-                if use_proj else coeffs
-            ).astype(in_dtype)
+            if use_pair:
+                rr, ri = (
+                    self.forward_transform.forward_pair(
+                        full_x.astype(jnp.float32)
+                    )
+                    if use_proj
+                    else (xr_full, xi_full)
+                )
+                residual = self.inverse_transform.inverse_pair(
+                    rr, ri
+                ).astype(in_dtype)
+            else:
+                residual = self.inverse_transform(
+                    self.forward_transform(full_x.astype(jnp.float32))
+                    if use_proj else coeffs
+                ).astype(in_dtype)
 
         c_in = spectral_channels if use_proj else self.in_channels
         c_out = spectral_channels if use_proj else self.out_channels
@@ -186,8 +211,12 @@ class SpectralConvS2(nn.Module):
                 jnp.float32,
             )
             wr, wi = w[..., 0], w[..., 1]
-        xr = jnp.real(coeffs)[..., : modes_lat, : modes_lon, :]
-        xi = jnp.imag(coeffs)[..., : modes_lat, : modes_lon, :]
+        if use_pair:
+            xr = xr_full[..., : modes_lat, : modes_lon, :]
+            xi = xi_full[..., : modes_lat, : modes_lon, :]
+        else:
+            xr = jnp.real(coeffs)[..., : modes_lat, : modes_lon, :]
+            xi = jnp.imag(coeffs)[..., : modes_lat, : modes_lon, :]
 
         if self.operator_type == "dhconv":
             eq = "...lmi,iol->...lmo" if not self.separable else "...lmi,il->...lmi"
@@ -250,7 +279,10 @@ class SpectralConvS2(nn.Module):
         outr = jnp.pad(outr, pad)
         outi = jnp.pad(outi, pad)
 
-        out = self.inverse_transform(jax.lax.complex(outr, outi))
+        if use_pair:
+            out = self.inverse_transform.inverse_pair(outr, outi)
+        else:
+            out = self.inverse_transform(jax.lax.complex(outr, outi))
         if use_proj:
             out = nn.Dense(
                 self.out_channels, use_bias=False,

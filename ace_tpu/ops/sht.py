@@ -109,6 +109,15 @@ class RealSHT:
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
+        return jax.lax.complex(*self.forward_pair(x))
+
+    def forward_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Forward SHT returning (real, imag) float32 arrays.
+
+        Preferred over ``__call__`` in hot paths: skipping the complex64
+        pack/unpack at the API boundary keeps XLA on pure f32 matmul
+        fusions end to end.
+        """
         if self.channels_last:
             return self._forward(x, "...kjc,jm->...kmc", "...kmc,mlk->...lmc")
         return self._forward(x, "...kj,jm->...km", "...km,mlk->...lm")
@@ -168,7 +177,7 @@ class RealSHT:
                         preferred_element_type=jnp.float32)
         ci = jnp.einsum(leg_eq, xi, self.weights, precision=prec,
                         preferred_element_type=jnp.float32)
-        return jax.lax.complex(cr, ci)
+        return cr, ci
 
 
 class InverseRealSHT:
@@ -194,14 +203,19 @@ class InverseRealSHT:
         )
 
     def __call__(self, x: jax.Array) -> jax.Array:
-        if self.channels_last:
-            return self._inverse(x, "...lmc,mlk->...kmc", "...kmc,mj->...kjc")
-        return self._inverse(x, "...lm,mlk->...km", "...km,mj->...kj")
+        return self.inverse_pair(jnp.real(x), jnp.imag(x))
 
-    def _inverse(self, x, leg_eq, dft_eq):
+    def inverse_pair(self, cr: jax.Array, ci: jax.Array) -> jax.Array:
+        """Inverse SHT from (real, imag) float32 coefficient arrays —
+        the no-complex hot path (see RealSHT.forward_pair)."""
+        if self.channels_last:
+            return self._inverse(cr, ci, "...lmc,mlk->...kmc", "...kmc,mj->...kjc")
+        return self._inverse(cr, ci, "...lm,mlk->...km", "...km,mj->...kj")
+
+    def _inverse(self, cr, ci, leg_eq, dft_eq):
         prec = self.precision  # see RealSHT._forward
-        cr = jnp.real(x).astype(jnp.float32)
-        ci = jnp.imag(x).astype(jnp.float32)
+        cr = cr.astype(jnp.float32)
+        ci = ci.astype(jnp.float32)
         xr = jnp.einsum(leg_eq, cr, self.pct, precision=prec,
                         preferred_element_type=jnp.float32)
         xi = jnp.einsum(leg_eq, ci, self.pct, precision=prec,
