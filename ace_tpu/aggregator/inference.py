@@ -163,10 +163,16 @@ class SpectrumAggregator:
     """
 
     def __init__(self, nlat: int, nlon: int, grid: str = "legendre-gauss"):
+        from ace_tpu.core.fill import SmoothFloodFill
+
         self._sht = RealSHT(nlat, nlon, grid=grid)
         self._gen_sum: TensorDict = {}
         self._target_sum: TensorDict = {}
         self._n = 0
+        # fill masked (e.g. land) regions before the SHT so mask edges do
+        # not alias into the spectrum (reference: inference/main.py:848
+        # nan_fill_fn=SmoothFloodFill(num_steps=4))
+        self._nan_fill = SmoothFloodFill(num_steps=4)
 
     @classmethod
     def for_dataset_info(cls, dataset_info) -> "SpectrumAggregator":
@@ -185,6 +191,7 @@ class SpectrumAggregator:
         self._gen_sum = {}
         self._target_sum = {}
         self._n = 0
+        self._nan_fill = None  # flood fill is lat-lon only
         return self
 
     def _power(self, field) -> jnp.ndarray:
@@ -197,10 +204,14 @@ class SpectrumAggregator:
     def record_batch(self, gen: TensorMapping, target: TensorMapping | None):
         self._n += 1
         for k, v in gen.items():
+            if self._nan_fill is not None:
+                v = self._nan_fill(v, k)
             self._gen_sum[k] = self._gen_sum.get(k, 0.0) + self._power(v)
         if target is not None:
             for k, v in target.items():
                 if k in gen:
+                    if self._nan_fill is not None:
+                        v = self._nan_fill(v, f"target/{k}")
                     self._target_sum[k] = (
                         self._target_sum.get(k, 0.0) + self._power(v)
                     )
@@ -216,6 +227,19 @@ class SpectrumAggregator:
                 logs[f"{label}/log_error/{k}"] = float(np.mean(np.abs(
                     np.log(gen_s[1:] + eps) - np.log(tgt_s[1:] + eps)
                 )))
+                # normalized bias metrics (reference: inference/spectrum.py
+                # _get_spectrum_metrics / get_smallest_scale_power_bias /
+                # get_positive_and_negative_power_bias)
+                ratio = gen_s / np.where(tgt_s == 0.0, np.nan, tgt_s) - 1.0
+                n_modes = ratio.shape[0]
+                pos = float(np.nansum(np.where(ratio > 0, ratio, 0.0)) / n_modes)
+                neg = float(np.nansum(np.where(ratio < 0, ratio, 0.0)) / n_modes)
+                logs[f"{label}/positive_norm_bias/{k}"] = pos
+                logs[f"{label}/negative_norm_bias/{k}"] = neg
+                logs[f"{label}/mean_abs_norm_bias/{k}"] = abs(pos) + abs(neg)
+                logs[f"{label}/smallest_scale_norm_bias/{k}"] = (
+                    float(ratio[-1]) if np.isfinite(ratio[-1]) else 0.0
+                )
         return logs
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:

@@ -60,6 +60,11 @@ class WandB:
     def enabled(self) -> bool:
         return self._enabled
 
+    def get_id(self) -> str | None:
+        """wandb run id of the current job (reference:
+        training_history.py:get_job_id)."""
+        return self._run.id if self._run is not None else None
+
 
 class DiskMetricLogger:
     """Append metrics as JSON lines

@@ -43,11 +43,13 @@ def load_msgpack(path: str) -> dict:
 
 
 def get_stepper_state(stepper: Stepper, config: StepperConfig) -> dict:
-    """Serializable stepper state: config + dataset_info + params."""
+    """Serializable stepper state: config + dataset_info + params +
+    training-job provenance (reference: single_module.py:1337 get_state)."""
     return {
         "config": json.dumps(config.get_state()),
         "dataset_info": json.dumps(stepper.step.dataset_info.get_state()),
         "params": _to_numpy_tree(stepper.params),
+        "training_history": json.dumps(stepper.training_history.get_state()),
     }
 
 
@@ -66,6 +68,12 @@ def build_stepper_from_state(state: dict) -> tuple[Stepper, StepperConfig]:
         stepper.step.init_params, jax.random.PRNGKey(0)
     )
     stepper.params = serialization.from_state_dict(template, state["params"])
+    if "training_history" in state:
+        from ace_tpu.core.training_history import TrainingHistory
+
+        stepper.training_history = TrainingHistory.from_state(
+            json.loads(state["training_history"])
+        )
     return stepper, config
 
 

@@ -51,8 +51,13 @@ class Stepper:
     """
 
     def __init__(self, step: StepABC, params: Any = None):
+        from ace_tpu.core.training_history import TrainingHistory
+
         self.step = step
         self.params = params
+        # provenance chain of training jobs, serialized into checkpoints
+        # (reference: fme/ace/stepper/single_module.py:856 training_history)
+        self.training_history = TrainingHistory()
         # output spatial masking from dataset "mask_*" fields (reference:
         # fme/ace/stepper/single_module.py:841 _output_masking)
         provider = getattr(step.dataset_info, "mask_provider", None)

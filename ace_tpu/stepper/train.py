@@ -27,6 +27,7 @@ from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
 from ace_tpu.core.step.base import StepArgs
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.ops.sht import RealSHT
+from ace_tpu.stepper.parameter_init import ParameterInitializationConfig
 from ace_tpu.stepper.stepper import Stepper, _batch_major, _time_major
 
 
@@ -51,6 +52,16 @@ class StepperTrainConfig:
     n_forward_steps: int | TimeLengthProbabilities | TimeLengthSchedule = 1
     n_ensemble: int = 1
     remat: bool = False
+    # optimize only the final rollout step's loss; intermediate steps
+    # still run (and carry gradients through the rollout) but do not
+    # contribute loss terms (reference: single_module.py:1468
+    # optimize_last_step_only)
+    optimize_last_step_only: bool = False
+    # fine-tuning: base-checkpoint weight transfer, parameter freezing and
+    # L2-SP regularization (reference: single_module.py:1471 parameter_init)
+    parameter_init: "ParameterInitializationConfig" = dataclasses.field(
+        default_factory=lambda: ParameterInitializationConfig()
+    )
 
     @property
     def n_forward_steps_schedule(self) -> TimeLengthSchedule:
@@ -101,14 +112,45 @@ class TrainStepper:
             normalizer=loss_normalizer,
             sht=sht,
         )
-        self.optimization = optimization_config.build(
-            max_epochs=max_epochs, steps_per_epoch=steps_per_epoch
+        self.optimization = self._build_optimization(
+            optimization_config, max_epochs, steps_per_epoch
         )
         self.ema = ema_config.build() if ema_config is not None else None
         self._train_step_fn: Callable | None = None
         self._loss_fn: Callable | None = None
         self._length_sampler: TimeLengthProbabilities | None = None
         self._sampler_epoch: int | None = None
+        self._base_params = None  # set by init() when fine-tuning
+
+    def _build_optimization(self, optimization_config, max_epochs,
+                            steps_per_epoch):
+        import optax
+
+        optimization = optimization_config.build(
+            max_epochs=max_epochs, steps_per_epoch=steps_per_epoch
+        )
+        frozen = self.train_config.parameter_init.frozen_parameters
+        if frozen is not None:
+            # zero updates for frozen params (reference: parameter_init.py
+            # frozen_parameters). Chained with a callable mask here (not in
+            # init()) so the optimizer-state structure is identical whether
+            # a run starts fresh or resumes from a checkpoint.
+            optimization.tx = optax.chain(
+                optimization.tx,
+                optax.masked(optax.set_to_zero(), frozen.frozen_mask),
+            )
+        return optimization
+
+    def _get_base_params(self):
+        """Base-checkpoint weights for the L2-SP regularizer; lazily
+        loaded so a checkpoint-resumed run (which skips init()) still
+        regularizes toward the same base."""
+        pinit = self.train_config.parameter_init
+        if self._base_params is None and pinit.weights_path is not None:
+            from ace_tpu.stepper.checkpoint import load_stepper
+
+            self._base_params = load_stepper(pinit.weights_path).params
+        return self._base_params
 
     def sample_n_forward_steps(self, epoch: int = 0) -> int:
         """Per-batch rollout-length draw for the current epoch
@@ -215,6 +257,15 @@ class TrainStepper:
             (state0, stepper_state, rng, jnp.zeros(())),
             (xs_in, xs_next, xs_target, xs_idx),
         )
+        if cfg.optimize_last_step_only:
+            # gradients still flow through the full rollout into the last
+            # step (reference: single_module.py optimize_last_step_only)
+            total = per_step[-1]
+        pinit = cfg.parameter_init
+        if pinit.alpha != 0.0 or pinit.beta != 0.0:
+            total = total + pinit.regularizer_loss(
+                params, self._get_base_params()
+            )
         metrics = {"loss": total}
         for i in range(n_steps):
             metrics[f"loss_step_{i}"] = per_step[i]
@@ -261,6 +312,24 @@ class TrainStepper:
 
     def init(self, rng: jax.Array):
         params = self.stepper.init_params(rng)
+        pinit = self.train_config.parameter_init
+        params, self._base_params = pinit.apply_weights(params)
+        if pinit.weights_path is not None:
+            # carry the base checkpoint's training-job provenance
+            # (reference: single_module.py:859 _append_training_history_from)
+            from ace_tpu.stepper.checkpoint import load_msgpack
+
+            state = load_msgpack(pinit.weights_path)["stepper"]
+            if "training_history" in state:
+                import json
+
+                from ace_tpu.core.training_history import TrainingHistory
+
+                self.stepper.training_history.extend(
+                    TrainingHistory.from_state(
+                        json.loads(state["training_history"])
+                    )
+                )
         opt_state = self.optimization.init(params)
         if self.ema is not None:
             self.ema.init(params)

@@ -27,6 +27,7 @@ from ace_tpu.stepper.checkpoint import (
     load_train_checkpoint,
     save_train_checkpoint,
 )
+from ace_tpu.stepper.parameter_init import CopyWeightsConfig
 from ace_tpu.stepper.stepper import CheckpointStepperConfig, StepperConfig
 from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
 
@@ -148,6 +149,11 @@ class TrainConfig:
     # params) on this many batches of an independent shuffle
     # (reference: generics/trainer.py:597 train_evaluation_batches)
     train_evaluation_batches: int = 0
+    # overwrite a wildcard-selected subset of weights from their initial
+    # values after each batch — frozen-parameter training on a weight
+    # subset (reference: train_config.py copy_weights_after_batch,
+    # core/weight_ops.py CopyWeightsConfig)
+    copy_weights_after_batch: "CopyWeightsConfig | None" = None
     seed: int = 0
 
     @property
@@ -274,6 +280,16 @@ class Trainer:
                 self.params, self.opt_state = self.train_stepper.init(
                     self._next_rng()
                 )
+        # record this job in the stepper's provenance chain (reference:
+        # generics/trainer.py:293 update_training_history)
+        from ace_tpu.core.training_history import TrainingJob
+
+        self.stepper.training_history.append(TrainingJob.from_env())
+        self._copy_weights = (
+            self.config.copy_weights_after_batch.build(self.params)
+            if self.config.copy_weights_after_batch is not None
+            else None
+        )
         timer = GlobalTimer.get_instance()
         self._install_signal_handlers()
         if self.config.segment_epochs is None:
@@ -367,6 +383,11 @@ class Trainer:
                 n_steps, batch.labels,
             )
             self.train_stepper.optimization._count += 1
+            if self._copy_weights is not None:
+                # re-pin the wildcard-selected subset to its stored values
+                # (reference: core/weight_ops.py CopyWeightsConfig, applied
+                # after each batch)
+                self.params = self._copy_weights.apply(self.params)
             if self.train_stepper.ema is not None:
                 if self.train_stepper.ema.ema_params is None:
                     self.train_stepper.ema.init(self.params)
