@@ -79,6 +79,9 @@ def run_downscaling_evaluator(
     agg = EnsembleOneStepAggregator(
         fine_ds.dataset_info.gridded_operations
     )
+    from ace_tpu.downscaling.metrics import GenerationMetricsAggregator
+
+    gen_agg = GenerationMetricsAggregator(model.config.downscale_factor)
     rng = jax.random.PRNGKey(config.seed)
     for t in range(config.start_index,
                    config.start_index + config.n_timesteps):
@@ -90,16 +93,31 @@ def run_downscaling_evaluator(
             coarse, sub, params=model.params,
             n_samples=config.n_samples,
         )  # [1, S, H_f, W_f] per variable
-        agg.record_batch(
-            gen, {k: jnp.asarray(v) for k, v in fine_window.items()}
-        )
+        fine = {k: jnp.asarray(v) for k, v in fine_window.items()}
+        agg.record_batch(gen, fine)
+        gen_agg.record_batch(fine, gen, coarse)
         logging.info(f"evaluated downscaling timestep {t}")
 
     logs = agg.get_logs("downscaling")
+    logs.update(gen_agg.get_logs("downscaling"))
     os.makedirs(config.experiment_dir, exist_ok=True)
     DiskMetricLogger(
         os.path.join(config.experiment_dir, "metrics.jsonl")
     ).log(logs)
+    diagnostics = gen_agg.get_diagnostics()
+    if diagnostics:
+        from ace_tpu.data.store import write_h5
+
+        write_h5(
+            os.path.join(
+                config.experiment_dir, "generation_diagnostics.nc"
+            ),
+            diagnostics,
+            dims={
+                k: tuple(f"dim{i}" for i in range(np.ndim(v)))
+                for k, v in diagnostics.items()
+            },
+        )
     return logs
 
 

@@ -297,7 +297,13 @@ def test_downscaling_evaluator_entry(tmp_path):
     logs = main([str(config_path)])
     assert "downscaling/crps/temp" in logs
     assert "downscaling/rmse_of_ensemble_mean/temp" in logs
+    # generation-quality metrics (psnr/ssim/relative-to-bicubic/rank)
+    assert "downscaling/metrics/psnr/temp" in logs
+    assert "downscaling/metrics/relative_crps_bicubic/temp" in logs
     assert all(np.isfinite(v) for v in logs.values())
+    assert os.path.exists(
+        os.path.join(str(tmp_path / "eval"), "generation_diagnostics.nc")
+    )
 
 
 def test_region_sampling_weights():
