@@ -75,27 +75,72 @@ class DynamicHistogram:
 
 
 class HistogramAggregator:
-    """Per-variable dynamic histograms over all generated values
-    (reference: fme/ace/aggregator histogram usage).
+    """Per-variable dynamic histograms over generated (and, when
+    provided, target) values with tail-percentile metrics (reference:
+    fme/core/histogram.py ComparedDynamicTailsHistograms).
+
+    Variables default to upper-tailed; ``two_tailed_variables`` emit both
+    the p-th and (100-p)-th percentiles and ``left_tailed_variables``
+    only the lower tail. When targets are recorded,
+    ``prediction_frac_of_target/...`` ratios are emitted per percentile
+    (the reference's histogram-tail checkpoint-selection metric).
     """
 
     def __init__(self, n_bins: int = 300,
-                 percentiles: list[float] | None = None):
+                 percentiles: list[float] | None = None,
+                 two_tailed_variables: list[str] | None = None,
+                 left_tailed_variables: list[str] | None = None,
+                 default_tail: str = "upper"):
         self._hists: dict[str, DynamicHistogram] = {}
+        self._target_hists: dict[str, DynamicHistogram] = {}
         self._n_bins = n_bins
         self._percentiles = percentiles or [99.9999]
+        self._two_tailed = set(two_tailed_variables or [])
+        self._left_tailed = set(left_tailed_variables or [])
+        self._default_tail = default_tail
 
     def record_batch(self, gen: TensorMapping, target=None):
         for name, value in gen.items():
             if name not in self._hists:
                 self._hists[name] = DynamicHistogram(self._n_bins)
             self._hists[name].add(np.asarray(value))
+        if target is not None:
+            for name, value in target.items():
+                if name not in gen:
+                    continue
+                if name not in self._target_hists:
+                    self._target_hists[name] = DynamicHistogram(self._n_bins)
+                self._target_hists[name].add(np.asarray(value))
+
+    def _tail_percentiles(self, name: str) -> list[float]:
+        if name in self._two_tailed:
+            tails = ("upper", "lower")
+        elif name in self._left_tailed:
+            tails = ("lower",)
+        else:
+            tails = (self._default_tail,) if self._default_tail != "both" \
+                else ("upper", "lower")
+        qs = []
+        for q in self._percentiles:
+            if "upper" in tails:
+                qs.append(q)
+            if "lower" in tails:
+                qs.append(100.0 - q)
+        return qs
 
     def get_logs(self, label: str = "histogram") -> dict[str, float]:
         logs = {}
         for name, hist in self._hists.items():
-            for q in self._percentiles:
-                logs[f"{label}/p{q}/{name}"] = hist.percentile(q)
+            for q in self._tail_percentiles(name):
+                key = f"{label}/{q:g}th-percentile/{name}"
+                logs[key] = hist.percentile(q)
+                tgt = self._target_hists.get(name)
+                if tgt is not None:
+                    tval = tgt.percentile(q)
+                    logs[
+                        f"{label}/prediction_frac_of_target/"
+                        f"{q:g}th-percentile/{name}"
+                    ] = logs[key] / tval if tval != 0 else float("nan")
         return logs
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
@@ -104,6 +149,10 @@ class HistogramAggregator:
             if hist.bin_edges is not None:
                 out[f"counts-{name}"] = hist.counts
                 out[f"bin_edges-{name}"] = hist.bin_edges
+        for name, hist in self._target_hists.items():
+            if hist.bin_edges is not None:
+                out[f"target_counts-{name}"] = hist.counts
+                out[f"target_bin_edges-{name}"] = hist.bin_edges
         return out
 
 

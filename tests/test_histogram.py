@@ -35,8 +35,31 @@ def test_histogram_aggregator_logs():
     agg = HistogramAggregator(percentiles=[50.0])
     agg.record_batch({"t": np.random.RandomState(0).randn(2, 3, 4, 5)})
     logs = agg.get_logs()
-    assert "histogram/p50.0/t" in logs
-    assert np.isfinite(logs["histogram/p50.0/t"])
+    assert "histogram/50th-percentile/t" in logs
+    assert np.isfinite(logs["histogram/50th-percentile/t"])
+
+
+def test_histogram_tails_and_frac_of_target():
+    """Two-tailed variables emit both tails; targets produce
+    prediction_frac_of_target ratios near 1 for identical data
+    (reference: fme/core/histogram.py ComparedDynamicTailsHistograms).
+    """
+    rng = np.random.RandomState(0)
+    data = rng.randn(4, 8, 8) * 5 + 100
+    agg = HistogramAggregator(
+        percentiles=[99.0], two_tailed_variables=["wind"],
+        left_tailed_variables=["pressure"],
+    )
+    gen = {"wind": data, "pressure": data, "temp": data}
+    agg.record_batch(gen, target={k: v.copy() for k, v in gen.items()})
+    logs = agg.get_logs()
+    assert "histogram/99th-percentile/wind" in logs
+    assert "histogram/1th-percentile/wind" in logs  # lower tail too
+    assert "histogram/1th-percentile/pressure" in logs
+    assert "histogram/99th-percentile/pressure" not in logs
+    assert "histogram/99th-percentile/temp" in logs  # default upper
+    frac = logs["histogram/prediction_frac_of_target/99th-percentile/temp"]
+    np.testing.assert_allclose(frac, 1.0, rtol=1e-6)
 
 
 def test_annual_aggregator_groups_by_year():
