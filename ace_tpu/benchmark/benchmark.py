@@ -46,9 +46,22 @@ class BenchmarkResult:
     fingerprint: float
     device: str
     regression_ok: bool | None = None
+    # device-memory footprint after the run, when the backend reports it
+    # (reference analog: fme/core/benchmark/memory.py CUDA tracker)
+    peak_bytes_in_use: int | None = None
 
     def to_dict(self) -> dict:
         return dataclasses.asdict(self)
+
+
+def _device_peak_bytes() -> int | None:
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+    except Exception:
+        return None
+    if not stats:
+        return None
+    return stats.get("peak_bytes_in_use", stats.get("bytes_in_use"))
 
 
 class BenchmarkABC(abc.ABC):
@@ -140,6 +153,7 @@ class BenchmarkABC(abc.ABC):
             fingerprint=fp,
             device=str(jax.devices()[0].platform),
             regression_ok=regression_ok,
+            peak_bytes_in_use=_device_peak_bytes(),
         )
 
     def _regression_path(self) -> str:

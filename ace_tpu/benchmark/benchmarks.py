@@ -79,3 +79,105 @@ class SFNOBlockBenchmark(BenchmarkABC):
             lambda p, x: self.block.apply(p, x),
             (self.params, self.x),
         )
+
+
+@register_benchmark("csfno_block")
+class CSFNOBlockBenchmark(BenchmarkABC):
+    """Conditional-SFNO block at the reference benchmark size
+    (fme/core/models/conditional_sfno/benchmark.py: C=512, 180x360,
+    noise embed 64)."""
+
+    def __init__(self):
+        from ace_tpu.models.conditional_sfno import ConditionalFNOBlock
+
+        sht = RealSHT(NLAT, NLON, channels_last=True)
+        isht = InverseRealSHT(NLAT, NLON, channels_last=True)
+        embed = 512
+        self.block = ConditionalFNOBlock(
+            forward_transform=sht,
+            inverse_transform=isht,
+            embed_dim=embed,
+            embed_dim_noise=64,
+            operator_type="dhconv",
+            dtype=jnp.bfloat16,
+        )
+        rng = np.random.RandomState(0)
+        self.x = jnp.asarray(
+            rng.randn(1, NLAT, NLON, embed), jnp.bfloat16
+        )
+        self.noise = jnp.asarray(
+            rng.randn(1, NLAT, NLON, 64), jnp.bfloat16
+        )
+        self.params = self.block.init(
+            jax.random.PRNGKey(0), self.x, self.noise
+        )
+
+    @classmethod
+    def new(cls):
+        return cls()
+
+    def get_fn(self):
+        return (
+            lambda p, x, n: self.block.apply(p, x, n),
+            (self.params, self.x, self.noise),
+        )
+
+
+class _DiffusionUNetBenchmark(BenchmarkABC):
+    """Diffusion UNet denoiser at the reference songunetv2 benchmark
+    scale (fme/downscaling/modules/physicsnemo_unets_v2/benchmark.py:
+    512x512, model_channels 128, channel_mult [1,2,2,2], 6 in / 4 out).
+    """
+
+    dtype = jnp.float32
+
+    def __init__(self):
+        from ace_tpu.downscaling.unet import DiffusionUNet
+
+        res, out_ch, cond_ch = 512, 4, 2
+        self.net = DiffusionUNet(
+            out_channels=out_ch,
+            base_channels=128,
+            channel_mults=(1, 2, 2, 2),
+            dtype=self.dtype,
+        )
+        rng = np.random.RandomState(0)
+        self.x = jnp.asarray(
+            rng.randn(1, res, res, out_ch), self.dtype
+        )
+        self.cond = jnp.asarray(
+            rng.randn(1, res, res, cond_ch), self.dtype
+        )
+        self.c_noise = jnp.asarray(rng.randn(1), jnp.float32)
+        params = self.net.init(
+            jax.random.PRNGKey(0), self.x, self.cond, self.c_noise
+        )
+        # the EDM-convention zero-init output conv would make the
+        # regression fingerprint identically zero; deterministically
+        # perturb every leaf so the fingerprint actually covers the net
+        self.params = jax.tree_util.tree_map(
+            lambda p: p + 0.01 * jnp.sin(
+                jnp.arange(p.size, dtype=jnp.float32)
+            ).reshape(p.shape),
+            params,
+        )
+
+    @classmethod
+    def new(cls):
+        return cls()
+
+    def get_fn(self):
+        return (
+            lambda p, x, c, n: self.net.apply(p, x, c, n),
+            (self.params, self.x, self.cond, self.c_noise),
+        )
+
+
+@register_benchmark("diffusion_unet")
+class DiffusionUNetBenchmark(_DiffusionUNetBenchmark):
+    pass
+
+
+@register_benchmark("diffusion_unet_bf16")
+class DiffusionUNetBf16Benchmark(_DiffusionUNetBenchmark):
+    dtype = jnp.bfloat16

@@ -112,7 +112,16 @@ class OptimizationConfig:
     gradient_accumulation_steps: int = 1
 
     def build(self, max_epochs: int, steps_per_epoch: int = 1) -> "Optimization":
-        schedule = self.scheduler.build(self.lr, max_epochs, steps_per_epoch)
+        base_schedule = self.scheduler.build(
+            self.lr, max_epochs, steps_per_epoch
+        )
+        # mutable multiplier so LR-tuning adoptions (train/lr_tuning.py)
+        # can rescale the schedule mid-training; the caller must re-jit
+        # its train step afterwards since jit bakes the current value in
+        scale_box = [1.0]
+
+        def schedule(count):
+            return base_schedule(count) * scale_box[0]
         kw = dict(self.kwargs)
         b1, b2 = kw.pop("betas", (0.9, 0.999))
         eps = kw.pop("eps", 1e-8)
@@ -141,7 +150,7 @@ class OptimizationConfig:
                 opt, every_k_schedule=self.gradient_accumulation_steps
             ).gradient_transformation()
         return Optimization(
-            tx=opt, schedule=schedule, config=self,
+            tx=opt, schedule=schedule, config=self, lr_scale_box=scale_box,
         )
 
     def get_state(self) -> dict:
@@ -153,12 +162,20 @@ class OptimizationConfig:
 class Optimization:
     """Holds the optax transformation + mutable optimizer state."""
 
-    def __init__(self, tx: optax.GradientTransformation, schedule, config):
+    def __init__(self, tx: optax.GradientTransformation, schedule, config,
+                 lr_scale_box: list | None = None):
         self.tx = tx
         self.schedule = schedule
         self.config = config
         self.state = None
         self._count = 0
+        self._lr_scale_box = lr_scale_box if lr_scale_box is not None else [1.0]
+
+    def scale_lr(self, factor: float):
+        """Multiply the LR schedule by ``factor`` from now on (LR-tuning
+        adoption). Callers holding a jitted train step must rebuild it —
+        jit bakes the scale in at trace time."""
+        self._lr_scale_box[0] *= factor
 
     def init(self, params):
         self.state = self.tx.init(params)

@@ -28,6 +28,7 @@ from ace_tpu.stepper.checkpoint import (
     save_train_checkpoint,
 )
 from ace_tpu.stepper.parameter_init import CopyWeightsConfig
+from ace_tpu.train.lr_tuning import LRTuningConfig, run_lr_tuning_trial
 from ace_tpu.stepper.stepper import CheckpointStepperConfig, StepperConfig
 from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
 
@@ -154,6 +155,12 @@ class TrainConfig:
     # subset (reference: train_config.py copy_weights_after_batch,
     # core/weight_ops.py CopyWeightsConfig)
     copy_weights_after_batch: "CopyWeightsConfig | None" = None
+    # per-epoch LR trial: short-train at current vs reduced LR, adopt the
+    # reduced LR if it validates better (reference:
+    # core/generics/lr_tuning.py, hooked at generics/trainer.py:376-400)
+    lr_tuning: "LRTuningConfig" = dataclasses.field(
+        default_factory=lambda: LRTuningConfig()
+    )
     seed: int = 0
 
     @property
@@ -308,6 +315,8 @@ class Trainer:
         for epoch in range(self.start_epoch, end_epoch):
             self._current_epoch = epoch
             logging.info(f"Epoch {epoch} starting")
+            if self.config.lr_tuning.enabled:
+                self._maybe_tune_lr(epoch)
             with timer.context("train_one_epoch"):
                 train_metrics = self.train_one_epoch(epoch)
             with timer.context("validation"):
@@ -368,6 +377,46 @@ class Trainer:
                     stepper.params = self.params
         self._restore_signal_handlers()
         return self.params
+
+    def _maybe_tune_lr(self, epoch: int):
+        """Run the per-epoch LR trial and adopt a winning reduced LR
+        (reference: generics/trainer.py:376-400 + lr_tuning.py)."""
+        cfg = self.config.lr_tuning
+        n = cfg.num_batches
+        self.train_data.set_epoch(epoch)
+        train_batches = []
+        for batch in self.train_data:
+            train_batches.append(batch.data)
+            if len(train_batches) >= n:
+                break
+        valid_batches = []
+        for batch in self.valid_data:
+            valid_batches.append(batch.data)
+            if len(valid_batches) >= n:
+                break
+        optimization = self.train_stepper.optimization
+        current_lr = optimization.learning_rate
+        if current_lr <= 0.0 or not train_batches or not valid_batches:
+            return
+        new_lr = run_lr_tuning_trial(
+            cfg,
+            self.params,
+            current_lr,
+            lambda p, b, k: self.train_stepper.loss_fn(p, b, k),
+            train_batches,
+            valid_batches,
+            self._next_rng(),
+        )
+        if new_lr is not None:
+            logging.info(f"LR tuning adopted lr={new_lr:.3e}")
+            optimization.scale_lr(new_lr / current_lr)
+            # jit baked the old scale in; rebuild the step functions
+            self._train_step = self.train_stepper.build_train_step(
+                donate=False
+            )
+            WandB.get_instance().log(
+                {"lr_tuning/adopted_lr": new_lr}, step=self.num_batches_seen
+            )
 
     def train_one_epoch(self, epoch: int) -> dict[str, float]:
         self.train_data.set_epoch(epoch)

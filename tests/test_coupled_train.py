@@ -155,3 +155,35 @@ def test_coupled_inference_entry(tmp_path):
     ) as f:
         assert f["sst"].shape[0] == 2
         assert f["sst"].shape[1] == 2
+
+
+def test_coupled_evaluator_entry(tmp_path):
+    """The dedicated evaluator CLI forces paired aggregation on
+    (reference entry: python -m fme.coupled.inference.evaluator)."""
+    test_coupled_train_entry(tmp_path)
+    ckpt_dir = os.path.join(str(tmp_path / "out"), "training_checkpoints")
+    config = {
+        "experiment_dir": str(tmp_path / "evaluator"),
+        "n_coupled_steps": 2,
+        "coupled_steps_in_memory": 1,
+        # note: no "evaluate" key — the entry point forces it on
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "checkpoint": {
+            "atmosphere": os.path.join(ckpt_dir, "atmosphere_ckpt.msgpack"),
+            "ocean": os.path.join(ckpt_dir, "ocean_ckpt.msgpack"),
+        },
+        "initial_condition": {
+            "atmosphere": {"data_path": str(tmp_path / "atmos" / "data")},
+            "ocean": {"data_path": str(tmp_path / "ocean" / "data")},
+            "start_indices": [0],
+        },
+    }
+    config_path = tmp_path / "coupled_evaluator.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.coupled.evaluator import main
+
+    logs = main([str(config_path)])
+    assert any(k.endswith("rmse/sst") for k in logs)
+    assert all(np.isfinite(v) for v in logs.values())
