@@ -111,3 +111,44 @@ def test_stepper_override_on_load(tmp_path):
         jax.tree_util.tree_leaves(overridden.params),
     ):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_checkpoint_backwards_compatibility():
+    """A checkpoint committed at format-v1 must keep loading and
+    predicting in every future version (reference analog:
+    scripts/manual_backwards_compatibility). If this fails, the
+    checkpoint format changed incompatibly — add a migration, don't
+    regenerate the fixture.
+    """
+    import os
+
+    import numpy as np
+
+    from ace_tpu.stepper.checkpoint import load_stepper
+
+    path = os.path.join(
+        os.path.dirname(__file__), "data", "backcompat_stepper_v1.msgpack"
+    )
+    stepper = load_stepper(path)
+    assert stepper.prognostic_names == ["prog"]
+    assert stepper.training_history.get_history_by_key()["git_sha"] == [
+        "fixture"
+    ]
+    # forward prediction still works on the restored params
+    import jax.numpy as jnp
+
+    from tests.test_step_stepper import NLAT, NLON
+
+    from ace_tpu.stepper.stepper import PrognosticState
+
+    rng = np.random.RandomState(0)
+    ic = PrognosticState(
+        data={"prog": jnp.asarray(rng.randn(2, 1, NLAT, NLON), jnp.float32)}
+    )
+    forcing = {
+        "forcing_var": jnp.asarray(
+            rng.randn(2, 2, NLAT, NLON), jnp.float32
+        ),
+    }
+    out, _ = stepper.predict(ic, forcing)
+    assert np.isfinite(np.asarray(out["prog"])).all()

@@ -155,14 +155,16 @@ def test_variable_masking_modes():
 
 
 def test_smooth_flood_fill():
+    # element-wise reference parity is covered in tests/test_fill.py;
+    # this checks the qualitative contract on a simple blob
     rng = np.random.RandomState(0)
     data = rng.randn(2, 16, 16).astype(np.float32) + 5.0
     data[:, 6:10, 6:10] = np.nan
     fill = SmoothFloodFill()
-    out = np.asarray(fill(jnp.asarray(data)))
+    out = np.asarray(fill(jnp.asarray(data), "var"))
     assert np.isfinite(out).all()
-    # original valid points unchanged
-    valid = ~np.isnan(data)
-    np.testing.assert_array_equal(out[valid], data[valid])
+    # valid points far from the mask unchanged (the reference's Gaussian
+    # blend only adjusts pixels near the valid/NaN boundary)
+    np.testing.assert_array_equal(out[:, :2, :2], data[:, :2, :2])
     # filled values are near the local field magnitude
     assert abs(out[:, 6:10, 6:10].mean() - 5.0) < 2.0
