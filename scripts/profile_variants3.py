@@ -12,6 +12,16 @@ Ideas (none previously measured):
     DEFAULT-precision passes equals >=HIGH accuracy at 2/3 the cost.
 
 Run: PYTHONPATH=/root/repo:/root/.axon_site python scripts/profile_variants3.py
+
+MEASURED (v5e, 2026-08-17, B1 K180 J360 C256, INNER=200, min of 5):
+  b) baseline real-pair      1.579 ms   <- production path, fastest
+  h) parity-folded Legendre  2.155 ms   (fold/unfold HBM traffic > FLOP win)
+  i) 2-pass split fwd DFT    1.787 ms   (extra pass dominates; XLA can't fuse)
+  j) split DFT + parity      2.167 ms
+All variants match fp32 to ~2.6e-3 max rel err (HIGH-precision floor).
+Conclusion: keep the 4-einsum real-pair path in ops/sht.py — the spectral
+block is HBM-bound at these shapes, so FLOP-halving tricks that add
+elementwise fold/unfold passes lose.
 """
 
 import functools
