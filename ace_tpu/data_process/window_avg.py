@@ -75,17 +75,11 @@ class CreateWindowAvgDatasetConfig:
         return from_dict(cls, data)
 
 
-def window_average(
-    config: WindowAvgDatasetConfig,
-    input_path: str,
-    output_path: str,
-    subsample: bool = False,
-    debug: bool = False,
-) -> None:
-    ds = open_file_dataset(input_path)
-    time = ds.read_time(config.time_dim)
-    window = parse_timedelta_micros(config.window_timedelta)
+def window_bins(config: WindowAvgDatasetConfig, time: TimeCoord):
+    """Right-closed/right-labeled window assignment for a time coord.
 
+    Returns (bin_index, valid mask, unique bins, output TimeCoord)."""
+    window = parse_timedelta_micros(config.window_timedelta)
     if config.first_timestamp is not None:
         origin = parse_datetime_string(
             config.first_timestamp, time.calendar
@@ -102,11 +96,46 @@ def window_average(
         valid &= labels <= parse_datetime_string(
             config.last_timestamp, time.calendar
         )
-
     uniq = np.unique(bin_index[valid])
     out_times = origin + uniq * window
     if config.shift_timestamps_to_avg_interval_midpoint:
         out_times = out_times - window // 2
+    return bin_index, valid, uniq, TimeCoord(out_times, time.calendar)
+
+
+def window_average_arrays(
+    config: WindowAvgDatasetConfig,
+    arrays: dict,
+    time: TimeCoord,
+) -> tuple:
+    """Window-average in-memory [T, ...] arrays; non-time-leading arrays
+    (no matching first dim) pass through. Returns (arrays, TimeCoord)."""
+    bin_index, valid, uniq, out_time = window_bins(config, time)
+    out = {}
+    for name, arr in arrays.items():
+        if arr.shape[:1] != (len(time),):
+            out[name] = arr
+            continue
+        acc = np.zeros((len(uniq),) + arr.shape[1:], np.float64)
+        for j, b in enumerate(uniq):
+            sel = valid & (bin_index == b)
+            acc[j] = arr[sel].astype(np.float64).mean(axis=0)
+        out[name] = acc.astype(arr.dtype)
+    return out, out_time
+
+
+def window_average(
+    config: WindowAvgDatasetConfig,
+    input_path: str,
+    output_path: str,
+    subsample: bool = False,
+    debug: bool = False,
+) -> None:
+    ds = open_file_dataset(input_path)
+    time = ds.read_time(config.time_dim)
+
+    bin_index, valid, uniq, out_time = window_bins(config, time)
+    out_times = out_time.values
     if subsample:
         uniq, out_times = uniq[:73], out_times[:73]
 
