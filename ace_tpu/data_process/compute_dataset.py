@@ -503,13 +503,15 @@ class ZarrRegionWriter:
     (xarray conventions, matching ace_tpu.data.store.write_zarr; the
     reference writes via xpartition, compute_dataset.py:994-1011)."""
 
-    def __init__(self, path: str, attrs: Optional[dict] = None):
+    def __init__(self, path: str, attrs: Optional[dict] = None,
+                 create_group: bool = True):
         os.makedirs(path, exist_ok=True)
-        with open(os.path.join(path, ".zgroup"), "w") as f:
-            json.dump({"zarr_format": 2}, f)
-        if attrs:
-            with open(os.path.join(path, ".zattrs"), "w") as f:
-                json.dump(attrs, f)
+        if create_group:  # False = add arrays to an existing group
+            with open(os.path.join(path, ".zgroup"), "w") as f:
+                json.dump({"zarr_format": 2}, f)
+            if attrs:
+                with open(os.path.join(path, ".zattrs"), "w") as f:
+                    json.dump(attrs, f)
         self._path = path
         self._stores: dict = {}
 
