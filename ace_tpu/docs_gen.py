@@ -91,6 +91,21 @@ def entry_point_configs():
     )
     from ace_tpu.inference.inference import InferenceConfig
     from ace_tpu.train.trainer import TrainConfig
+    from ace_tpu.data_process.append_dataset import DatasetAppendConfig
+    from ace_tpu.data_process.compute_dataset import DatasetConfig
+    from ace_tpu.data_process.compute_ocean_dataset import (
+        OceanDatasetConfig,
+    )
+    from ace_tpu.data_process.coupled_datasets import (
+        CreateCoupledDatasetsConfig,
+    )
+    from ace_tpu.data_process.noise_floor import DataConfig
+    from ace_tpu.data_process.window_avg import (
+        CreateWindowAvgDatasetConfig,
+    )
+    from ace_tpu.data_process.write_monthly_data import (
+        Config as WriteMonthlyDataConfig,
+    )
 
     return [
         ("python -m ace_tpu.train", TrainConfig),
@@ -103,6 +118,18 @@ def entry_point_configs():
         ("python -m ace_tpu.downscaling", DownscalingTrainConfig),
         ("python -m ace_tpu.downscaling.predict", DownscalerConfig),
         ("python -m ace_tpu.compute_stats", ComputeStatsConfig),
+        ("python -m ace_tpu.data_process.compute_dataset", DatasetConfig),
+        ("python -m ace_tpu.data_process.compute_ocean_dataset",
+         OceanDatasetConfig),
+        ("python -m ace_tpu.data_process.coupled_datasets",
+         CreateCoupledDatasetsConfig),
+        ("python -m ace_tpu.data_process.window_avg",
+         CreateWindowAvgDatasetConfig),
+        ("python -m ace_tpu.data_process.write_monthly_data",
+         WriteMonthlyDataConfig),
+        ("python -m ace_tpu.data_process.noise_floor", DataConfig),
+        ("python -m ace_tpu.data_process.append_dataset",
+         DatasetAppendConfig),
     ]
 
 
