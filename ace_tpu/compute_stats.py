@@ -100,24 +100,31 @@ def compute_stats(config: ComputeStatsConfig) -> dict[str, dict[str, float]]:
 
     os.makedirs(config.output_dir, exist_ok=True)
     scalar_dims = {n: () for n in names}
+    # input_samples enables sample-weighted ensemble combination
+    # (reference get_stats.py writes the same attribute for
+    # combine_stats.py to consume)
+    gattrs = {"input_samples": float(n_times)}
     write_h5(
         os.path.join(config.output_dir, "stats-mean.nc"),
         {n: np.float32(means[n]) for n in names}, scalar_dims,
+        global_attrs=gattrs,
     )
     write_h5(
         os.path.join(config.output_dir, "stats-std.nc"),
         {n: np.float32(stds[n]) for n in names}, scalar_dims,
+        global_attrs=gattrs,
     )
     write_h5(
         os.path.join(config.output_dir, "stats-residual-std.nc"),
         {n: np.float32(res_stds[n]) for n in names}, scalar_dims,
+        global_attrs=gattrs,
     )
     spatial = tuple(
         f"dim{i}" for i in range(next(iter(time_means.values())).ndim)
     )
     write_h5(
         os.path.join(config.output_dir, "time-mean.nc"),
-        time_means, {n: spatial for n in names},
+        time_means, {n: spatial for n in names}, global_attrs=gattrs,
     )
     return {
         "mean": {n: float(means[n]) for n in names},

@@ -251,6 +251,7 @@ def write_h5(
     coords: Mapping[str, np.ndarray] | None = None,
     attrs: Mapping[str, Mapping] | None = None,
     time: TimeCoord | None = None,
+    global_attrs: Mapping | None = None,
 ):
     """Write an HDF5 file with dimension scales (netCDF-style)."""
     import h5py
@@ -264,6 +265,8 @@ def write_h5(
         attrs["time"] = {**attrs.get("time", {}),
                          "units": units, "calendar": calendar}
     with h5py.File(path, "w") as f:
+        for k, v in (global_attrs or {}).items():
+            f.attrs[k] = v
         for cname, cvals in coords.items():
             ds = f.create_dataset(cname, data=np.asarray(cvals))
             ds.make_scale(cname)
