@@ -99,6 +99,10 @@ def entry_point_configs():
     from ace_tpu.data_process.coupled_datasets import (
         CreateCoupledDatasetsConfig,
     )
+    from ace_tpu.data_process.combine_stats import MergeStatsConfig
+    from ace_tpu.data_process.create_coupled_ic import (
+        CreateCoupledICConfig,
+    )
     from ace_tpu.data_process.noise_floor import DataConfig
     from ace_tpu.data_process.window_avg import (
         CreateWindowAvgDatasetConfig,
@@ -130,6 +134,10 @@ def entry_point_configs():
         ("python -m ace_tpu.data_process.noise_floor", DataConfig),
         ("python -m ace_tpu.data_process.append_dataset",
          DatasetAppendConfig),
+        ("python -m ace_tpu.data_process.create_coupled_ic",
+         CreateCoupledICConfig),
+        ("python -m ace_tpu.data_process.combine_stats merge",
+         MergeStatsConfig),
     ]
 
 

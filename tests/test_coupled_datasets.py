@@ -235,3 +235,80 @@ def test_create_coupled_datasets_cli(tmp_path):
         )
         assert len(ds.read_time()) == n_expected, label
         assert "land_fraction" in ds
+
+
+def test_create_coupled_ic(tmp_path):
+    """IC extraction merges coupled over original at selected times
+    (reference: scripts/data_process/create_coupled_ic.py)."""
+    rng = np.random.RandomState(4)
+    atmos = _atmos_dataset(rng)
+    ocean = _ocean_dataset(rng, atmos)
+    for name, ds in [("atmos", atmos), ("ocean", ocean)]:
+        dims = {}
+        for k, v in ds.data.items():
+            dims[k] = ("time", "lat", "lon") if v.shape[:1] == (
+                len(ds.time),
+            ) else ("lat", "lon")
+        write_zarr(
+            str(tmp_path / f"{name}.zarr"), ds.data, dims,
+            coords={"lat": ds.lat, "lon": ds.lon}, time=ds.time,
+        )
+    coupled_cfg = {
+        "version": "v1", "family_name": "t",
+        "output_directory": str(tmp_path / "out"),
+        "coupled_datasets": {
+            "coupled_ts": {"how": "threshold"},
+            "coupled_sea_surface": {
+                "surface_flux_window_avg": {
+                    "window_timedelta": "24h",
+                    "first_timestamp": "2000-01-02T00:00:00",
+                },
+                "sst_threshold": 265.0,
+            },
+        },
+        "input_datasets": {
+            "atmosphere": {"zarr_path": str(tmp_path / "atmos.zarr")},
+            "ocean": {"zarr_path": str(tmp_path / "ocean.zarr")},
+        },
+    }
+    cpath = tmp_path / "coupled.yaml"
+    with open(cpath, "w") as f:
+        yaml.safe_dump(coupled_cfg, f)
+
+    from ace_tpu.data_process.coupled_datasets import (
+        CreateCoupledDatasetsConfig as CCD, run as run_coupled,
+    )
+
+    run_coupled(CCD.from_file(str(cpath)))
+
+    ic_cfg = {
+        "coupled_config_path": str(cpath),
+        "time": {"timestamp": "2000-01-03T00:00:00"},
+        "output_directory": str(tmp_path / "ics"),
+        "output_prefix": "myic",
+    }
+    ipath = tmp_path / "ic.yaml"
+    with open(ipath, "w") as f:
+        yaml.safe_dump(ic_cfg, f)
+
+    from ace_tpu.data_process.create_coupled_ic import main as ic_main
+
+    ic_main(["--yaml", str(ipath)])
+
+    atm_ic = open_file_dataset(str(tmp_path / "ics" /
+                                   "myic_atmosphere_ic.nc"))
+    assert len(atm_ic.read_time()) == 1
+    # coupled surface temperature (threshold blend) overrides original
+    t_idx = 7  # 2000-01-03T00:00 is the 8th 6-hourly step from T06
+    coupled_atm = open_file_dataset(
+        str(tmp_path / "out" / "v1-t-atmosphere.zarr")
+    )
+    np.testing.assert_allclose(
+        atm_ic["surface_temperature"].read(())[0],
+        coupled_atm["surface_temperature"].read(())[t_idx],
+        rtol=1e-6,
+    )
+    # original-only variables carried through
+    assert "LHTFLsfc" in atm_ic
+    ocn_ic = open_file_dataset(str(tmp_path / "ics" / "myic_ocean_ic.nc"))
+    assert "hfds_total_area" in ocn_ic
