@@ -115,6 +115,7 @@ class Stepper:
         rng: jax.Array,
         deterministic: bool = True,
         labels=None,
+        n_forward: int | None = None,
     ) -> tuple[TensorDict, TensorDict, StepperState]:
         """Pure rollout function (jit/grad/shard_map-compatible).
 
@@ -125,6 +126,8 @@ class Stepper:
                 (index 0 aligns with the IC).
             stepper_state: per-sample state (from ``init_stepper_state``).
             rng: PRNG key consumed one split per step.
+            n_forward: rollout length; required when the model has no
+                forcing variables (otherwise inferred from them).
 
         Returns:
             (outputs, diagnostics, final_stepper_state); outputs are
@@ -166,8 +169,17 @@ class Stepper:
                 out.corrector_diagnostics,
             )
 
+        if n_forward is None:
+            if forcing:
+                n_forward = next(iter(forcing.values())).shape[1] - 1
+            else:
+                raise ValueError(
+                    "n_forward is required when the model has no forcing "
+                    "variables"
+                )
         (_, final_state, _), (outputs, diags) = jax.lax.scan(
-            body, (state0, stepper_state, rng), (xs_in, xs_next)
+            body, (state0, stepper_state, rng), (xs_in, xs_next),
+            length=n_forward,
         )
         outputs = {k: _batch_major(v) for k, v in outputs.items()}
         diags = {k: _batch_major(v) for k, v in diags.items()}
@@ -179,6 +191,7 @@ class Stepper:
         forcing: TensorMapping,
         rng: jax.Array | None = None,
         params: Any = None,
+        n_forward: int | None = None,
     ) -> tuple[TensorDict, PrognosticState]:
         """Convenience inference rollout using stored params.
 
@@ -199,7 +212,8 @@ class Stepper:
         if missing:
             raise ValueError(f"forcing data missing variables {sorted(missing)}")
         outputs, diags, final_state = self.predict_fn(
-            params, ic.data, forcing_subset, ic.stepper_state, rng
+            params, ic.data, forcing_subset, ic.stepper_state, rng,
+            n_forward=n_forward,
         )
         next_ic = PrognosticState(
             data={

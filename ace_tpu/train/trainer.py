@@ -517,6 +517,7 @@ class Trainer:
                     {k: v[:, 0] for k, v in ic.items()}
                 ),
                 self._next_rng(),
+                n_forward=1,
             )
             target = {
                 k: batch.data[k][:, 1:2] for k in stepper.out_names
