@@ -192,3 +192,66 @@ def test_localnet_forward_mesh_invariance(mesh_shape):
         ps = jax.device_put(params, NamedSharding(mesh, P()))
         out = np.asarray(fwd(ps, xs))
     np.testing.assert_allclose(out, ref, atol=2e-5)
+
+
+def _samudra_forward(mesh_cfg):
+    from ace_tpu.models.samudra import Samudra
+
+    model = Samudra(out_channels=3, ch_width=(8, 16), dilation=(1, 2),
+                    n_layers=(1, 1))
+    x = jnp.asarray(
+        np.random.RandomState(3).randn(8, 16, 32, 4), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(3), x)
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    if mesh_cfg is None:
+        return np.asarray(fwd(params, x))
+    mesh = MeshConfig(*mesh_cfg).build()
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(
+            x, NamedSharding(mesh, batch_spec(x.ndim, has_channel=True))
+        )
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        return np.asarray(fwd(ps, xs))
+
+
+@pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4), (1, 1, 8)])
+def test_samudra_forward_mesh_invariance(mesh_shape):
+    """ConvNeXt U-Net with circular-lon convolutions: XLA's spatial
+    partitioner must insert the halo exchanges; results must match the
+    single-device forward on any mesh."""
+    reference = _samudra_forward(None)
+    result = _samudra_forward(mesh_shape)
+    np.testing.assert_allclose(result, reference, atol=2e-5)
+
+
+def _swin_forward(mesh_cfg):
+    from ace_tpu.models.swin import SwinTransformerNet
+
+    model = SwinTransformerNet(
+        out_channels=2, img_shape=(16, 32), embed_dim=16,
+        num_heads=(2, 2, 2, 2), window_size=(2, 4), drop_path_rate=0.0,
+        lat_coords=tuple(np.linspace(-82.5, 82.5, 16).tolist()),
+    )
+    x = jnp.asarray(
+        np.random.RandomState(4).randn(8, 16, 32, 3), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(4), x)
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    if mesh_cfg is None:
+        return np.asarray(fwd(params, x))
+    mesh = MeshConfig(*mesh_cfg).build()
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(
+            x, NamedSharding(mesh, batch_spec(x.ndim, has_channel=True))
+        )
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        return np.asarray(fwd(ps, xs))
+
+
+@pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2)])
+def test_swin_forward_mesh_invariance(mesh_shape):
+    """Shifted-window attention under data and spatial sharding."""
+    reference = _swin_forward(None)
+    result = _swin_forward(mesh_shape)
+    np.testing.assert_allclose(result, reference, atol=2e-4)
