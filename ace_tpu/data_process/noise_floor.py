@@ -175,18 +175,79 @@ def generate_noise_floor(config: DataConfig) -> dict:
     return {"means": means, "stds": stds}
 
 
+def fit_inverse_sqrt(x: np.ndarray, y: np.ndarray):
+    """Least-squares fit of y = c/sqrt(x) + b; returns the fitted callable
+    (reference generate_train_report.py:32-45 uses scipy.curve_fit for
+    the same model, which is linear in (c, b))."""
+    basis = np.stack([1.0 / np.sqrt(np.asarray(x, np.float64)),
+                      np.ones(len(x))], axis=1)
+    (c, b), *_ = np.linalg.lstsq(basis, np.asarray(y, np.float64),
+                                 rcond=None)
+    return lambda w: c / np.sqrt(w) + b
+
+
+def noise_floor_report(
+    stats_path: str,
+    names: Sequence[str],
+    window_years: int,
+) -> dict:
+    """Extrapolate the 1/2/5/10-year noise-floor stats to ``window_years``
+    via the c/sqrt(w)+b fit and return {name: (floor, std)} — the
+    reference lines its train dashboards plot
+    (reference: scripts/noise_floor/generate_train_report.py)."""
+    means_ds = open_file_dataset(os.path.join(stats_path,
+                                              "rmse_means.nc"))
+    stds_ds = open_file_dataset(os.path.join(stats_path,
+                                             "rmse_stdevs.nc"))
+    windows = means_ds["window_size"].read(())
+    report = {}
+    for name in names:
+        floor = fit_inverse_sqrt(
+            windows, means_ds[name].read(())
+        )(window_years)
+        spread = fit_inverse_sqrt(
+            windows, stds_ds[name].read(())
+        )(window_years)
+        report[name] = (float(floor), float(spread))
+    means_ds.close()
+    stds_ds.close()
+    return report
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
-        description="Compute ensemble noise-floor pattern-RMSE statistics."
+        description="Compute ensemble noise-floor pattern-RMSE statistics, "
+        "or report the extrapolated floor for a window length."
     )
     parser.add_argument("data_config")
+    parser.add_argument(
+        "--report-window-years", type=int, default=None,
+        help="Instead of computing stats, extrapolate existing stats at "
+        "stats_path to this window length and print the floor per "
+        "variable (reference generate_train_report.py)",
+    )
+    parser.add_argument("--report-names", nargs="*", default=None)
     args = parser.parse_args(argv)
     logging.basicConfig(level=logging.INFO)
     import yaml
 
     with open(args.data_config) as f:
         config = from_dict(DataConfig, yaml.safe_load(f))
-    generate_noise_floor(config)
+    if args.report_window_years is not None:
+        names = args.report_names
+        if not names:
+            ds = open_file_dataset(
+                os.path.join(config.stats_path, "rmse_means.nc")
+            )
+            names = [v for v in ds.keys() if v != "window_size"]
+            ds.close()
+        report = noise_floor_report(
+            config.stats_path, names, args.report_window_years
+        )
+        for name, (floor, spread) in report.items():
+            print(f"{name}: noise_floor={floor:.6g} +/- {spread:.6g}")
+        return report
+    return generate_noise_floor(config)
 
 
 if __name__ == "__main__":

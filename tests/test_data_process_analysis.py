@@ -219,3 +219,31 @@ def test_write_monthly_data(tmp_path):
     )
     counts = ds["counts"].read(())
     np.testing.assert_array_equal(counts, [28, 12])
+
+
+def test_noise_floor_report_extrapolation(tmp_path):
+    """The c/sqrt(w)+b fit must recover exact coefficients from data on
+    that curve (reference: scripts/noise_floor/generate_train_report.py)."""
+    from ace_tpu.data.store import write_h5
+    from ace_tpu.data_process.noise_floor import (
+        WINDOW_SIZES, fit_inverse_sqrt, noise_floor_report,
+    )
+
+    w = np.asarray(WINDOW_SIZES, np.float64)
+    means = 2.0 / np.sqrt(w) + 0.3
+    stds = 0.5 / np.sqrt(w) + 0.01
+    stats = tmp_path / "stats"
+    stats.mkdir()
+    write_h5(str(stats / "rmse_means.nc"),
+             {"a": means, "window_size": w},
+             {"a": ("window_size",), "window_size": ("window_size",)})
+    write_h5(str(stats / "rmse_stdevs.nc"),
+             {"a": stds, "window_size": w},
+             {"a": ("window_size",), "window_size": ("window_size",)})
+    report = noise_floor_report(str(stats), ["a"], window_years=40)
+    floor, spread = report["a"]
+    np.testing.assert_allclose(floor, 2.0 / np.sqrt(40) + 0.3, rtol=1e-10)
+    np.testing.assert_allclose(spread, 0.5 / np.sqrt(40) + 0.01,
+                               rtol=1e-8)
+    f = fit_inverse_sqrt(w, means)
+    np.testing.assert_allclose(f(100.0), 2.0 / 10 + 0.3, rtol=1e-10)
