@@ -188,30 +188,57 @@ def fit_inverse_sqrt(x: np.ndarray, y: np.ndarray):
 
 def noise_floor_report(
     stats_path: str,
-    names: Sequence[str],
-    window_years: int,
+    names: Optional[Sequence[str]] = None,
+    window_years: int = 10,
 ) -> dict:
     """Extrapolate the 1/2/5/10-year noise-floor stats to ``window_years``
     via the c/sqrt(w)+b fit and return {name: (floor, std)} — the
     reference lines its train dashboards plot
-    (reference: scripts/noise_floor/generate_train_report.py)."""
+    (reference: scripts/noise_floor/generate_train_report.py).
+    ``names=None`` reports every variable in the stats files."""
+    if window_years <= 0:
+        raise ValueError(f"window_years must be positive, got {window_years}")
     means_ds = open_file_dataset(os.path.join(stats_path,
                                               "rmse_means.nc"))
     stds_ds = open_file_dataset(os.path.join(stats_path,
                                              "rmse_stdevs.nc"))
-    windows = means_ds["window_size"].read(())
-    report = {}
-    for name in names:
-        floor = fit_inverse_sqrt(
-            windows, means_ds[name].read(())
-        )(window_years)
-        spread = fit_inverse_sqrt(
-            windows, stds_ds[name].read(())
-        )(window_years)
-        report[name] = (float(floor), float(spread))
-    means_ds.close()
-    stds_ds.close()
-    return report
+    try:
+        available = [v for v in means_ds.keys() if v != "window_size"]
+        if names is None:
+            names = available
+        missing = sorted(set(names) - set(available))
+        if missing:
+            raise ValueError(
+                f"variables {missing} not in {stats_path}; "
+                f"available: {sorted(available)}"
+            )
+        # each file carries its own window_size coordinate (they can
+        # come from different generation runs)
+        mean_w = means_ds["window_size"].read(())
+        std_w = stds_ds["window_size"].read(())
+        report = {}
+        for name in names:
+            floor = fit_inverse_sqrt(
+                mean_w, means_ds[name].read(())
+            )(window_years)
+            spread = fit_inverse_sqrt(
+                std_w, stds_ds[name].read(())
+            )(window_years)
+            report[name] = (float(floor), float(spread))
+        return report
+    finally:
+        means_ds.close()
+        stds_ds.close()
+
+
+@dataclasses.dataclass
+class ReportConfig:
+    """Minimal YAML for report mode: only the stats location (and
+    optionally names) is needed (reference generate_train_report.py
+    DataConfig)."""
+
+    stats_path: str
+    names: Optional[List[str]] = None
 
 
 def main(argv=None):
@@ -232,22 +259,29 @@ def main(argv=None):
     import yaml
 
     with open(args.data_config) as f:
-        config = from_dict(DataConfig, yaml.safe_load(f))
+        raw = yaml.safe_load(f)
     if args.report_window_years is not None:
-        names = args.report_names
-        if not names:
-            ds = open_file_dataset(
-                os.path.join(config.stats_path, "rmse_means.nc")
-            )
-            names = [v for v in ds.keys() if v != "window_size"]
-            ds.close()
+        if args.report_window_years <= 0:
+            parser.error("--report-window-years must be positive")
+        # report mode needs only stats_path (+ optional names)
+        config = from_dict(ReportConfig, {
+            k: v for k, v in raw.items()
+            if k in ("stats_path", "names")
+        })
         report = noise_floor_report(
-            config.stats_path, names, args.report_window_years
+            config.stats_path,
+            args.report_names or config.names,
+            args.report_window_years,
         )
         for name, (floor, spread) in report.items():
             print(f"{name}: noise_floor={floor:.6g} +/- {spread:.6g}")
         return report
-    return generate_noise_floor(config)
+    if args.report_names:
+        parser.error(
+            "--report-names requires --report-window-years (stats "
+            "generation would ignore it and overwrite existing stats)"
+        )
+    return generate_noise_floor(from_dict(DataConfig, raw))
 
 
 if __name__ == "__main__":

@@ -81,7 +81,10 @@ def main(batch=1, n_steps=1, embed=256, layers=8, nlat=180, nlon=360):
                            max_grad_norm=1.0),
         EMAConfig(),
     )
+    t0 = time.perf_counter()
     params, opt_state = ts.init(jax.random.PRNGKey(0))
+    jax.block_until_ready(params)
+    print(f"param init: {time.perf_counter() - t0:.1f}s", flush=True)
     train_step = ts.build_train_step(donate=True)
     rng = np.random.RandomState(0)
     batch_data = {
