@@ -676,7 +676,10 @@ def run(
     t_offset = 0
     n_times = len(time)
     if subsample:
-        t_offset, n_times = 10, 3
+        # reference uses ds.isel(time=slice(10, 13)); clamp for short
+        # inputs instead of producing an empty selection
+        t_offset = min(10, max(0, n_times - 2))
+        n_times = min(3, n_times - t_offset)
     time = time[t_offset:t_offset + n_times]
     dt_seconds = np.full(n_times, np.nan)
     dt_seconds[1:] = np.diff(time.values) / 1e6

@@ -168,7 +168,8 @@ def run(
     time = first.read_time(names.time_dim)
     t_offset, n_times = 0, len(time)
     if subsample:
-        t_offset, n_times = 10, min(3, len(time) - 10)
+        t_offset = min(10, max(0, n_times - 2))
+        n_times = min(3, n_times - t_offset)
     time = time[t_offset:t_offset + n_times]
 
     src_lat = first[lat_dim].read(())
@@ -207,20 +208,31 @@ def run(
         writer.write(cname, cvals)
 
     dropped = set(names.dropped_variables)
+    skipped = sorted(set(var_to_store) & dropped)
+    if skipped:
+        # matches the reference CLI, which drops dropped_variables from
+        # the regridded output (compute_hpx_dataset.py:301-302)
+        logger.info("dropping %s (standard_names.dropped_variables)",
+                    skipped)
     out_names = {}
+    hpx_shape = (12, nside, nside)
     for v in var_to_store:
         if v in dropped:
             continue
         out_names[v] = config.renaming.get(v, v)
         var = var_to_store[v][v]
         time_dep = var.dims and var.dims[0] == names.time_dim
-        shape = (n_times, 12, nside, nside) if time_dep else (
-            12, nside, nside
+        # middle dims (e.g. a vertical level axis) carry through:
+        # [T, Z, Y, X] -> [T, Z, face, height, width]
+        mid = var.shape[1:-2] if time_dep else var.shape[:-2]
+        mid_dims = (var.dims[1:-2] if time_dep else var.dims[:-2])
+        shape = ((n_times,) if time_dep else ()) + mid + hpx_shape
+        dims = (("time",) if time_dep else ()) + mid_dims + dims4[1:]
+        chunks = (
+            [t_chunk] + list(mid) + list(hpx_shape) if time_dep else None
         )
-        chunks = [t_chunk, 12, nside, nside] if time_dep else None
-        writer.create(out_names[v], shape, np.float32,
-                      dims4 if time_dep else dims4[1:], chunks=chunks,
-                      attrs=dict(var.attrs))
+        writer.create(out_names[v], shape, np.float32, dims,
+                      chunks=chunks, attrs=dict(var.attrs))
 
     slab = max(1, int(np.ceil(n_times / max(1, config.n_split))))
     for v, store in var_to_store.items():
@@ -230,7 +242,7 @@ def run(
         if not (var.dims and var.dims[0] == names.time_dim):
             arr = regrid(var.read(()).astype(np.float64))
             arr = fill_nans_with_neighbors(
-                arr.reshape(12, nside, nside)
+                arr.reshape(var.shape[:-2] + hpx_shape)
             )
             writer.write(out_names[v], arr.astype(np.float32))
             continue
@@ -239,7 +251,7 @@ def run(
             raw = var.read(
                 (slice(t_offset + start, t_offset + stop),)
             ).astype(np.float64)
-            arr = regrid(raw).reshape(-1, 12, nside, nside)
+            arr = regrid(raw).reshape(raw.shape[:-2] + hpx_shape)
             arr = fill_nans_with_neighbors(arr)
             writer.write(
                 out_names[v], arr.astype(np.float32), t0=start

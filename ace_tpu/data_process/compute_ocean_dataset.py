@@ -21,6 +21,12 @@ is ported one-to-one:
 - optional supplemental coarsened dataset merge, timestamp midpoint
   shift, renaming, and chunked zarr output.
 
+Unlike compute_dataset (which streams time slabs), this pipeline holds
+the variables in memory: vector rotation and the per-level mask logic
+couple variables across the time axis only elementwise, but the coarsen
+merge and midpoint shift are simpler whole-array; size the run (or
+pre-slice the inputs in time) accordingly.
+
 CLI:
     python -m ace_tpu.data_process.compute_ocean_dataset --config c.yaml \
         --run-directory RUN --output-store out.zarr [--debug] [--subsample]
@@ -134,7 +140,6 @@ class OceanDatasetComputationConfig:
     standard_names: OceanStandardNameMapping = dataclasses.field(
         default_factory=OceanStandardNameMapping
     )
-    n_split: int = 16
     shift_timestamps_to_avg_interval_midpoint: bool = False
 
 

@@ -93,8 +93,16 @@ class ArrayDataset:
 
     def sel_times(self, target: TimeCoord) -> "ArrayDataset":
         idx = np.searchsorted(self.time.values, target.values)
-        if not np.array_equal(self.time.values[idx], target.values):
-            raise ValueError("target times not present in dataset")
+        found = (idx < len(self.time)) & (
+            self.time.values[np.minimum(idx, len(self.time) - 1)]
+            == target.values
+        )
+        if not found.all():
+            raise ValueError(
+                f"{int((~found).sum())} target times not present in "
+                "dataset (first missing: "
+                f"{target.values[~found][0]})"
+            )
         data = {
             k: (v[idx] if v.shape[:1] == (len(self.time),) else v)
             for k, v in self.data.items()
@@ -292,6 +300,16 @@ class ExtraFieldsConfig:
                     dst[name] = arr
         return dst
 
+    def drop_extra_data_vars(self, data: dict) -> dict:
+        """Remove previously-copied extras (reference
+        coupled_dataset_utils.py:45-62)."""
+        if self.names_and_prefixes is None:
+            return data
+        return {
+            k: v for k, v in data.items()
+            if not any(k.startswith(p) for p in self.names_and_prefixes)
+        }
+
 
 # ----- the three stages -----
 
@@ -313,17 +331,19 @@ def compute_coupled_sea_ice(
     names = names or CoupledFieldNamesConfig()
     a = names.atmosphere
 
+    # the sea-surface fraction travels under the ocean-side name through
+    # the whole chain (reference compute_coupled_sea_ice uses
+    # input_field_names.ocean.sea_surface_fraction_name)
+    sfrac_name = names.ocean.sea_surface_fraction_name
     lfrac = np.clip(atmos.data[a.land_fraction_name], 0.0, 1.0)
-    if sea_ice is not None and a.sea_surface_fraction_name in sea_ice.data:
-        sfrac = sea_ice.data[a.sea_surface_fraction_name]
-    elif ocean is not None and (
-        names.ocean.sea_surface_fraction_name in ocean.data
-    ):
-        sfrac = ocean.data[names.ocean.sea_surface_fraction_name]
+    if sea_ice is not None and sfrac_name in sea_ice.data:
+        sfrac = sea_ice.data[sfrac_name]
+    elif ocean is not None and sfrac_name in ocean.data:
+        sfrac = ocean.data[sfrac_name]
     else:
         logger.warning(
             "%s not found; assuming sea surface fraction = 1 - land "
-            "fraction", a.sea_surface_fraction_name,
+            "fraction", sfrac_name,
         )
         sfrac = 1.0 - lfrac
     sfrac = np.clip(np.nan_to_num(sfrac), 0.0, 1.0)
@@ -344,7 +364,7 @@ def compute_coupled_sea_ice(
     ts = atmos.data[a.surface_temperature_name]
     data = {
         a.land_fraction_name: lfrac_mod,
-        a.sea_surface_fraction_name: sfrac,
+        sfrac_name: sfrac,
         a.ocean_fraction_name: ofrac_mod,
         names.derived.ocean_sea_ice_fraction_name: sic_mod,
         a.sea_ice_fraction_name: ifrac_mod,
@@ -359,15 +379,9 @@ def compute_coupled_sea_ice(
         )
         # forward-fill back onto the original timestep (reference
         # apply_window_avg_and_reindex)
-        idx = np.clip(
-            np.searchsorted(avg_time.values, time.values, side="right")
-            - 1,
-            0, len(avg_time) - 1,
-        )
-        data = {
-            k: (v[idx] if v.shape[:1] == (len(avg_time),) else v)
-            for k, v in avg.items()
-        }
+        data = ArrayDataset(
+            avg, avg_time, atmos.lat, atmos.lon
+        ).reindex_ffill(time).data
         if config.include_ts:
             data[a.surface_temperature_name] = _interpolate_sst(
                 ts=ts,
@@ -452,14 +466,12 @@ def compute_coupled_atmosphere(
     ifrac = sub.data[a.sea_ice_fraction_name]
     ofrac = sub.data[a.ocean_fraction_name]
 
-    idx = np.clip(
-        np.searchsorted(ocean.time.values, atmos.time.values,
-                        side="right") - 1,
-        0, len(ocean.time) - 1,
-    )
-    ifrac_re = ifrac[idx]
-    ofrac_re = ofrac[idx]
-    sst_re = ocean.data[o.sea_surface_temperature_name][idx]
+    ff = ArrayDataset(
+        {"ifrac": ifrac, "ofrac": ofrac,
+         "sst": ocean.data[o.sea_surface_temperature_name]},
+        ocean.time, atmos.lat, atmos.lon,
+    ).reindex_ffill(atmos.time).data
+    ifrac_re, ofrac_re, sst_re = ff["ifrac"], ff["ofrac"], ff["sst"]
 
     ts_mod = config.apply_sst_to_ts(ts, sst_re, ofrac_re)
     lfrac = coupled_ocean.data[a.land_fraction_name]
@@ -597,8 +609,16 @@ def run(config: CreateCoupledDatasetsConfig) -> dict:
             raise ValueError(
                 "coupled_sea_surface configured but no ocean input"
             )
+        # the atmosphere extras belong only in the sea-ice output
+        # (reference create_coupled_datasets.py:577)
+        coupled_si_for_ocean = ArrayDataset(
+            inputs.atmosphere.extra_fields.drop_extra_data_vars(
+                coupled_si.data
+            ),
+            coupled_si.time, coupled_si.lat, coupled_si.lon,
+        )
         coupled_ocean = compute_coupled_ocean(
-            ocean, atmos, coupled_si, css, names=names,
+            ocean, atmos, coupled_si_for_ocean, css, names=names,
             extras=inputs.ocean.extra_fields,
         )
         coupled_ocean.write(config.ocean_output_store)

@@ -43,7 +43,14 @@ def regional_average(field, lat, lon, bounds, extra_weight=None):
     )
     if extra_weight is not None:
         w = w * extra_weight
-    return (field * w).sum(axis=(-2, -1)) / w.sum()
+    # skip NaN cells (land in SST datasets), like xarray's
+    # weighted().mean() in the reference (compute_enso_index.py:26-33)
+    finite = np.isfinite(field)
+    filled = np.where(finite, field, 0.0)
+    weights = finite * w
+    return (filled * weights).sum(axis=(-2, -1)) / weights.sum(
+        axis=(-2, -1)
+    )
 
 
 def monthly_anomalies(series: np.ndarray, months: np.ndarray) -> np.ndarray:

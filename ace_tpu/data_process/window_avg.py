@@ -109,7 +109,13 @@ def window_average_arrays(
     time: TimeCoord,
 ) -> tuple:
     """Window-average in-memory [T, ...] arrays; non-time-leading arrays
-    (no matching first dim) pass through. Returns (arrays, TimeCoord)."""
+    (no matching first dim) pass through. ``config.subset_names``
+    restricts which variables are processed and returned (the reference
+    subsets the dataset before averaging,
+    create_window_avg_dataset.py:55-57). Returns (arrays, TimeCoord)."""
+    if config.subset_names is not None:
+        keep = set(config.subset_names)
+        arrays = {k: v for k, v in arrays.items() if k in keep}
     bin_index, valid, uniq, out_time = window_bins(config, time)
     out = {}
     for name, arr in arrays.items():
@@ -168,10 +174,8 @@ def window_average(
     for n in time_vars:
         var = ds[n]
         out = np.zeros((len(uniq),) + var.shape[1:], np.float64)
-        counts = np.zeros(len(uniq), np.int64)
         for j, b in enumerate(uniq):
             sel = np.nonzero(valid & (bin_index == b))[0]
-            counts[j] = len(sel)
             out[j] = var.read((sel,)).astype(np.float64).mean(axis=0)
         arrays[n] = out.astype(var.dtype)
         dims[n] = var.dims

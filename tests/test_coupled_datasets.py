@@ -95,12 +95,16 @@ def test_coupled_ocean_masking_and_fluxes():
         surface_flux_window_avg=WindowAvgDatasetConfig(
             window_timedelta="24h",
             first_timestamp="2000-01-02T00:00:00",
+            subset_names=["LHTFLsfc"],
         ),
         sst_threshold=265.0,
     )
     out = compute_coupled_ocean(
         ocean, atmos, coupled_si, config,
     )
+    # only the configured flux subset is window-averaged into the ocean
+    # dataset (the reference subsets before averaging)
+    assert "surface_temperature" not in out.data
     assert len(out.time) == N_OCEAN
     # mask: 1 only where time-mean SST < threshold (the cold band)
     mask = out.data["mask_sea_ice_fraction"]

@@ -101,12 +101,23 @@ def test_compute_hpx_dataset_end_to_end(tmp_path):
         np.float32
     )
     static = smooth.astype(np.float32)
+    # 4-D [T, Z, Y, X]: per-level offsets must survive the regrid with
+    # the level axis intact (regression: level axis must not be folded
+    # into the time axis of the output store)
+    nz = 3
+    b = (
+        a[:, None] + 100.0 * np.arange(nz)[None, :, None, None]
+    ).astype(np.float32)
     write_zarr(
         str(run_dir / "state.zarr"),
-        {"a": a, "static": static, "grid_yt": lat, "grid_xt": lon},
+        {"a": a, "b": b, "static": static,
+         "grid_yt": lat, "grid_xt": lon,
+         "pfull": np.arange(nz, dtype=float)},
         {"a": ("time", "grid_yt", "grid_xt"),
+         "b": ("time", "pfull", "grid_yt", "grid_xt"),
          "static": ("grid_yt", "grid_xt"),
-         "grid_yt": ("grid_yt",), "grid_xt": ("grid_xt",)},
+         "grid_yt": ("grid_yt",), "grid_xt": ("grid_xt",),
+         "pfull": ("pfull",)},
         time=time,
     )
     # the config schema requires the vertical coordinate file even though
@@ -118,7 +129,7 @@ def test_compute_hpx_dataset_end_to_end(tmp_path):
         "dataset_computation": {
             "reference_vertical_coordinate_file": str(tmp_path / "vc.nc"),
             "vertical_coarsening_indices": [[0, 2]],
-            "variable_sources": {"state.zarr": ["a", "static"]},
+            "variable_sources": {"state.zarr": ["a", "b", "static"]},
             "n_split": 2,
             "standard_names": {
                 "graupel_mixing_ratio": "none", "rain_mixing_ratio": "none",
@@ -158,4 +169,12 @@ def test_compute_hpx_dataset_end_to_end(tmp_path):
     np.testing.assert_allclose(
         ds["static"].read(()), expected, atol=2e-2
     )
+    b_h = ds["b"].read(())
+    assert b_h.shape == (n_time, 3, 12, nside, nside)
+    assert ds["b"].dims == ("time", "pfull", "face", "height", "width")
+    for t in range(n_time):
+        for z in range(3):
+            np.testing.assert_allclose(
+                b_h[t, z] - t - 100.0 * z, expected, atol=2e-2
+            )
     assert len(ds.read_time()) == n_time
