@@ -55,6 +55,8 @@ class StandardNameMapping:
     precip_rate: str = "PRATEsfc"
     surface_snow_rate: str = "SNOWsfc"
     surface_ice_rate: str = "ICEsfc"
+    convective_snow_rate: str = "PRECSC"
+    convective_liquid_ice_rate: str = "PRECC"
     surface_graupel_rate: str = "GRAUPELsfc"
     total_frozen_precip_rate: str = "total_frozen_precipitation_rate"
     precipitable_water_path: str = "precipitable_water_path"
@@ -74,6 +76,11 @@ class StandardNameMapping:
     sea_ice_fraction: str = "sea_ice_fraction"
     vertical_dim_land: str = "zfull_soil"
     height_thickness: str = "height_thickness_of_land_layer"
+    # DLWP (HEALPix) dimension names (reference DLWPNameMapping,
+    # compute_dataset.py:170-182); consumed by compute_hpx_dataset
+    face_dim: str = "face"
+    height_dim: str = "height"
+    width_dim: str = "width"
     hybrid_level_coeffs: Sequence[str] = dataclasses.field(
         default_factory=list
     )
@@ -153,18 +160,22 @@ class StandardNameMapping:
 @dataclasses.dataclass
 class ChunkingConfig:
     """Output chunk sizes per standard dimension (reference
-    compute_dataset.py:197-208)."""
+    compute_dataset.py:197-229; face_dim is the DLWP variant's knob)."""
 
     time_dim: int = 160
     latitude_dim: int = 180
     longitude_dim: int = 360
+    face_dim: Optional[int] = None
 
     def get_chunks(self, names: StandardNameMapping) -> dict:
-        return {
+        chunks = {
             names.time_dim: self.time_dim,
             names.latitude_dim: self.latitude_dim,
             names.longitude_dim: self.longitude_dim,
         }
+        if self.face_dim is not None:
+            chunks[names.face_dim] = self.face_dim
+        return chunks
 
 
 @dataclasses.dataclass
@@ -188,6 +199,15 @@ class DatasetComputationConfig:
     chunking: ChunkingConfig = dataclasses.field(
         default_factory=lambda: ChunkingConfig(time_dim=1)
     )
+    # the reference writes sharded zarr v3 stores (outer shards + inner
+    # chunks); this writer has one chunk level, so sharding, when given,
+    # takes precedence as the on-disk chunk size (reference
+    # compute_dataset.py:893-897 uses sharding for the outer chunks)
+    sharding: Optional[ChunkingConfig] = None
+    # directory of netCDF files whose variables are merged in as
+    # time-invariant inputs (reference compute_dataset.py:295, used for
+    # the E3SM datasets)
+    time_invariant_dir: Optional[str] = None
     vertical_coarsening_indices_land: Optional[
         Sequence[Tuple[int, int]]
     ] = None
@@ -702,6 +722,20 @@ def run(
         names.longitude_dim
     ].read(())
 
+    if config.time_invariant_dir:
+        import glob as _glob
+
+        for path in sorted(
+            _glob.glob(os.path.join(config.time_invariant_dir, "*.nc"))
+        ):
+            tistore = open_file_dataset(path)
+            stores[path] = tistore
+            for v in tistore.keys():
+                if (v not in coord_names and v not in var_to_store
+                        and tistore[v].dims
+                        and tistore[v].dims[0] != names.time_dim):
+                    var_to_store[v] = tistore
+
     def read_slab(lo: int, hi: int) -> dict:
         """Read global time steps [lo, hi); variables without a leading
         time dimension are broadcast along it."""
@@ -739,7 +773,8 @@ def run(
             logger.info("%s: shape[1:]=%s dtype=%s", k, v.shape[1:], v.dtype)
         return
 
-    chunks = config.chunking.get_chunks(names)
+    chunk_cfg = config.sharding or config.chunking
+    chunks = chunk_cfg.get_chunks(names)
     t_chunk = chunks.get(names.time_dim, 1)
     writer = ZarrRegionWriter(output_store, attrs={
         "history": (

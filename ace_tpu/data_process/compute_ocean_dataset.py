@@ -147,6 +147,23 @@ class OceanDatasetComputationConfig:
 class OceanDatasetConfig:
     dataset_computation: OceanDatasetComputationConfig
 
+    # reference-config keys handled by the upstream preprocessing stack
+    # (ocean_emulators / gcm-filters / xesmf / dask), accepted and
+    # ignored so the reference's committed YAMLs load verbatim
+    UPSTREAM_KEYS = (
+        "nc_grid_path", "nc_mosaic_path", "nc_target_grid_path",
+        "ocean_static", "land_static", "chunking", "sharding",
+        "spatial_filter", "outer_chunks",
+        "ocean_dataset_nc_files",
+        "ocean_dataset_monthly_layer_thickness_files",
+        "ocean_dataset_monthly_depth_file",
+        "compute_e3sm_surface_downward_heat_flux",
+        "ice_dataset_nc_files",
+        "ocean_vertical_target_layer_levels",
+        "ocean_vertical_target_interface_levels",
+        "n_split",
+    )
+
     @classmethod
     def from_file(cls, path: str) -> "OceanDatasetConfig":
         import yaml
@@ -155,6 +172,30 @@ class OceanDatasetConfig:
             data = yaml.safe_load(f)
         data = {k: v for k, v in data.items()
                 if k in {f.name for f in dataclasses.fields(cls)}}
+        dc = data.get("dataset_computation")
+        if isinstance(dc, dict):
+            stripped = sorted(set(dc) & set(cls.UPSTREAM_KEYS))
+            if stripped:
+                logger.info(
+                    "ignoring upstream-preprocessing config keys %s",
+                    stripped,
+                )
+            for k in stripped:
+                dc.pop(k)
+            sn = dc.get("standard_names")
+            if isinstance(sn, dict):
+                ours = {
+                    f.name for f in dataclasses.fields(
+                        OceanStandardNameMapping
+                    )
+                }
+                extra = sorted(set(sn) - ours)
+                if extra:
+                    logger.info(
+                        "ignoring standard_names keys %s", extra
+                    )
+                for k in extra:
+                    sn.pop(k)
         return from_dict(cls, data)
 
 

@@ -23,7 +23,7 @@ import argparse
 import dataclasses
 import logging
 import os
-from typing import Dict, List, Literal, Optional
+from typing import Dict, List, Literal, Optional, Union
 
 import numpy as np
 
@@ -523,6 +523,22 @@ class InputDatasetsConfig:
 
 
 @dataclasses.dataclass
+class EnsembleRunConfig:
+    """(reference create_coupled_datasets.py:337-348)"""
+
+    atmosphere: CoupledInputDatasetConfig
+    ocean: Optional[CoupledInputDatasetConfig] = None
+    sea_ice: Optional[CoupledInputDatasetConfig] = None
+
+
+@dataclasses.dataclass
+class InputEnsembleConfig:
+    """(reference create_coupled_datasets.py:350-367)"""
+
+    runs: Dict[str, EnsembleRunConfig]
+
+
+@dataclasses.dataclass
 class CoupledDatasetsConfig:
     coupled_sea_ice: CoupledSeaIceConfig = dataclasses.field(
         default_factory=CoupledSeaIceConfig
@@ -543,7 +559,7 @@ class CreateCoupledDatasetsConfig:
     family_name: str
     output_directory: str
     coupled_datasets: CoupledDatasetsConfig
-    input_datasets: InputDatasetsConfig
+    input_datasets: Union[InputDatasetsConfig, InputEnsembleConfig]
 
     @property
     def sea_ice_output_store(self):
@@ -568,15 +584,46 @@ class CreateCoupledDatasetsConfig:
 
     @classmethod
     def from_file(cls, path: str) -> "CreateCoupledDatasetsConfig":
+        """Accepts the reference's committed YAMLs verbatim: stats dates,
+        dask/beaker writer knobs, and climate_data_type are stripped
+        (stats run separately via ace_tpu.compute_stats; there is no
+        dask here)."""
         import yaml
 
         with open(path) as f:
             data = yaml.safe_load(f)
         data.pop("stats", None)
+        if isinstance(data.get("coupled_datasets"), dict):
+            data["coupled_datasets"].pop("output_writer", None)
+        inputs = data.get("input_datasets")
+        if isinstance(inputs, dict):
+            inputs.pop("climate_data_type", None)
+            inputs.pop("stats", None)
         return from_dict(cls, data)
 
 
 def run(config: CreateCoupledDatasetsConfig) -> dict:
+    if isinstance(config.input_datasets, InputEnsembleConfig):
+        # one coupled-dataset chain per ensemble member, with the run
+        # name folded into the family name (reference
+        # create_coupled_datasets.py ensemble path)
+        written = {}
+        for run_name, member in config.input_datasets.runs.items():
+            member_config = dataclasses.replace(
+                config,
+                family_name=f"{config.family_name}-{run_name}",
+                input_datasets=InputDatasetsConfig(
+                    atmosphere=member.atmosphere,
+                    ocean=member.ocean,
+                    sea_ice=member.sea_ice,
+                ),
+            )
+            written[run_name] = run(member_config)
+        return written
+    return _run_single(config)
+
+
+def _run_single(config: CreateCoupledDatasetsConfig) -> dict:
     names = config.coupled_datasets.input_field_names
     lat_dim, lon_dim = names.latitude_dim, names.longitude_dim
     inputs = config.input_datasets
