@@ -175,3 +175,65 @@ def test_coarsen_merge_and_regrid(tmp_path):
     np.testing.assert_allclose(
         hfds[:, surf], expected[:, surf], rtol=1e-6
     )
+
+
+def test_compute_sea_ice_dataset(tmp_path):
+    """Sea-ice ETL post-processing (reference:
+    scripts/data_process/compute_sea_ice_dataset.py)."""
+    rng = np.random.RandomState(7)
+    run_dir = tmp_path / "run"
+    run_dir.mkdir()
+    n_time = 4
+    time = TimeCoord.from_range("0201-01-01T00:00", n_time, 21600,
+                                calendar="noleap")
+    lat = np.linspace(-70, 70, NY)
+    lon = np.linspace(0, 360, NX, endpoint=False)
+    angle = rng.rand(NY, NX) * 0.2
+    fa_x = rng.randn(n_time, NY, NX)
+    fa_y = rng.randn(n_time, NY, NX)
+    sif = np.clip(rng.rand(n_time, NY, NX), 0, 1)
+    sif[0, 0, 0] = np.nan
+    write_zarr(
+        str(run_dir / "ice.zarr"),
+        {"FA_X": fa_x, "FA_Y": fa_y, "sea_ice_fraction": sif,
+         "angle": angle, "y": lat, "x": lon},
+        {"FA_X": ("time", "y", "x"), "FA_Y": ("time", "y", "x"),
+         "sea_ice_fraction": ("time", "y", "x"), "angle": ("y", "x"),
+         "y": ("y",), "x": ("x",)},
+        time=time,
+    )
+    wet = (rng.rand(NY, NX) > 0.3).astype(np.float64)
+    write_zarr(
+        str(run_dir / "static.zarr"),
+        {"wet": wet, "y": lat, "x": lon},
+        {"wet": ("y", "x"), "y": ("y",), "x": ("x",)},
+    )
+    cfg = {"dataset_computation": {
+        "ice_zarr": "ice.zarr",
+        "ocean_static": {"zarr": "static.zarr", "names": ["wet"]},
+        # upstream keys from the reference's YAMLs are tolerated
+        "nc_mosaic_path": "/gcs/unused.nc",
+        "nc_target_grid_path": "/gcs/unused.nc",
+    }}
+    cfg_path = tmp_path / "si.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+
+    from ace_tpu.data_process.compute_sea_ice_dataset import main
+
+    main(["--config", str(cfg_path), "--run-directory", str(run_dir),
+          "--output-store", str(tmp_path / "out.zarr")])
+    ds = open_file_dataset(str(tmp_path / "out.zarr"))
+    surf = wet > 0
+    fa_x_rot, _ = rotate_vectors(fa_x, fa_y, angle)
+    got = ds["FA_X"].read(())
+    np.testing.assert_allclose(
+        got[:, surf], fa_x_rot[:, surf].astype(np.float32), rtol=1e-5
+    )
+    assert np.isnan(got[:, ~surf]).all()
+    # sea-ice fraction NaN-filled to 0 over water
+    sif_out = ds["sea_ice_fraction"].read(())
+    assert not np.isnan(sif_out[:, surf]).any()
+    np.testing.assert_array_equal(
+        ds["sea_surface_fraction"].read(()), wet.astype(np.float32)
+    )

@@ -115,7 +115,14 @@ def test_ocean_dataset_configs_parse(path):
 
     d = yaml.safe_load(open(path))
     if "ocean_zarr" not in d.get("dataset_computation", {}):
-        pytest.skip("sea-ice-only config (no ocean_zarr)")
+        from ace_tpu.data_process.compute_sea_ice_dataset import (
+            SeaIceDatasetConfig,
+        )
+
+        config = SeaIceDatasetConfig.from_file(path).dataset_computation
+        assert config.ice_zarr
+        assert config.ocean_static.zarr
+        return
     config = OceanDatasetConfig.from_file(path).dataset_computation
     assert config.ocean_zarr
 
