@@ -178,3 +178,48 @@ def test_compute_hpx_dataset_end_to_end(tmp_path):
                 b_h[t, z] - t - 100.0 * z, expected, atol=2e-2
             )
     assert len(ds.read_time()) == n_time
+
+
+def test_compute_dlwp_dataset(tmp_path):
+    """DLWP restructuring of an hpx zarr (reference:
+    scripts/data_process/compute_dlwp_dataset.py): channel stacking with
+    name coordinates, constants split, inputs == targets."""
+    rng = np.random.RandomState(9)
+    n_time, nside = 6, 4
+    time = TimeCoord.from_range("2000-01-01T00:00", n_time, 21600)
+    hlat, hlon = healpix_latlon_xy(nside)
+    a = rng.randn(n_time, 12, nside, nside).astype(np.float32)
+    b = rng.randn(n_time, 12, nside, nside).astype(np.float32)
+    land = rng.rand(12, nside, nside).astype(np.float32)
+    dims4 = ("time", "face", "height", "width")
+    write_zarr(
+        str(tmp_path / "hpx.zarr"),
+        {"a": a, "b": b, "land": land, "lat": hlat, "lon": hlon,
+         "face": np.arange(12), "height": np.arange(nside),
+         "width": np.arange(nside)},
+        {"a": dims4, "b": dims4, "land": dims4[1:],
+         "lat": dims4[1:], "lon": dims4[1:],
+         "face": ("face",), "height": ("height",), "width": ("width",)},
+        time=time,
+    )
+
+    from ace_tpu.data_process.compute_dlwp_dataset import main
+
+    main([str(tmp_path / "hpx.zarr"), str(tmp_path / "dlwp.zarr"),
+          "--time-chunk", "2"])
+    ds = open_file_dataset(str(tmp_path / "dlwp.zarr"))
+    inputs = ds["inputs"].read(())
+    assert inputs.shape == (n_time, 2, 12, nside, nside)
+    ch = ds["inputs"].attrs["channel_in"]
+    stacked = {name: inputs[:, i] for i, name in enumerate(ch)}
+    np.testing.assert_array_equal(stacked["a"], a)
+    np.testing.assert_array_equal(stacked["b"], b)
+    np.testing.assert_array_equal(
+        ds["targets"].read(()), inputs
+    )
+    const = ds["constants"].read(())
+    assert const.shape == (1, 12, nside, nside)
+    np.testing.assert_array_equal(const[0], land)
+    assert ds["constants"].attrs["channel_c"] == ["land"]
+    assert ds.attrs["channel_out"] == ["a", "b"]
+    np.testing.assert_array_equal(ds["lat"].read(()), hlat)
