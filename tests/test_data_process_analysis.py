@@ -247,3 +247,38 @@ def test_noise_floor_report_extrapolation(tmp_path):
                                rtol=1e-8)
     f = fit_inverse_sqrt(w, means)
     np.testing.assert_allclose(f(100.0), 2.0 / 10 + 0.3, rtol=1e-10)
+
+
+def test_process_checkpoint_strips_training_state(tmp_path):
+    """Publication prep (reference:
+    scripts/checkpoint_publication/process_ckpt.py): optimizer/EMA
+    state stripped; EMA weights optionally promoted; output loads as a
+    plain stepper checkpoint."""
+    import jax
+
+    from ace_tpu.data_process.process_checkpoint import process_checkpoint
+    from ace_tpu.stepper.checkpoint import (
+        load_msgpack, load_stepper, save_msgpack,
+    )
+
+    src = _tiny_stepper_checkpoint(tmp_path, 0, "train.msgpack")
+    state = load_msgpack(src)
+    # decorate it like a training checkpoint
+    params = state["stepper"]["params"]
+    ema = jax.tree_util.tree_map(lambda a: np.asarray(a) * 0.5, params)
+    state["optimizer"] = {"count": np.asarray(7)}
+    state["ema"] = ema
+    save_msgpack(src, state)
+
+    out = str(tmp_path / "published.msgpack")
+    process_checkpoint(src, out)
+    published = load_msgpack(out)
+    assert set(published) == {"stepper"}
+    assert load_stepper(out) is not None
+
+    out_ema = str(tmp_path / "published_ema.msgpack")
+    process_checkpoint(src, out_ema, use_ema_weights=True)
+    pub = load_msgpack(out_ema)["stepper"]["params"]
+    for a, b in zip(jax.tree_util.tree_leaves(pub),
+                    jax.tree_util.tree_leaves(ema)):
+        np.testing.assert_allclose(a, b)
