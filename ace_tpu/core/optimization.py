@@ -195,10 +195,16 @@ class Optimization:
         return new_params, new_state
 
     def get_state(self) -> dict:
-        return {"count": self._count}
+        return {
+            "count": self._count,
+            # LR-tuning adoption scale; without it a restart would
+            # silently revert to the untuned learning rate
+            "lr_scale": self._lr_scale_box[0],
+        }
 
     def load_state(self, state: dict):
         self._count = state.get("count", 0)
+        self._lr_scale_box[0] = state.get("lr_scale", 1.0)
 
 
 class NullOptimization:

@@ -50,7 +50,9 @@ class StepperTrainConfig:
 
     loss: StepLossConfig = dataclasses.field(default_factory=StepLossConfig)
     n_forward_steps: int | TimeLengthProbabilities | TimeLengthSchedule = 1
-    n_ensemble: int = 1
+    # -1 = auto: 2 for ensemble losses, else 1 (reference
+    # single_module.py:1475-1480 __post_init__)
+    n_ensemble: int = -1
     remat: bool = False
     # optimize only the final rollout step's loss; intermediate steps
     # still run (and carry gradients through the rollout) but do not
@@ -62,6 +64,18 @@ class StepperTrainConfig:
     parameter_init: "ParameterInitializationConfig" = dataclasses.field(
         default_factory=lambda: ParameterInitializationConfig()
     )
+
+    def __post_init__(self):
+        ensemble = self.loss.type in ("EnsembleLoss",)
+        if self.n_ensemble == -1:
+            self.n_ensemble = 2 if ensemble else 1
+        if ensemble and self.n_ensemble < 2:
+            # CRPS/energy score over a single member would silently
+            # reduce over the latitude axis
+            raise ValueError(
+                "EnsembleLoss requires n_ensemble >= 2 "
+                f"(got {self.n_ensemble})"
+            )
 
     @property
     def n_forward_steps_schedule(self) -> TimeLengthSchedule:
@@ -171,11 +185,15 @@ class TrainStepper:
     # ----- pure functions -----
 
     def loss_fn(self, params, batch: TensorMapping, rng: jax.Array,
-                n_steps: int | None = None, labels=None):
+                n_steps: int | None = None, labels=None,
+                deterministic: bool = False):
         """Rollout loss over n_steps (defaults to the schedule maximum).
 
         batch: dict of [B, n_forward+1, ...spatial] containing all input,
         forcing and target variables (index 0 = IC).
+        ``deterministic=True`` disables dropout/input-dropout/noise (the
+        reference calls stepper.set_eval() before validation,
+        generics/trainer.py:600).
         Returns (total_loss, metrics_dict).
         """
         step = self.stepper.step
@@ -228,11 +246,15 @@ class TrainStepper:
                     next_step_input_data=next_t,
                     stepper_state=st_state,
                     rng=sub,
-                    deterministic=False,
+                    deterministic=deterministic,
                     labels=labels,
                 ),
             )
-            gen = {k: out.output[k] for k in out_names}
+            # static output masking applies during training exactly as in
+            # the inference rollout (reference Stepper.step masks every
+            # call, ace/stepper/single_module.py:1069)
+            masked = self.stepper.output_masker(out.output)
+            gen = {k: masked[k] for k in out_names}
             if n_ens > 1:
                 # unfold ensemble for the probabilistic loss:
                 # [B*E, ...] -> [B, E, ...]; target gets a size-1 ens axis
@@ -244,9 +266,18 @@ class TrainStepper:
             else:
                 gen_l, tgt_l = gen, target_t
             step_loss = self.step_loss(gen_l, tgt_l, idx)
-            new_state = {k: out.output[k] for k in prognostic_names}
+            new_state = {k: masked[k] for k in prognostic_names}
+            if cfg.optimize_last_step_only:
+                # all-but-the-last step run without gradient: detaching
+                # the carried state means only the final step()'s
+                # parameters see gradient (reference single_module.py:
+                # 1706-1711 wraps earlier steps in torch.no_grad())
+                new_state = jax.lax.stop_gradient(new_state)
+                st_out = jax.lax.stop_gradient(out.stepper_state)
+            else:
+                st_out = out.stepper_state
             return (
-                (new_state, out.stepper_state, key, loss_sum + step_loss.total),
+                (new_state, st_out, key, loss_sum + step_loss.total),
                 step_loss.total,
             )
 
@@ -258,8 +289,6 @@ class TrainStepper:
             (xs_in, xs_next, xs_target, xs_idx),
         )
         if cfg.optimize_last_step_only:
-            # gradients still flow through the full rollout into the last
-            # step (reference: single_module.py optimize_last_step_only)
             total = per_step[-1]
         pinit = cfg.parameter_init
         if pinit.alpha != 0.0 or pinit.beta != 0.0:
@@ -303,7 +332,9 @@ class TrainStepper:
 
     def build_valid_step(self):
         def valid_step(params, batch, rng, n_steps=None, labels=None):
-            _, metrics = self.loss_fn(params, batch, rng, n_steps, labels)
+            _, metrics = self.loss_fn(
+                params, batch, rng, n_steps, labels, deterministic=True
+            )
             return metrics
 
         return jax.jit(valid_step, static_argnums=(3,))

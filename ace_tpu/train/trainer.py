@@ -213,6 +213,8 @@ class Trainer:
         self.valid_data = valid_data
         self.paths = CheckpointPaths(config.experiment_dir)
         self.num_batches_seen = 0
+        self._epoch_batches_seen = 0
+        self._resume_skip_batches = 0
         self.start_epoch = 0
         self.best_validation_loss = float("inf")
         self.best_inference_error = float("inf")
@@ -261,6 +263,19 @@ class Trainer:
             signal.signal(sig, old)
         self._old_handlers = {}
 
+    def _checkpoint_extra(self, epoch: int) -> dict:
+        return {
+            "epoch": epoch,
+            "num_batches_seen": self.num_batches_seen,
+            "epoch_batches_seen": self._epoch_batches_seen,
+            "best_validation_loss": self.best_validation_loss,
+            "best_inference_error": self.best_inference_error,
+            "ema": self.train_stepper.ema.get_state()
+            if self.train_stepper.ema
+            else None,
+            "optimization": self.train_stepper.optimization.get_state(),
+        }
+
     def _save_latest(self):
         if self.params is None:
             return
@@ -272,11 +287,7 @@ class Trainer:
             ema_params=self.train_stepper.ema.ema_params
             if self.train_stepper.ema
             else None,
-            extra={
-                "epoch": self._current_epoch,
-                "num_batches_seen": self.num_batches_seen,
-                "best_validation_loss": self.best_validation_loss,
-            },
+            extra=self._checkpoint_extra(self._current_epoch),
         )
 
     def train(self):
@@ -308,12 +319,31 @@ class Trainer:
             )
         if self.config.evaluate_before_training and self.start_epoch == 0:
             valid_logs = self.validate()
+            pre_logs = {f"valid_pre/{k}": v for k, v in valid_logs.items()}
+            # pre-training inference baseline (reference
+            # generics/trainer.py runs the inference callback before
+            # training as well)
+            pre_entries = [
+                (i, e) for i, e in
+                enumerate(self.config.inference_entries)
+                if e.epochs.contains(0)
+            ]
+            multiple = len(self.config.inference_entries) > 1
+            for i, entry in pre_entries:
+                prefix = entry.name or (
+                    f"inference_{i}" if multiple else "inference"
+                )
+                logs = self.inference_one_epoch(entry)
+                logs.pop("inference_error", None)
+                for k, v in logs.items():
+                    pre_logs[f"valid_pre/{prefix}/{k}"] = v
             WandB.get_instance().log(
-                {f"valid_pre/{k}": v for k, v in valid_logs.items()},
-                step=self.num_batches_seen,
+                pre_logs, step=self.num_batches_seen
             )
         for epoch in range(self.start_epoch, end_epoch):
             self._current_epoch = epoch
+            if self._resume_skip_batches == 0:
+                self._epoch_batches_seen = 0
             logging.info(f"Epoch {epoch} starting")
             if self.config.lr_tuning.enabled:
                 self._maybe_tune_lr(epoch)
@@ -422,11 +452,22 @@ class Trainer:
         self.train_data.set_epoch(epoch)
         totals: dict[str, float] = {}
         count = 0
+        skip = self._resume_skip_batches
+        self._resume_skip_batches = 0
+        if skip:
+            logging.info(
+                f"mid-epoch resume: skipping {skip} already-trained batches"
+            )
         wandb = WandB.get_instance()
         for batch in self.train_data:
             # per-batch rollout length (constant unless a stochastic or
-            # epoch-milestone schedule is configured)
+            # epoch-milestone schedule is configured); sampled before the
+            # skip so resumed runs draw the same length sequence
             n_steps = self.train_stepper.sample_n_forward_steps(epoch)
+            if skip > 0:
+                skip -= 1
+                self._epoch_batches_seen += 1
+                continue
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, batch.data, self._next_rng(),
                 n_steps, batch.labels,
@@ -442,6 +483,7 @@ class Trainer:
                     self.train_stepper.ema.init(self.params)
                 self.train_stepper.ema(self.params)
             self.num_batches_seen += 1
+            self._epoch_batches_seen += 1
             count += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -500,7 +542,9 @@ class Trainer:
         prognostic = stepper.prognostic_names
         forcing_names = stepper.forcing_window_names
         for batch in self.valid_data:
-            metrics = self._valid_step(params, batch.data, self._next_rng())
+            metrics = self._valid_step(
+                params, batch.data, self._next_rng(), None, batch.labels
+            )
             count += 1
             for k, v in metrics.items():
                 totals[k] = totals.get(k, 0.0) + float(v)
@@ -571,17 +615,11 @@ class Trainer:
         return {k: float(v) for k, v in logs.items()}
 
     def save_all_checkpoints(self, epoch: int, valid_loss: float):
-        extra = {
-            "epoch": epoch + 1,
-            "num_batches_seen": self.num_batches_seen,
-            "best_validation_loss": min(
-                self.best_validation_loss, valid_loss
-            ),
-            "ema": self.train_stepper.ema.get_state()
-            if self.train_stepper.ema
-            else None,
-            "optimization": self.train_stepper.optimization.get_state(),
-        }
+        self._epoch_batches_seen = 0  # the epoch is complete
+        extra = self._checkpoint_extra(epoch + 1)
+        extra["best_validation_loss"] = min(
+            self.best_validation_loss, valid_loss
+        )
         stepper = self.stepper
         stepper.params = self.params
         save_train_checkpoint(
@@ -634,8 +672,15 @@ class Trainer:
         extra = out.get("extra", {})
         self.start_epoch = extra.get("epoch", 0)
         self.num_batches_seen = extra.get("num_batches_seen", 0)
+        # mid-epoch restart: skip the batches this epoch already trained
+        # (reference trainer.py persists current_epoch_num_batches_seen
+        # and resumes with subset_loader)
+        self._resume_skip_batches = extra.get("epoch_batches_seen", 0)
         self.best_validation_loss = extra.get(
             "best_validation_loss", float("inf")
+        )
+        self.best_inference_error = extra.get(
+            "best_inference_error", float("inf")
         )
         if extra.get("ema") and self.train_stepper.ema is not None:
             self.train_stepper.ema.load_state(extra["ema"])

@@ -96,9 +96,21 @@ def test_sigterm_saves_restart_checkpoint(tmp_path):
     assert proc.returncode == 128 + signal.SIGTERM, out[-2000:]
     assert "saving restart checkpoint" in out
 
-    # the checkpoint is loadable and carries optimizer state for resume
+    # the checkpoint is loadable and carries everything resume needs:
+    # optimizer state, EMA/optimization trackers, and the mid-epoch
+    # batch counter (so resume does not replay trained batches)
+    import json
+
     from ace_tpu.stepper.checkpoint import load_msgpack
 
     state = load_msgpack(str(ckpt))
     assert "stepper" in state
-    assert "optimizer" in state or "opt_state" in state or len(state) > 1
+    assert "optimizer" in state
+    extra = json.loads(state["extra"]) if isinstance(
+        state.get("extra"), (str, bytes)
+    ) else state.get("extra", {})
+    for key in ("epoch", "num_batches_seen", "epoch_batches_seen",
+                "best_validation_loss", "best_inference_error",
+                "optimization"):
+        assert key in extra, key
+    assert "lr_scale" in extra["optimization"]

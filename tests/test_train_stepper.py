@@ -222,3 +222,109 @@ def test_stochastic_rollout_lengths():
         )
         assert f"loss_step_{n - 1}" in metrics
         assert f"loss_step_{n}" not in metrics
+
+
+def test_optimize_last_step_only_detaches_earlier_steps():
+    """With optimize_last_step_only, gradients must flow only through
+    the final step (the reference runs earlier steps under no_grad,
+    single_module.py:1706-1711)."""
+    rng = np.random.RandomState(11)
+    ts_full = _train_stepper(n_forward_steps=3)
+    ts_last = _train_stepper(n_forward_steps=3)
+    ts_last.train_config.optimize_last_step_only = True
+    params, _ = ts_full.init(jax.random.PRNGKey(0))
+    batch = _batch(rng, 3)
+    key = jax.random.PRNGKey(1)
+
+    (_, m_full), g_full = jax.value_and_grad(
+        ts_full.loss_fn, has_aux=True
+    )(params, batch, key)
+    (loss_last, m_last), g_last = jax.value_and_grad(
+        ts_last.loss_fn, has_aux=True
+    )(params, batch, key)
+    # the optimized loss is the final step's loss
+    np.testing.assert_allclose(
+        float(loss_last), float(m_last["loss_step_2"]), rtol=1e-6
+    )
+    # detached-carry gradients differ from full-BPTT gradients
+    diffs = [
+        float(np.abs(np.asarray(a) - np.asarray(b)).max())
+        for a, b in zip(jax.tree_util.tree_leaves(g_full),
+                        jax.tree_util.tree_leaves(g_last))
+    ]
+    assert max(diffs) > 1e-8
+    # and the per-step losses agree (the forward pass is identical)
+    for i in range(3):
+        np.testing.assert_allclose(
+            float(m_full[f"loss_step_{i}"]),
+            float(m_last[f"loss_step_{i}"]), rtol=1e-5,
+        )
+
+
+def test_validation_is_deterministic_with_input_dropout():
+    """build_valid_step must run the deterministic path: different rngs
+    give identical metrics even when training-time input dropout is
+    configured (the reference sets stepper.set_eval() before
+    validation)."""
+    rng = np.random.RandomState(12)
+    ts = _train_stepper(
+        n_forward_steps=2,
+        input_dropout={"default": {"rate": 0.5}},
+    )
+    params, _ = ts.init(jax.random.PRNGKey(0))
+    batch = _batch(rng, 2)
+    valid_step = ts.build_valid_step()
+    m1 = valid_step(params, batch, jax.random.PRNGKey(1))
+    m2 = valid_step(params, batch, jax.random.PRNGKey(2))
+    np.testing.assert_allclose(
+        float(m1["loss"]), float(m2["loss"]), rtol=0, atol=0
+    )
+    # the training path keeps stochastic input dropout
+    l1, _ = ts.loss_fn(params, batch, jax.random.PRNGKey(1))
+    l2, _ = ts.loss_fn(params, batch, jax.random.PRNGKey(2))
+    assert abs(float(l1) - float(l2)) > 0
+
+
+def test_training_rollout_applies_output_masking():
+    """The training rollout must mask outputs exactly like the inference
+    rollout (reference masks inside Stepper.step)."""
+    rng = np.random.RandomState(13)
+    ts = _train_stepper(n_forward_steps=2)
+    params, _ = ts.init(jax.random.PRNGKey(0))
+    batch = _batch(rng, 2)
+    # zero targets + an output masker that zeroes everything => loss 0
+    batch = {
+        k: (jnp.zeros_like(v) if k in ("prog", "diag") else v)
+        for k, v in batch.items()
+    }
+    loss_unmasked, _ = ts.loss_fn(params, batch, jax.random.PRNGKey(1))
+    assert float(loss_unmasked) > 0
+    ts.stepper.output_masker = lambda d: {
+        k: jnp.zeros_like(v) for k, v in d.items()
+    }
+    loss_masked, _ = ts.loss_fn(params, batch, jax.random.PRNGKey(1))
+    np.testing.assert_allclose(float(loss_masked), 0.0, atol=1e-12)
+
+
+def test_ensemble_loss_requires_two_members():
+    with pytest.raises(ValueError, match="n_ensemble"):
+        _train_stepper(loss_type="EnsembleLoss", n_ensemble=1)
+    # auto-default: -1 -> 2 for ensemble losses
+    ts = _train_stepper(loss_type="EnsembleLoss", n_ensemble=-1)
+    assert ts.train_config.n_ensemble == 2
+
+
+def test_optimization_state_roundtrips_lr_scale():
+    from ace_tpu.core.optimization import OptimizationConfig
+
+    opt = OptimizationConfig(lr=1e-3).build(max_epochs=4)
+    opt._count = 17
+    opt.scale_lr(0.25)
+    state = opt.get_state()
+    fresh = OptimizationConfig(lr=1e-3).build(max_epochs=4)
+    fresh.load_state(state)
+    assert fresh._count == 17
+    np.testing.assert_allclose(fresh._lr_scale_box[0], 0.25)
+    np.testing.assert_allclose(
+        fresh.learning_rate, opt.learning_rate
+    )
