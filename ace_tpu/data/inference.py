@@ -100,12 +100,6 @@ class ForcingDataLoaderConfig:
     dataset: XarrayDataConfig
     num_data_workers: int = 2
 
-    def build_with_start_indices(self, start_indices, **kwargs):
-        return InferenceDataLoaderConfig(
-            dataset=self.dataset, start_indices=start_indices,
-            num_data_workers=self.num_data_workers,
-        ).build(**kwargs)
-
 
 class InferenceGriddedData:
     """Provides the initial condition and an iterator of forcing windows
@@ -152,36 +146,14 @@ class InferenceGriddedData:
         )
         return BatchData(data=data, time=time)
 
-    def windows(self):
-        """Yield (forcing BatchData [n_ic, fsm+1, H, W], window index).
+    def windows(self, names: list[str] | None = None):
+        """Yield (BatchData [n_ic, fsm+1, H, W], window index).
 
         Window k covers forward steps [k*fsm, min((k+1)*fsm, n)) with one
-        step of overlap at the start.
+        step of overlap at the start. ``names`` defaults to the forcing
+        variables; the evaluator passes target names instead.
         """
-        fsm = self.forward_steps_in_memory
-        n = self.n_forward_steps
-        k = 0
-        while k * fsm < n:
-            n_fwd = min(fsm, n - k * fsm)
-            samples = [
-                self.dataset.get_window(
-                    s + k * fsm, n_fwd + 1, self.forcing_names
-                )
-                for s in self._starts
-            ]
-            data = {
-                name: np.stack([s[0][name] for s in samples])
-                for name in self.forcing_names
-            }
-            time = TimeCoord(
-                np.stack([s[1].values for s in samples]),
-                samples[0][1].calendar,
-            )
-            yield BatchData(data=data, time=time), k
-            k += 1
-
-    def target_windows(self, names: list[str]):
-        """Like windows() but for arbitrary (target) names — evaluator use."""
+        names = self.forcing_names if names is None else names
         fsm = self.forward_steps_in_memory
         n = self.n_forward_steps
         k = 0
@@ -201,3 +173,7 @@ class InferenceGriddedData:
             )
             yield BatchData(data=data, time=time), k
             k += 1
+
+    def target_windows(self, names: list[str]):
+        """windows() over arbitrary (target) names — evaluator use."""
+        return self.windows(names)

@@ -8,6 +8,7 @@ prognostic state + time for segmented runs.
 
 import dataclasses
 import json
+import logging
 import os
 from typing import Any
 
@@ -18,6 +19,20 @@ from ace_tpu.data.store import encode_cf_time
 from ace_tpu.data.time import TimeCoord
 from ace_tpu.core.typing_ import TensorMapping
 
+
+
+def _select_names(names: list | None, data: TensorMapping) -> list:
+    """Configured names act as an allowlist intersected with what the
+    model actually produced (reference raw.py:158-161 get_all_names);
+    unknown names are skipped with a log line instead of a KeyError."""
+    if names is None:
+        return list(data.keys())
+    missing = [n for n in names if n not in data]
+    if missing:
+        logging.info(
+            "data_writer names not in outputs, skipping: %s", missing
+        )
+    return [n for n in names if n in data]
 
 
 def _horizontal_coords_arrays(coords) -> tuple[dict, tuple]:
@@ -61,7 +76,7 @@ class H5DataWriter:
                 self._f.create_dataset(name, data=np.arange(n, dtype="f8"))
 
     def append_batch(self, data: TensorMapping, time: TimeCoord):
-        names = self._names or list(data.keys())
+        names = _select_names(self._names, data)
         n_new = time.values.shape[-1]
         first = self._n_time == 0
         if first:
@@ -112,6 +127,8 @@ class ZarrDataWriter:
 
     def __init__(self, path: str, dataset_info: DatasetInfo,
                  names: list[str] | None = None):
+        import tensorstore as ts
+
         self._path = path
         self._names = names
         self._info = dataset_info
@@ -120,8 +137,30 @@ class ZarrDataWriter:
         os.makedirs(path, exist_ok=True)
         with open(os.path.join(path, ".zgroup"), "w") as f:
             json.dump({"zarr_format": 2}, f)
+        # spatial coordinate arrays (the reference zarr writer stores
+        # them so _ARRAY_DIMENSIONS references resolve, zarr.py:152)
+        coords, _ = _horizontal_coords_arrays(
+            dataset_info.horizontal_coordinates
+        )
+        for cname, cvals in coords.items():
+            cvals = np.asarray(cvals)
+            arr_dir = os.path.join(path, cname)
+            store = ts.open({
+                "driver": "zarr",
+                "kvstore": {"driver": "file", "path": arr_dir},
+                "metadata": {
+                    "shape": list(cvals.shape),
+                    "chunks": list(cvals.shape),
+                    "dtype": cvals.dtype.str,
+                },
+                "create": True, "delete_existing": True,
+            }).result()
+            store.write(cvals).result()
+            with open(os.path.join(arr_dir, ".zattrs"), "w") as f:
+                json.dump({"_ARRAY_DIMENSIONS": [cname]}, f)
 
-    def _create(self, name: str, arr: np.ndarray, attrs: dict):
+    def _create(self, name: str, arr: np.ndarray, attrs: dict,
+                dtype: str = "<f4"):
         import tensorstore as ts
 
         arr_dir = os.path.join(self._path, name)
@@ -131,7 +170,7 @@ class ZarrDataWriter:
             "metadata": {
                 "shape": [arr.shape[0], 0, *arr.shape[2:]],
                 "chunks": [arr.shape[0], 1, *arr.shape[2:]],
-                "dtype": "<f4",
+                "dtype": dtype,
             },
             "create": True, "delete_existing": True,
         }).result()
@@ -142,7 +181,7 @@ class ZarrDataWriter:
     def append_batch(self, data: TensorMapping, time: TimeCoord):
         import tensorstore as ts  # noqa: F401
 
-        names = self._names or list(data.keys())
+        names = _select_names(self._names, data)
         n_new = time.values.shape[-1]
         _, spatial_dims = _horizontal_coords_arrays(
             self._info.horizontal_coordinates
@@ -159,10 +198,13 @@ class ZarrDataWriter:
                     )
                 self._create(name, arr, attrs)
             vals, units, calendar = encode_cf_time(time)
+            # float64: float32 cannot represent modern epochs to better
+            # than ~2 minutes
             self._create(
-                "time", np.atleast_2d(vals).astype(np.float32),
+                "time", np.atleast_2d(vals).astype(np.float64),
                 {"_ARRAY_DIMENSIONS": ["sample", "time"],
                  "units": units, "calendar": calendar},
+                dtype="<f8",
             )
         t0, t1 = self._n_time, self._n_time + n_new
         for name in names:
@@ -182,7 +224,7 @@ class ZarrDataWriter:
         ).result()
         self._stores["time"] = tstore
         tstore[:, t0:t1].write(
-            np.atleast_2d(vals).astype(np.float32)
+            np.atleast_2d(vals).astype(np.float64)
         ).result()
         self._n_time = t1
 
@@ -253,6 +295,20 @@ class DataWriterConfig:
     names: list[str] | None = None
     time_coarsen_factor: int = 1
 
+    def validate_time_coarsen(self, n_forward_steps: int,
+                              forward_steps_in_memory: int) -> None:
+        """Reject rollout lengths the coarsener cannot tile — trailing
+        steps would silently never reach the output (reference
+        data_writer/main.py:95 validate_time_coarsen)."""
+        f = self.time_coarsen_factor
+        if f <= 1 or not self.save_prediction_files:
+            return
+        if n_forward_steps % f != 0:
+            raise ValueError(
+                f"n_forward_steps ({n_forward_steps}) must be divisible "
+                f"by time_coarsen_factor ({f})"
+            )
+
     def build(self, experiment_dir: str, dataset_info: DatasetInfo):
         writers = []
         if self.save_prediction_files:
@@ -295,27 +351,31 @@ class MonthlyMeanWriter:
         self._path = path
         self._info = dataset_info
         self._names = names
-        self._sums: dict[str, dict[tuple[int, int], np.ndarray]] = {}
-        self._counts: dict[tuple[int, int], int] = {}
+        # per-sample month bins: samples may start at different initial
+        # times (reference monthly.py:169-190 bins each sample by its
+        # own calendar month)
+        self._sums: dict[str, dict[tuple[int, int, int], np.ndarray]] = {}
+        self._counts: dict[tuple[int, int, int], int] = {}
+        self._calendar: str | None = None
 
     def append_batch(self, data: TensorMapping, time: TimeCoord):
         comps = time.components()
-        years, months = comps["year"], comps["month"]
-        names = self._names or list(data.keys())
-        n_time = time.values.shape[-1]
-        for t in range(n_time):
-            key = (int(years[0, t] if years.ndim > 1 else years[t]),
-                   int(months[0, t] if months.ndim > 1 else months[t]))
-            self._counts[key] = self._counts.get(key, 0) + 1
-            for name in names:
-                if name not in data:
-                    continue
-                arr = np.asarray(data[name])[:, t]
-                sums = self._sums.setdefault(name, {})
-                if key in sums:
-                    sums[key] = sums[key] + arr
-                else:
-                    sums[key] = arr.copy()
+        years = np.atleast_2d(comps["year"])
+        months = np.atleast_2d(comps["month"])
+        self._calendar = time.calendar
+        names = _select_names(self._names, data)
+        n_samples, n_time = years.shape
+        for b in range(n_samples):
+            for t in range(n_time):
+                key = (b, int(years[b, t]), int(months[b, t]))
+                self._counts[key] = self._counts.get(key, 0) + 1
+                for name in names:
+                    arr = np.asarray(data[name])[b, t]
+                    sums = self._sums.setdefault(name, {})
+                    if key in sums:
+                        sums[key] = sums[key] + arr
+                    else:
+                        sums[key] = arr.copy()
 
     def flush(self):
         pass
@@ -324,33 +384,51 @@ class MonthlyMeanWriter:
         from ace_tpu.data.store import write_h5
         from ace_tpu.data.time import encode_time
 
-        keys = sorted(self._counts)
-        if not keys:
+        if not self._counts:
             return
-        out_data, dims = {}, {}
-        for name, sums in self._sums.items():
-            stacked = np.stack(
-                [sums[k] / self._counts[k] for k in keys], axis=1
-            )
-            out_data[name] = stacked.astype(np.float32)
-            _, spatial_dims = _horizontal_coords_arrays(
-                self._info.horizontal_coordinates
-            )
-            dims[name] = ("sample", "month", *spatial_dims)[: stacked.ndim]
-        # month start times as the coordinate
-        micros = np.asarray([
-            int(encode_time(np.asarray([y]), m, 1)[0]) for y, m in keys
-        ])
-        out_data["valid_time"] = micros.astype(np.float64) / 1e6
-        dims["valid_time"] = ("month",)
-        out_data["counts"] = np.asarray(
-            [self._counts[k] for k in keys], np.int64
+        samples = sorted({k[0] for k in self._counts})
+        months_per_sample = {
+            b: sorted((y, m) for (bb, y, m) in self._counts if bb == b)
+            for b in samples
+        }
+        n_months = max(len(v) for v in months_per_sample.values())
+        calendar = self._calendar or "proleptic_gregorian"
+        _, spatial_dims = _horizontal_coords_arrays(
+            self._info.horizontal_coordinates
         )
-        dims["counts"] = ("month",)
+        out_data, dims, attrs = {}, {}, {}
+        for name, sums in self._sums.items():
+            first = next(iter(sums.values()))
+            stacked = np.full(
+                (len(samples), n_months, *first.shape), np.nan,
+                np.float32,
+            )
+            for bi, b in enumerate(samples):
+                for mi, (y, m) in enumerate(months_per_sample[b]):
+                    stacked[bi, mi] = (
+                        sums[(b, y, m)] / self._counts[(b, y, m)]
+                    )
+            out_data[name] = stacked
+            dims[name] = ("sample", "month", *spatial_dims)
+        units = "days since 0001-01-01"
+        valid_time = np.full((len(samples), n_months), np.nan)
+        counts = np.zeros((len(samples), n_months), np.int64)
+        for bi, b in enumerate(samples):
+            for mi, (y, m) in enumerate(months_per_sample[b]):
+                micros = int(encode_time(
+                    np.asarray([y]), m, 1, calendar=calendar
+                )[0])
+                valid_time[bi, mi] = micros / (86400.0 * 10**6)
+                counts[bi, mi] = self._counts[(b, y, m)]
+        out_data["valid_time"] = valid_time
+        dims["valid_time"] = ("sample", "month")
+        attrs["valid_time"] = {"units": units, "calendar": calendar}
+        out_data["counts"] = counts
+        dims["counts"] = ("sample", "month")
         coords, _ = _horizontal_coords_arrays(
             self._info.horizontal_coordinates
         )
-        write_h5(self._path, out_data, dims, coords=coords)
+        write_h5(self._path, out_data, dims, coords=coords, attrs=attrs)
 
 
 class TimeCoarsenWriter:
@@ -391,8 +469,12 @@ class TimeCoarsenWriter:
         f = self._factor
         coarse = {k: v[:, :f].mean(axis=1, keepdims=True)
                   for k, v in data.items()}
-        # representative time: last step of the window
-        t_out = TimeCoord(time.values[..., f - 1 : f], time.calendar)
+        # time labels coarsen to the mean of the window's labels
+        # (reference time_coarsen.py:183 batch_time.coarsen(...).mean())
+        t_mean = time.values[..., :f].mean(
+            axis=-1, keepdims=True
+        ).astype(np.int64)
+        t_out = TimeCoord(t_mean, time.calendar)
         self._writer.append_batch(coarse, t_out)
         rest = {k: v[:, f:] for k, v in data.items()}
         rest_time = TimeCoord(time.values[..., f:], time.calendar)

@@ -42,6 +42,11 @@ class EvaluatorConfig:
     )
     stepper_override: StepperOverrideConfig | None = None
 
+    def __post_init__(self):
+        self.data_writer.validate_time_coarsen(
+            self.n_forward_steps, self.forward_steps_in_memory
+        )
+
 
 def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
     config.logging.configure(config.experiment_dir)

@@ -56,6 +56,11 @@ class InferenceConfig:
     initial_condition_path: str | None = None
     stepper_override: StepperOverrideConfig | None = None
 
+    def __post_init__(self):
+        self.data_writer.validate_time_coarsen(
+            self.n_forward_steps, self.forward_steps_in_memory
+        )
+
 
 def load_restart_initial_condition(path: str, names: list[str]):
     """Read a restart.nc written by save_restart into an IC dict."""
@@ -141,6 +146,7 @@ def run_segmented_inference(config: InferenceConfig, segments: int):
     from ace_tpu.data.inference import ExplicitIndices
 
     summary = None
+    base_starts = None  # resolved lazily, once, for continuation segments
     for segment in range(segments):
         segment_dir = os.path.join(
             config.experiment_dir, f"segment_{segment:04d}"
@@ -158,10 +164,13 @@ def run_segmented_inference(config: InferenceConfig, segments: int):
             seg_config.initial_condition_path = os.path.join(
                 prev_dir, "restart.nc"
             )
-            # shift IC start indices forward by the completed steps
-            base_starts = config.forcing_loader.start_indices.resolve(
-                config.forcing_loader.dataset.build().all_time
-            )
+            # shift IC start indices forward by the completed steps;
+            # resolve against the dataset once, not per segment (the
+            # build re-reads every file's time index)
+            if base_starts is None:
+                base_starts = config.forcing_loader.start_indices.resolve(
+                    config.forcing_loader.dataset.build().all_time
+                )
             seg_config.forcing_loader.start_indices = ExplicitIndices(
                 list=[
                     s + segment * config.n_forward_steps

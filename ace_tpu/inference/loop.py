@@ -81,6 +81,17 @@ def run_inference(
                     target = {
                         k_: v[:, 1:] for k_, v in target_window.data.items()
                     }
+                    if compute_derived_variables and vc is not None:
+                        # derive for the reference data too so paired
+                        # metrics exist for derived variables (reference
+                        # loop.py:64-65 derives both sides)
+                        target = compute_derived_quantities(
+                            target, vc, info.timestep,
+                            forcing_data={
+                                k_: np.asarray(v)[:, 1:]
+                                for k_, v in forcing_np.items()
+                            },
+                        )
                 aggregator.record_batch(outputs, target, time=out_time)
         n_steps_done += out_time.values.shape[1]
         logging.info(
