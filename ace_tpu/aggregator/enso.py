@@ -41,11 +41,15 @@ class EnsoIndexAggregator:
     """
 
     def __init__(self, coords: LatLonCoordinates,
-                 sst_name: str = "surface_temperature"):
+                 sst_name: str = "surface_temperature",
+                 running_mean_n_months: int = 5):
         self._weights = _region_mask(coords, **NINO34)
         self._sst_name = sst_name
+        self._running_mean_n_months = running_mean_n_months
         self._gen: list[np.ndarray] = []
         self._target: list[np.ndarray] = []
+        self._years: list[np.ndarray] = []
+        self._months: list[np.ndarray] = []
 
     def record_batch(self, gen: TensorMapping,
                      target: TensorMapping | None = None, time=None):
@@ -54,6 +58,10 @@ class EnsoIndexAggregator:
         g = np.asarray(gen[self._sst_name])  # [B, T, H, W]
         self._gen.append(np.tensordot(g, self._weights, axes=([-2, -1],
                                                               [0, 1])))
+        if time is not None:
+            comps = time.components()
+            self._years.append(np.atleast_2d(comps["year"])[0])
+            self._months.append(np.atleast_2d(comps["month"])[0])
         if target is not None and self._sst_name in target:
             t = np.asarray(target[self._sst_name])
             self._target.append(
@@ -61,8 +69,43 @@ class EnsoIndexAggregator:
             )
 
     def _index(self, chunks):
+        """Anomalies vs the per-calendar-month climatology followed by a
+        5-month running monthly mean (reference
+        inference/enso/dynamic_index.py RegionalIndexAggregator via
+        anomalies_from_monthly_climo + running_monthly_mean). Without
+        the climatology step the 'index' would mostly measure the SST
+        seasonal cycle. Falls back to mean removal when no times were
+        recorded."""
         series = np.concatenate(chunks, axis=-1)  # [B, T_total]
-        return series - series.mean(axis=-1, keepdims=True)
+        if not self._months:
+            return series - series.mean(axis=-1, keepdims=True)
+        months = np.concatenate(self._months)[: series.shape[-1]]
+        years = np.concatenate(self._years)[: series.shape[-1]]
+        series = series[..., : len(months)].astype(np.float64)
+        anom = series.copy()
+        for m in range(1, 13):
+            sel = months == m
+            if sel.any():
+                anom[..., sel] -= series[..., sel].mean(
+                    axis=-1, keepdims=True
+                )
+        # monthly means, then a trailing n-month running mean
+        keys = years * 12 + (months - 1)
+        uniq = np.unique(keys)
+        monthly = np.stack(
+            [anom[..., keys == k].mean(axis=-1) for k in uniq], axis=-1
+        )
+        n = self._running_mean_n_months
+        if monthly.shape[-1] < n:
+            return monthly
+        running = np.stack(
+            [
+                monthly[..., i - n + 1 : i + 1].mean(axis=-1)
+                for i in range(n - 1, monthly.shape[-1])
+            ],
+            axis=-1,
+        )
+        return running
 
     def get_logs(self, label: str = "enso") -> dict[str, float]:
         if not self._gen:

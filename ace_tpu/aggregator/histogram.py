@@ -65,13 +65,22 @@ class DynamicHistogram:
         self.bin_edges, self.counts = new_edges, new_counts
 
     def percentile(self, q: float) -> float:
-        """Value at percentile q (0-100) via linear interpolation."""
+        """Value at percentile q (0-100) via linear interpolation within
+        the containing bin (reference fme/core/histogram.py quantile():
+        c0 + (c1-c0)*(p-p0)/(p1-p0); bins can be wide after range
+        doublings, so the right-edge alone is biased by up to a bin)."""
         if self.bin_edges is None or self.counts.sum() == 0:
             return float("nan")
+        target = q / 100.0
         cdf = np.cumsum(self.counts) / self.counts.sum()
-        idx = int(np.searchsorted(cdf, q / 100.0))
+        idx = int(np.searchsorted(cdf, target))
         idx = min(idx, self._n_bins - 1)
-        return float(self.bin_edges[idx + 1])
+        p1 = cdf[idx]
+        p0 = cdf[idx - 1] if idx > 0 else 0.0
+        c0, c1 = self.bin_edges[idx], self.bin_edges[idx + 1]
+        if p1 <= p0:
+            return float(c1)
+        return float(c0 + (c1 - c0) * (target - p0) / (p1 - p0))
 
 
 class HistogramAggregator:
@@ -158,17 +167,31 @@ class HistogramAggregator:
 
 class GlobalMeanAnnualAggregator:
     """Area-weighted global means grouped by calendar year
-    (reference: fme/ace/aggregator/inference/annual.py:169).
+    (reference: fme/ace/aggregator/inference/annual.py:169). Incomplete
+    first/last years (fewer than ~350 days of samples) are excluded
+    from the logged means (reference _get_min_samples, annual.py:418),
+    and paired target data yields an annual RMSE over complete years.
     """
 
-    def __init__(self, ops: GriddedOperations):
+    # a year counts as complete with >= this many days of samples
+    MIN_COMPLETE_YEAR_DAYS = 350.0
+
+    def __init__(self, ops: GriddedOperations,
+                 timestep_seconds: float | None = None):
         self._ops = ops
+        self._timestep_seconds = timestep_seconds
         self._sums: dict[str, dict[int, float]] = {}
         self._counts: dict[str, dict[int, int]] = {}
+        self._target_sums: dict[str, dict[int, float]] = {}
 
     def record_batch(self, gen: TensorMapping, time: TimeCoord,
                      target=None):
         years = time.components()["year"]  # [batch, n_time]
+        if self._timestep_seconds is None and time.values.shape[-1] > 1:
+            self._timestep_seconds = float(
+                (time.values[..., 1] - time.values[..., 0]).ravel()[0]
+                / 1e6
+            )
         for name, value in gen.items():
             gm = np.asarray(
                 self._ops.area_weighted_mean(value, name=name)
@@ -183,6 +206,32 @@ class GlobalMeanAnnualAggregator:
                 counts[int(year)] = counts.get(int(year), 0) + int(
                     mask.sum()
                 )
+        if target is not None:
+            for name, value in target.items():
+                if name not in gen:
+                    continue
+                gm = np.asarray(
+                    self._ops.area_weighted_mean(value, name=name)
+                )
+                tsums = self._target_sums.setdefault(name, {})
+                for year in np.unique(years):
+                    mask = years == year
+                    tsums[int(year)] = tsums.get(int(year), 0.0) + float(
+                        gm[mask].sum()
+                    )
+
+    def _min_samples(self) -> float:
+        if not self._timestep_seconds:
+            return 0.0
+        return self.MIN_COMPLETE_YEAR_DAYS * 86400.0 / (
+            self._timestep_seconds
+        )
+
+    def _complete_years(self, name: str) -> list[int]:
+        min_samples = self._min_samples()
+        return sorted(
+            y for y, c in self._counts[name].items() if c > min_samples
+        )
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
         out = {}
@@ -192,17 +241,33 @@ class GlobalMeanAnnualAggregator:
                 [sums[y] / self._counts[name][y] for y in years]
             )
             out[f"annual_mean_years-{name}"] = np.asarray(years)
+            if name in self._target_sums:
+                tsums = self._target_sums[name]
+                out[f"annual_mean_target-{name}"] = np.asarray([
+                    tsums.get(y, np.nan) / self._counts[name][y]
+                    for y in years
+                ])
         return out
 
     def get_logs(self, label: str = "annual") -> dict[str, float]:
         logs = {}
         for name, sums in self._sums.items():
-            years = sorted(sums)
+            years = self._complete_years(name)
             if years:
-                last = years[-1]
                 logs[f"{label}/mean/{name}"] = float(
                     np.mean([
                         sums[y] / self._counts[name][y] for y in years
                     ])
                 )
+                tsums = self._target_sums.get(name)
+                if tsums:
+                    paired = [y for y in years if y in tsums]
+                    if paired:
+                        diffs = [
+                            (sums[y] - tsums[y]) / self._counts[name][y]
+                            for y in paired
+                        ]
+                        logs[f"{label}/rmse/{name}"] = float(
+                            np.sqrt(np.mean(np.square(diffs)))
+                        )
         return logs

@@ -46,9 +46,15 @@ class TimeMeanAggregator:
     def get_logs(self, label: str = "time_mean") -> dict[str, float]:
         logs = {}
         for k in self._gen_sum:
-            gen_mean = self._gen_sum[k] / self._n
+            # RMSE between the SAMPLE-MEAN time-mean maps (the reference
+            # divides by n_timesteps and n_samples before one RMSE,
+            # inference/time_mean.py); a mean of per-sample RMSEs would
+            # be systematically larger by Jensen's inequality
+            gen_mean = jnp.mean(self._gen_sum[k] / self._n, axis=0)[None]
             if k in self._target_sum:
-                target_mean = self._target_sum[k] / self._n
+                target_mean = jnp.mean(
+                    self._target_sum[k] / self._n, axis=0
+                )[None]
                 logs[f"{label}/rmse/{k}"] = float(
                     jnp.mean(self._ops.area_weighted_rmse(
                         target_mean, gen_mean, name=k
@@ -194,26 +200,36 @@ class SpectrumAggregator:
         self._nan_fill = None  # flood fill is lat-lon only
         return self
 
-    def _power(self, field) -> jnp.ndarray:
+    def _power_sum(self, field) -> tuple[jnp.ndarray, int]:
+        """Per-l power summed over the leading (batch, time) axes.
+
+        The reference sums raw |coeffs|^2 over m with no Hermitian
+        doubling (fme/core/metrics.py spherical_power_spectrum), and
+        weights its running mean by batch*time (spectrum.py), so partial
+        final windows are not over-weighted."""
         coeffs = self._sht(field)
-        weights = jnp.full((coeffs.shape[-1],), 2.0).at[0].set(1.0)
-        power = jnp.sum(jnp.abs(coeffs) ** 2 * weights, axis=-1)
-        # average over batch and time
-        return jnp.mean(power, axis=tuple(range(power.ndim - 1)))
+        power = jnp.sum(jnp.abs(coeffs) ** 2, axis=-1)
+        lead = tuple(range(power.ndim - 1))
+        n = int(np.prod(power.shape[:-1])) if power.ndim > 1 else 1
+        return jnp.sum(power, axis=lead), n
 
     def record_batch(self, gen: TensorMapping, target: TensorMapping | None):
-        self._n += 1
+        n_added = None
         for k, v in gen.items():
             if self._nan_fill is not None:
                 v = self._nan_fill(v, k)
-            self._gen_sum[k] = self._gen_sum.get(k, 0.0) + self._power(v)
+            p, n_added = self._power_sum(v)
+            self._gen_sum[k] = self._gen_sum.get(k, 0.0) + p
+        if n_added is not None:
+            self._n += n_added
         if target is not None:
             for k, v in target.items():
                 if k in gen:
                     if self._nan_fill is not None:
                         v = self._nan_fill(v, f"target/{k}")
+                    p, _ = self._power_sum(v)
                     self._target_sum[k] = (
-                        self._target_sum.get(k, 0.0) + self._power(v)
+                        self._target_sum.get(k, 0.0) + p
                     )
 
     def get_logs(self, label: str = "spectrum") -> dict[str, float]:
@@ -349,8 +365,13 @@ class InferenceEvaluatorAggregator:
     def record_batch(self, gen: TensorMapping,
                      target: TensorMapping | None = None, time=None):
         self._n_steps += next(iter(gen.values())).shape[1]
-        for agg in self._aggregators.values():
-            agg.record_batch(gen, target)
+        for name, agg in self._aggregators.items():
+            if name in ("enso", "ipo"):
+                # index aggregators need timestamps for the monthly
+                # climatology anomaly step
+                agg.record_batch(gen, target, time=time)
+            else:
+                agg.record_batch(gen, target)
         if self._annual is not None and time is not None:
             self._annual.record_batch(gen, time, target)
         if self._seasonal is not None and time is not None:
@@ -440,9 +461,18 @@ class InferenceEvaluatorAggregator:
                         vmin, vmax = plotting.get_cmap_limits(
                             arr, diverging
                         )
+                        # the lon roll is for maps only: Hovmoller /
+                        # series arrays have time on the last axis and
+                        # must not be rolled (reference passes
+                        # roll_lon=False for zonal-mean images)
+                        is_map = not any(
+                            t in key for t in
+                            ("hovmoller", "series", "index", "spectrum")
+                        )
                         fig = plotting.plot_imshow(
                             arr, vmin=vmin, vmax=vmax,
                             cmap="RdBu_r" if diverging else None,
+                            roll_lon=is_map,
                         )
                         plotting.save_figure(
                             fig, os.path.join(output_dir, safe + ".png")

@@ -74,9 +74,14 @@ class EnsembleOneStepAggregator:
         self._ops = ops
         self._crps: dict[str, float] = {}
         self._mse: dict[str, float] = {}
-        self._var: dict[str, float] = {}
+        self._mse_map: dict[str, np.ndarray] = {}
+        self._var_map: dict[str, np.ndarray] = {}
         self._n_ens: int | None = None
         self._count = 0
+
+    # zero-spread cells whose unbiased MSE is below this fraction of the
+    # field's largest MSE are prescribed (reference ensemble.py:20)
+    _PRESCRIBED_MSE_RTOL = 1e-6
 
     def record_batch(self, gen: TensorMapping, target: TensorMapping):
         from ace_tpu.core.loss import get_crps
@@ -92,33 +97,46 @@ class EnsembleOneStepAggregator:
                 get_crps(g, t[:, None], alpha=0.95)
             ))
             mean = jnp.mean(g, axis=1)
-            mse = float(jnp.mean(
+            # per-cell maps: the SSR is spread/skill per grid cell, then
+            # averaged (reference SSRBiasMetric keeps the spatial dims;
+            # a ratio of global means differs wherever spread/skill vary
+            # spatially, e.g. half-prescribed fields)
+            mse_map = np.asarray(jnp.mean((mean - t) ** 2, axis=0))
+            var_map = np.asarray(
+                jnp.mean(jnp.var(g, axis=1, ddof=1), axis=0)
+            )
+            scalar_mse = float(jnp.mean(
                 self._ops.area_weighted_mean((mean - t) ** 2, name=name)
             ))
-            var = float(jnp.mean(
-                self._ops.area_weighted_mean(
-                    jnp.var(g, axis=1, ddof=1), name=name
-                )
-            ))
             self._crps[name] = self._crps.get(name, 0.0) + crps
-            self._mse[name] = self._mse.get(name, 0.0) + mse
-            self._var[name] = self._var.get(name, 0.0) + var
+            self._mse[name] = self._mse.get(name, 0.0) + scalar_mse
+            self._mse_map[name] = self._mse_map.get(name, 0.0) + mse_map
+            self._var_map[name] = self._var_map.get(name, 0.0) + var_map
+
+    def _ssr_bias_map(self, name: str) -> np.ndarray:
+        """(reference ensemble.py:110-173 SSRBiasMetric.get)."""
+        n_ens = max(self._n_ens or 1, 1)
+        total_var = self._var_map[name]
+        total_umse = self._mse_map[name] - total_var / n_ens
+        spread = np.sqrt(total_var)
+        skill = np.sqrt(np.clip(total_umse, 0.0, None))
+        ssr = np.where(skill > 0, spread / np.maximum(skill, 1e-300) - 1.0,
+                       -1.0)
+        # prescribed cells (zero spread, ~zero error) report 0
+        mse_floor = self._PRESCRIBED_MSE_RTOL * float(
+            np.max(np.square(skill), initial=0.0)
+        )
+        prescribed = (total_var == 0) & (total_umse <= mse_floor)
+        return np.where(prescribed, 0.0, ssr)
 
     def get_logs(self, label: str = "ensemble") -> dict[str, float]:
         logs = {}
         n = max(self._count, 1)
         for name in self._crps:
             mse = self._mse[name] / n
-            var = self._var[name] / n
-            # remove the ensemble-mean sampling noise from the MSE
-            # (reference: ensemble.py SSRBiasMetric unbiased MSE)
-            unbiased_mse = max(
-                mse - var / max(self._n_ens or 1, 1), 0.0
-            )
             logs[f"{label}/crps/{name}"] = self._crps[name] / n
             logs[f"{label}/rmse_of_ensemble_mean/{name}"] = mse**0.5
-            if unbiased_mse > 0:
-                logs[f"{label}/spread_skill_ratio_bias/{name}"] = (
-                    (var**0.5) / (unbiased_mse**0.5) - 1.0
-                )
+            logs[f"{label}/spread_skill_ratio_bias/{name}"] = float(
+                np.mean(self._ssr_bias_map(name))
+            )
         return logs

@@ -18,7 +18,10 @@ SEASONS = ("DJF", "MAM", "JJA", "SON")
 
 
 class SeasonalAggregator:
-    """Mean maps per meteorological season (DJF/MAM/JJA/SON)."""
+    """Mean maps per meteorological season (DJF/MAM/JJA/SON). Each
+    sample bins by its own calendar month — with staggered initial
+    conditions, samples sit in different seasons at the same step
+    (reference groups per-sample valid_time.dt.season)."""
 
     def __init__(self):
         self._sums: dict[str, dict[str, np.ndarray]] = {}
@@ -26,19 +29,19 @@ class SeasonalAggregator:
 
     def record_batch(self, gen: TensorMapping, time: TimeCoord,
                      target=None):
-        months = time.components()["month"]
-        n_time = time.values.shape[-1]
-        for t in range(n_time):
-            month = int(months[0, t] if months.ndim > 1 else months[t])
-            season = SEASON_OF_MONTH[month]
-            self._counts[season] += 1
-            for name, value in gen.items():
-                arr = np.asarray(value)[:, t].mean(axis=0)
-                sums = self._sums.setdefault(name, {})
-                if season in sums:
-                    sums[season] = sums[season] + arr
-                else:
-                    sums[season] = arr.copy()
+        months = np.atleast_2d(time.components()["month"])
+        n_samples, n_time = months.shape
+        for b in range(n_samples):
+            for t in range(n_time):
+                season = SEASON_OF_MONTH[int(months[b, t])]
+                self._counts[season] += 1
+                for name, value in gen.items():
+                    arr = np.asarray(value)[b, t]
+                    sums = self._sums.setdefault(name, {})
+                    if season in sums:
+                        sums[season] = sums[season] + arr
+                    else:
+                        sums[season] = arr.copy()
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
         out = {}
@@ -60,23 +63,34 @@ class SeasonalAggregator:
 
 
 class NearZeroFractionAggregator:
-    """Fraction of values within +-threshold of zero per variable
+    """Area-weighted fraction of values at or below a small threshold
     (reference: near_zero_fraction.py) — detects collapsing fields
-    (e.g. precipitation shutting off in long rollouts).
+    (e.g. precipitation shutting off or drifting negative in long
+    rollouts). One-sided (v <= eps): a field collapsing negative still
+    counts as near-zero.
     """
 
-    def __init__(self, threshold: float = 1e-9):
+    def __init__(self, threshold: float = 1e-9,
+                 area_weights: np.ndarray | None = None):
         self._threshold = threshold
-        self._near_zero: dict[str, int] = {}
-        self._total: dict[str, int] = {}
+        self._weights = (
+            None if area_weights is None
+            else np.asarray(area_weights)
+        )
+        self._near_zero: dict[str, float] = {}
+        self._total: dict[str, float] = {}
 
     def record_batch(self, gen: TensorMapping, target=None, time=None):
         for name, value in gen.items():
             arr = np.asarray(value)
-            self._near_zero[name] = self._near_zero.get(name, 0) + int(
-                (np.abs(arr) < self._threshold).sum()
+            near = (arr <= self._threshold).astype(np.float64)
+            if self._weights is not None:
+                w = self._weights / self._weights.mean()
+                near = near * w
+            self._near_zero[name] = (
+                self._near_zero.get(name, 0.0) + float(near.sum())
             )
-            self._total[name] = self._total.get(name, 0) + arr.size
+            self._total[name] = self._total.get(name, 0.0) + arr.size
 
     def get_logs(self, label: str = "near_zero_fraction") -> dict[str, float]:
         return {

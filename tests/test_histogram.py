@@ -202,10 +202,12 @@ def test_ensemble_one_step_aggregator_calibration():
     )
     agg = EnsembleOneStepAggregator(ops)
     # perfectly calibrated: target and members drawn from the same
-    # distribution around a shared signal
-    signal = rng.randn(4, 8, 16)
-    target = signal + rng.randn(4, 8, 16)
-    gen = signal[:, None] + rng.randn(4, 64, 8, 16)
+    # distribution around a shared signal. The SSR is a mean of
+    # per-cell spread/skill ratios (reference SSRBiasMetric), so the
+    # per-cell skill estimate needs enough batch samples to converge.
+    signal = rng.randn(64, 8, 16)
+    target = signal + rng.randn(64, 8, 16)
+    gen = signal[:, None] + rng.randn(64, 16, 8, 16)
     agg.record_batch(
         {"a": jnp.asarray(gen)}, {"a": jnp.asarray(target)}
     )
@@ -214,9 +216,78 @@ def test_ensemble_one_step_aggregator_calibration():
     assert logs["ensemble/crps/a"] > 0
     # underdispersed: zero spread -> strongly negative SSR bias
     agg2 = EnsembleOneStepAggregator(ops)
-    gen0 = np.repeat(signal[:, None], 4, axis=1)
+    gen0 = np.repeat(signal[:, None], 4, axis=1)[:8]
+    target = target[:8]
     gen0 = gen0 + 1e-3 * rng.randn(*gen0.shape)
     agg2.record_batch(
         {"a": jnp.asarray(gen0)}, {"a": jnp.asarray(target)}
     )
     assert agg2.get_logs()["ensemble/spread_skill_ratio_bias/a"] < -0.9
+
+
+def test_annual_excludes_partial_years_and_pairs_targets():
+    """Incomplete first/last years are excluded from annual/mean; paired
+    targets yield annual/rmse (reference annual.py min-samples drop)."""
+    import jax.numpy as jnp
+
+    from ace_tpu.aggregator.histogram import GlobalMeanAnnualAggregator
+    from ace_tpu.core.gridded_ops import LatLonOperations
+    from ace_tpu.core.metrics import spherical_area_weights
+    from ace_tpu.data.time import TimeCoord
+
+    ops = LatLonOperations(
+        spherical_area_weights(np.linspace(-80, 80, 4), 8)
+    )
+    agg = GlobalMeanAnnualAggregator(ops)
+    # daily steps: half of year 1, all of year 2, half of year 3
+    n = 730
+    time = TimeCoord.from_range("2000-07-02T00:00", n, 86400)
+    time = TimeCoord(time.values[None, :], time.calendar)
+    gen = {"x": jnp.ones((1, n, 4, 8))}
+    tgt = {"x": 3.0 * jnp.ones((1, n, 4, 8))}
+    agg.record_batch(gen, time, tgt)
+    logs = agg.get_logs()
+    # only 2001 is complete; means computed over complete years only
+    np.testing.assert_allclose(logs["annual/mean/x"], 1.0)
+    np.testing.assert_allclose(logs["annual/rmse/x"], 2.0, rtol=1e-6)
+    # diagnostics still expose every year
+    diags = agg.get_diagnostics()
+    assert len(diags["annual_mean_years-x"]) == 3
+
+
+def test_dynamic_histogram_percentile_interpolates():
+    from ace_tpu.aggregator.histogram import DynamicHistogram
+
+    h = DynamicHistogram(n_bins=4)
+    # uniform data over [0, 4): percentile q should be ~q/100*4
+    h.add(np.linspace(0.0, 4.0, 10001)[:-1])
+    for q in (10.0, 50.0, 90.0):
+        got = h.percentile(q)
+        assert abs(got - q / 100.0 * 4.0) < 0.05, (q, got)
+
+
+def test_enso_index_removes_seasonal_cycle():
+    """A pure seasonal SST cycle must produce a ~zero ENSO index
+    (reference subtracts the monthly climatology before the index)."""
+    from ace_tpu.aggregator.enso import EnsoIndexAggregator
+    from ace_tpu.core.coordinates import LatLonCoordinates
+    from ace_tpu.data.time import TimeCoord
+
+    nlat, nlon = 8, 16
+    coords = LatLonCoordinates(
+        lat=np.linspace(-80, 80, nlat),
+        lon=np.linspace(0, 360, nlon, endpoint=False),
+    )
+    agg = EnsoIndexAggregator(coords)
+    n = 48  # 4 years of ~monthly steps
+    time = TimeCoord.from_range("2000-01-15T00:00", n, 30 * 86400)
+    time = TimeCoord(time.values[None, :], time.calendar)
+    months = time.components()["month"][0]
+    seasonal = 2.0 * np.sin(2 * np.pi * (months - 1) / 12.0)
+    sst = 300.0 + seasonal[None, :, None, None] * np.ones(
+        (1, n, nlat, nlon)
+    )
+    agg.record_batch({"surface_temperature": sst}, time=time)
+    logs = agg.get_logs()
+    # the seasonal cycle (std ~1.4K) must be removed by the climatology
+    assert logs["enso/index_std"] < 0.2
