@@ -194,6 +194,39 @@ class CoupledStepper:
             initial_condition.ocean_data
         )
         sst_atmos_name = self.surface_temperature_name
+        # prescribe the ocean's IC SST onto the atmosphere IC over the
+        # ocean mask so the very first inner step is driven by the
+        # coupled state, not the atmosphere dataset's surface temperature
+        # (reference fme/coupled/stepper.py:986 _prescribe_ic_sst)
+        ocean_cfg = self.atmosphere.step.config.ocean
+        ofrac_name = ocean_cfg.ocean_fraction_name
+        if (
+            sst_atmos_name in atmos_state.data
+            and ofrac_name in atmosphere_forcing
+        ):
+            from ace_tpu.core.ocean import Prescriber
+
+            prescriber = Prescriber(
+                prescribed_name=sst_atmos_name,
+                mask_name=ofrac_name,
+                mask_value=1,
+                interpolate=ocean_cfg.interpolate,
+            )
+            ic_ts = atmos_state.data[sst_atmos_name]
+            n_ic = ic_ts.shape[1]
+            sst_ic = jnp.broadcast_to(
+                ocean_state.data[self.sst_name][:, :1],
+                ic_ts.shape,
+            )
+            blended = prescriber(
+                {ofrac_name: atmosphere_forcing[ofrac_name][:, :n_ic]},
+                {sst_atmos_name: ic_ts},
+                {sst_atmos_name: sst_ic},
+            )[sst_atmos_name]
+            atmos_state = dataclasses.replace(
+                atmos_state,
+                data={**atmos_state.data, sst_atmos_name: blended},
+            )
         atmos_outputs: list[TensorDict] = []
         ocean_outputs: list[TensorDict] = []
         for i_outer in range(n_outer):

@@ -102,10 +102,6 @@ class CoupledTrainer:
         self.ocean_window = WindowDataset(
             ocean_ds, DataRequirements(ocean_names, n_outer + 1)
         )
-        self.atmos_loader = DataLoader(
-            self.atmos_window, config.train_loader.batch_size,
-            shuffle=False, num_workers=config.train_loader.num_data_workers,
-        )
         info_a = atmos_ds.dataset_info
         info_o = ocean_ds.dataset_info
         self.atmos_loss = config.atmosphere_loss.build(
@@ -218,16 +214,31 @@ class CoupledTrainer:
 
         grad_fn = jax.value_and_grad(self.loss_fn, has_aux=True)
 
-        n_batches = min(len(self.atmos_window), len(self.ocean_window))
+        # coupled sample i pairs ocean window i with the atmosphere
+        # window starting at i * n_inner fast steps (reference
+        # CoupledDataset.__getitem__, data_typing.py:217: fast_idx =
+        # idx * n_steps_fast); pairing window i with window i would
+        # misalign the components for every i > 0
+        n_inner = self.coupled.n_inner_steps
+        n_pairs = min(
+            len(self.ocean_window),
+            (len(self.atmos_window) + n_inner - 1) // n_inner,
+        )
         batch_size = config.train_loader.batch_size
+        n_batches = max(1, n_pairs // batch_size)
+        shuffle_rng = np.random.RandomState(config.seed + 7)
         last_metrics = {}
         for epoch in range(config.max_epochs):
-            for b in range(max(1, n_batches // batch_size)):
-                idx = list(range(
-                    b * batch_size, min((b + 1) * batch_size, n_batches)
-                ))
-                atmos_samples = [self.atmos_window[i] for i in idx]
-                ocean_samples = [self.ocean_window[i] for i in idx]
+            order = np.arange(n_pairs)
+            shuffle_rng.shuffle(order)  # fresh order each epoch
+            for b in range(n_batches):
+                idx = order[b * batch_size : (b + 1) * batch_size]
+                atmos_samples = [
+                    self.atmos_window[int(i) * n_inner] for i in idx
+                ]
+                ocean_samples = [
+                    self.ocean_window[int(i)] for i in idx
+                ]
                 atmos_batch = {
                     k: jnp.asarray(np.stack(
                         [s[0][k] for s in atmos_samples]

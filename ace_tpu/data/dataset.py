@@ -168,10 +168,12 @@ class XarrayDataset:
             sel = config.subset.indices(all_time, base_timestep)
         else:
             sel = full_indices[config.subset.slice]
-        self.all_time = TimeCoord(
-            all_time.values[sel], all_time.calendar
-        )
-        self._subset_indices = full_indices[sel]
+        # subsetting restricts SAMPLE START positions, not the time axis:
+        # every window stays contiguous at the base timestep (reference
+        # XarraySubset subsets samples, fme/core/dataset/xarray.py). The
+        # full axis is kept for window content and inference lookups.
+        self.all_time = TimeCoord(all_time.values, all_time.calendar)
+        self._start_indices = full_indices[sel]
 
         first = self._files[0]
         # horizontal coordinates: HEALPix (face/height/width dims) or
@@ -264,7 +266,16 @@ class XarrayDataset:
 
     @property
     def n_times(self) -> int:
-        return len(self.all_time)
+        """Number of valid sample-start positions (equals the full time
+        length for the default all-inclusive subset)."""
+        return len(self._start_indices)
+
+    def n_windows(self, n_timesteps: int) -> int:
+        """Number of subset starts whose full window fits in the axis."""
+        limit = len(self.all_time) - n_timesteps
+        return int(np.searchsorted(
+            self._start_indices, limit, side="right"
+        ))
 
     @property
     def dataset_info(self) -> DatasetInfo:
@@ -329,12 +340,18 @@ class XarrayDataset:
         """Read a [n_timesteps, H, W] window for each name starting at
         global time index ``start`` (within the subset index space).
         """
-        if start + n_timesteps > self.n_times:
+        if start >= len(self._start_indices):
             raise IndexError(
-                f"window [{start}, {start + n_timesteps}) exceeds dataset "
-                f"length {self.n_times}"
+                f"window start {start} exceeds {len(self._start_indices)} "
+                "sample starts"
             )
-        global_idx = self._subset_indices[start : start + n_timesteps]
+        g = int(self._start_indices[start])
+        if g + n_timesteps > len(self.all_time):
+            raise IndexError(
+                f"window [{g}, {g + n_timesteps}) exceeds dataset "
+                f"length {len(self.all_time)}"
+            )
+        global_idx = np.arange(g, g + n_timesteps)
         base_idx = global_idx % self._base_n_times
         contiguous = bool(
             np.all(np.diff(base_idx) == 1)
@@ -368,7 +385,7 @@ class XarrayDataset:
             if self.config.fill_nans is not None:
                 arr = np.nan_to_num(arr, nan=self.config.fill_nans)
             out[name] = self.config.overwrite.apply(name, arr)
-        return out, self.all_time[start : start + n_timesteps]
+        return out, self.all_time[g : g + n_timesteps]
 
 
 @dataclasses.dataclass
@@ -432,31 +449,42 @@ class ConcatXarrayDataset:
     def dataset_info(self) -> DatasetInfo:
         return self._datasets[0].dataset_info
 
-    def get_window(self, start: int, n_timesteps: int, names: list[str]):
-        # windows never span segment boundaries in the reference either;
-        # read piecewise and concatenate
-        pieces = []
-        times = []
-        remaining = n_timesteps
-        pos = start
-        while remaining > 0:
-            seg = int(np.searchsorted(self._offsets, pos, "right") - 1)
-            if seg >= len(self._datasets):
-                raise IndexError("window exceeds concatenated length")
-            local = pos - int(self._offsets[seg])
-            n = min(remaining, self._datasets[seg].n_times - local)
-            window, t = self._datasets[seg].get_window(local, n, names)
-            pieces.append(window)
-            times.append(t.values)
-            pos += n
-            remaining -= n
-        merged = {
-            k: np.concatenate([p[k] for p in pieces], axis=0)
-            for k in pieces[0]
-        }
-        return merged, TimeCoord(
-            np.concatenate(times), self.all_time.calendar
+    def n_windows(self, n_timesteps: int) -> int:
+        """Samples never span segment boundaries (reference XarrayConcat
+        wraps per-dataset sample sets in ConcatDataset)."""
+        return sum(
+            d.n_windows(n_timesteps) if hasattr(d, "n_windows")
+            else max(0, d.n_times - n_timesteps + 1)
+            for d in self._datasets
         )
+
+    def window_start(self, index: int, n_timesteps: int) -> int:
+        """Global time index of the index-th valid (non-spanning) window."""
+        for seg, d in enumerate(self._datasets):
+            n_seg = (
+                d.n_windows(n_timesteps) if hasattr(d, "n_windows")
+                else max(0, d.n_times - n_timesteps + 1)
+            )
+            if index < n_seg:
+                return int(self._offsets[seg]) + index
+            index -= n_seg
+        raise IndexError("window index exceeds concatenated windows")
+
+    def get_window(self, start: int, n_timesteps: int, names: list[str]):
+        """Read a window at global time index ``start``; windows that
+        would span a segment boundary are rejected — two stitched time
+        ranges are not one contiguous sample (use n_windows/window_start
+        to enumerate valid samples)."""
+        seg = int(np.searchsorted(self._offsets, start, "right") - 1)
+        if seg >= len(self._datasets):
+            raise IndexError("window exceeds concatenated length")
+        local = start - int(self._offsets[seg])
+        if local + n_timesteps > self._datasets[seg].n_times:
+            raise ValueError(
+                f"window [{start}, {start + n_timesteps}) spans the "
+                f"boundary of concatenated segment {seg}"
+            )
+        return self._datasets[seg].get_window(local, n_timesteps, names)
 
 
 @dataclasses.dataclass
@@ -497,7 +525,16 @@ class MergedXarrayDataset:
 
     @property
     def n_times(self) -> int:
-        return len(self.all_time)
+        """Number of valid sample-start positions (equals the full time
+        length for the default all-inclusive subset)."""
+        return len(self._start_indices)
+
+    def n_windows(self, n_timesteps: int) -> int:
+        """Number of subset starts whose full window fits in the axis."""
+        limit = len(self.all_time) - n_timesteps
+        return int(np.searchsorted(
+            self._start_indices, limit, side="right"
+        ))
 
     @property
     def timestep(self):

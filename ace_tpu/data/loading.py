@@ -20,6 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.data.augmentation import AugmentationConfig
 from ace_tpu.data.dataset import (
     ConcatDatasetConfig,
     MergeDatasetConfig,
@@ -95,9 +96,15 @@ class WindowDataset:
         self.n_timesteps = requirements.n_timesteps
 
     def __len__(self) -> int:
+        if hasattr(self.dataset, "n_windows"):
+            return self.dataset.n_windows(self.n_timesteps)
         return max(0, self.dataset.n_times - self.n_timesteps + 1)
 
     def __getitem__(self, idx: int) -> tuple[dict, TimeCoord]:
+        if hasattr(self.dataset, "window_start"):
+            # concat datasets enumerate valid (non-boundary-spanning)
+            # windows per segment
+            idx = self.dataset.window_start(idx, self.n_timesteps)
         return self.dataset.get_window(idx, self.n_timesteps, self.names)
 
     @property
@@ -139,6 +146,24 @@ def _collate(samples: list[tuple[dict, TimeCoord]]) -> BatchData:
     return BatchData(data=data, time=time)
 
 
+def _dataset_labels(dataset) -> list:
+    """Union of configured dataset labels, following concat/merge
+    wrappers (the reference unions labels per sample through
+    DatasetItem)."""
+    cfg = getattr(dataset, "config", None)
+    if cfg is not None:
+        return list(getattr(cfg, "labels", None) or [])
+    children = getattr(dataset, "_datasets", None)
+    if children:
+        out: list = []
+        for child in children:
+            for name in _dataset_labels(child):
+                if name not in out:
+                    out.append(name)
+        return out
+    return []
+
+
 class DataLoader:
     """Threaded, prefetching batch loader with epoch-seeded shuffling
     (reference: fme/ace/data_loading/dataloader.py + DistributedSampler
@@ -156,6 +181,7 @@ class DataLoader:
         drop_last: bool = True,
         sharding=None,
         sample_with_replacement: int | None = None,
+        modifier=None,
     ):
         self.dataset = dataset
         self.batch_size = batch_size
@@ -166,6 +192,7 @@ class DataLoader:
         self.drop_last = drop_last
         self.sharding = sharding
         self.sample_with_replacement = sample_with_replacement
+        self.modifier = modifier
         self.epoch = 0
 
     def set_epoch(self, epoch: int):
@@ -202,8 +229,7 @@ class DataLoader:
         return self.iter_batches()
 
     def _attach_labels(self, batch: BatchData) -> BatchData:
-        labels = getattr(self.dataset.dataset, "config", None)
-        label_names = getattr(labels, "labels", None) if labels else None
+        label_names = _dataset_labels(self.dataset.dataset)
         if not label_names:
             return batch
         encoding = sorted(label_names)
@@ -222,18 +248,41 @@ class DataLoader:
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 
+        def put(item) -> bool:
+            # bounded-queue put that gives up when the consumer is gone,
+            # so an early consumer exit never wedges the producer thread
+            while not stop.is_set():
+                try:
+                    out_q.put(item, timeout=0.2)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
-            with concurrent.futures.ThreadPoolExecutor(
-                self.num_workers
-            ) as pool:
-                for batch_idx in batches:
-                    if stop.is_set():
-                        break
-                    samples = list(
-                        pool.map(self.dataset.__getitem__, batch_idx)
-                    )
-                    out_q.put(_collate(samples))
-            out_q.put(None)
+            try:
+                with concurrent.futures.ThreadPoolExecutor(
+                    self.num_workers
+                ) as pool:
+                    for batch_idx in batches:
+                        if stop.is_set():
+                            return
+                        samples = list(
+                            pool.map(self.dataset.__getitem__, batch_idx)
+                        )
+                        batch = _collate(samples)
+                        if self.modifier is not None:
+                            batch = BatchData(
+                                data=self.modifier(dict(batch.data)),
+                                time=batch.time,
+                                labels=batch.labels,
+                            )
+                        if not put(batch):
+                            return
+            except BaseException as e:  # surface read errors, don't hang
+                put(e)
+                return
+            put(None)
 
         producer = threading.Thread(target=produce, daemon=True)
         producer.start()
@@ -242,6 +291,8 @@ class DataLoader:
                 item = out_q.get()
                 if item is None:
                     break
+                if isinstance(item, BaseException):
+                    raise item
                 yield self._attach_labels(item.to_device(self.sharding))
         finally:
             stop.set()
@@ -330,6 +381,11 @@ class DataLoaderConfig:
     prefetch_factor: int = 2
     time_buffer: int = 0
     time_buffer_pool_size: int = 1
+    # training-batch augmentation (reference:
+    # fme/ace/data_loading/config.py:63 augmentation)
+    augmentation: AugmentationConfig = dataclasses.field(
+        default_factory=AugmentationConfig
+    )
     # draw this many samples per epoch with replacement instead of
     # iterating each sample once (reference: config.py:29
     # sample_with_replacement)
@@ -354,6 +410,9 @@ class DataLoaderConfig:
             )
         else:
             window = WindowDataset(xr_dataset, requirements)
+        modifier = (
+            self.augmentation.build_modifier(seed=seed) if train else None
+        )
         loader = DataLoader(
             window,
             batch_size=self.batch_size,
@@ -363,7 +422,14 @@ class DataLoaderConfig:
             seed=seed,
             sharding=sharding,
             sample_with_replacement=self.sample_with_replacement,
+            modifier=modifier,
         )
+        if len(loader) == 0:
+            raise ValueError(
+                f"no batches in dataloader: {len(window)} samples of "
+                f"{requirements.n_timesteps} timesteps with batch size "
+                f"{self.batch_size}"
+            )
         if self.time_buffer > 0:
             loader = SlidingWindowLoader(
                 loader,

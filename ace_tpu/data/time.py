@@ -220,32 +220,52 @@ class TimeSlice:
             )
             lo = int(np.searchsorted(values, start_us, side="left"))
         if self.stop_time is not None:
-            stop_us = parse_datetime_string(
-                _pad_partial(self.stop_time, end=True), time.calendar
-            )
-            hi = int(np.searchsorted(values, stop_us, side="right"))
+            # partial stops select through the END of the period: use the
+            # first instant of the NEXT period as an exclusive bound so
+            # month lengths (incl. February per calendar) are exact
+            # (the reference gets this from CFTimeIndex.slice_indexer)
+            nxt = _next_period_start(self.stop_time)
+            if nxt is not None:
+                stop_us = parse_datetime_string(nxt, time.calendar)
+                hi = int(np.searchsorted(values, stop_us, side="left"))
+            else:
+                stop_us = parse_datetime_string(
+                    self.stop_time.strip(), time.calendar
+                )
+                hi = int(np.searchsorted(values, stop_us, side="right"))
         return np.arange(lo, hi, self.step or 1)
+
+
+def _next_period_start(s: str) -> str | None:
+    """First instant after the period a partial time string denotes, or
+    None for fully specified timestamps (inclusive semantics)."""
+    s = s.strip()
+    if len(s) == 4:  # year
+        return f"{int(s) + 1:04d}-01-01T00:00:00"
+    if len(s) == 7:  # year-month
+        year, month = int(s[:4]), int(s[5:7])
+        if month == 12:
+            return f"{year + 1:04d}-01-01T00:00:00"
+        return f"{year:04d}-{month + 1:02d}-01T00:00:00"
+    if len(s) == 10:  # date
+        # next day via day-number arithmetic is calendar-dependent, but
+        # adding 24h in microseconds at parse time is exact; express the
+        # bound as the same date's last microsecond instead
+        return None if "T" in s else f"{s}T23:59:59.999999"
+    return None
 
 
 def _pad_partial(s: str, end: bool = False) -> str:
     """Expand a partial time string ("2000", "2000-03") to a full
-    timestamp at the start (or end) of the period.
-    """
+    timestamp at the start of the period (end bounds go through
+    _next_period_start)."""
     s = s.strip()
     if len(s) == 4:  # year
-        return f"{s}-12-31T23:59:59" if end else f"{s}-01-01T00:00:00"
+        return f"{s}-01-01T00:00:00"
     if len(s) == 7:  # year-month
-        if end:
-            year, month = int(s[:4]), int(s[5:7])
-            # last instant of the month: first of next month minus 1s is
-            # overkill; day 28 minimum works for inclusive bounds at
-            # coarser-than-daily steps, so use a safe day-31 clamp
-            days = {1: 31, 2: 29, 3: 31, 4: 30, 5: 31, 6: 30, 7: 31,
-                    8: 31, 9: 30, 10: 31, 11: 30, 12: 31}[month]
-            return f"{s}-{days:02d}T23:59:59"
         return f"{s}-01T00:00:00"
     if len(s) == 10:  # date
-        return f"{s}T23:59:59" if end else f"{s}T00:00:00"
+        return f"{s}T00:00:00"
     return s
 
 

@@ -278,7 +278,14 @@ def test_time_slice_and_repeated_interval_subsets(tmp_path):
     assert ds.n_times == 4
     from ace_tpu.data.time import format_time
 
-    assert format_time(int(ds.all_time.values[0])).startswith("2000-01-02")
+    # subsetting restricts sample STARTS; windows stay contiguous at the
+    # base timestep (reference XarraySubset semantics)
+    window, t = ds.get_window(0, 3, ["a"])
+    assert format_time(int(t.values[0])).startswith("2000-01-02T00")
+    assert format_time(int(t.values[2])).startswith("2000-01-02T12")
+    np.testing.assert_array_equal(
+        np.diff(t.values), 6 * 3600 * 10**6
+    )
 
     # RepeatedInterval: first 2 of every 4 steps
     cfg2 = from_dict(XarrayDataConfig, {
@@ -289,6 +296,12 @@ def test_time_slice_and_repeated_interval_subsets(tmp_path):
     })
     ds2 = cfg2.build()
     assert ds2.n_times == 8
+    # a window from an interval start runs contiguously past the
+    # interval (it restricts starts, not content)
+    _, t2 = ds2.get_window(1, 4, ["a"])
+    np.testing.assert_array_equal(
+        np.diff(t2.values), 6 * 3600 * 10**6
+    )
     # timedelta-string variant: 12h of every 24h
     cfg3 = from_dict(XarrayDataConfig, {
         "data_path": str(data.data_dir),
@@ -324,3 +337,99 @@ def test_concat_dataset_config(tmp_path):
     assert sum(b.data["v"].shape[0] for b in batches) > 0
     for b in batches:
         assert b.data["v"].shape[1:] == (2, 8, 16)
+
+
+def test_loader_raises_with_zero_batches(tmp_path):
+    """A dataset smaller than the batch size must error, not silently
+    train zero batches (reference dataloader.py:63)."""
+    from ace_tpu.data.loading import DataLoaderConfig
+
+    data = SyntheticData(tmp_path / "d", ["var_a"], n_time=4)
+    cfg = DataLoaderConfig(
+        dataset=XarrayDataConfig(data_path=str(data.data_dir)),
+        batch_size=16,
+    )
+    try:
+        cfg.build(DataRequirements(names=["var_a"], n_timesteps=2))
+    except ValueError as e:
+        assert "no batches" in str(e)
+    else:
+        raise AssertionError("expected zero-batch error")
+
+
+def test_loader_surfaces_producer_errors(tmp_path):
+    """Read errors inside the prefetch thread must raise in the consumer
+    rather than hanging the training loop forever."""
+    from ace_tpu.data.loading import DataLoader
+
+    class BrokenDataset:
+        def __len__(self):
+            return 8
+
+        def __getitem__(self, idx):
+            raise RuntimeError("corrupt chunk")
+
+    loader = DataLoader(BrokenDataset(), batch_size=2, shuffle=False,
+                        num_workers=1)
+    try:
+        list(loader)
+    except RuntimeError as e:
+        assert "corrupt chunk" in str(e)
+    else:
+        raise AssertionError("expected the producer error to surface")
+
+
+def test_rotation_augmentation_wired_from_config(tmp_path):
+    """augmentation: in the loader config must actually modify training
+    batches (reference data_loading/config.py:63)."""
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.data.loading import DataLoaderConfig
+
+    data = SyntheticData(tmp_path / "d", ["var_a"], n_time=8)
+    cfg = from_dict(DataLoaderConfig, {
+        "dataset": {"data_path": str(data.data_dir)},
+        "batch_size": 2,
+        "num_data_workers": 1,
+        "augmentation": {"rotate_probability": 1.0},
+    })
+    gridded = cfg.build(
+        DataRequirements(names=["var_a"], n_timesteps=2)
+    )
+    rotated = np.concatenate(
+        [np.asarray(b.data["var_a"]) for b in gridded], axis=0
+    )
+    plain = cfg.build(
+        DataRequirements(names=["var_a"], n_timesteps=2), train=False
+    )
+    raw = np.concatenate(
+        [np.asarray(b.data["var_a"]) for b in plain], axis=0
+    )
+    # every training batch is pole-rotated: lat and lon are flipped
+    # (the 180-degree rotation); validation batches are untouched
+    assert rotated.shape == raw.shape
+    assert not np.allclose(rotated, raw)
+
+
+def test_concat_windows_never_span_segments(tmp_path):
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.data.dataset import ConcatDatasetConfig
+    from ace_tpu.data.loading import WindowDataset
+
+    d1 = SyntheticData(tmp_path / "a", ["var_a"], n_time=5)
+    d2 = SyntheticData(tmp_path / "b", ["var_a"], n_time=7)
+    cfg = from_dict(ConcatDatasetConfig, {"concat": [
+        {"data_path": str(d1.data_dir)},
+        {"data_path": str(d2.data_dir)},
+    ]})
+    ds = cfg.build()
+    window = WindowDataset(
+        ds, DataRequirements(names=["var_a"], n_timesteps=3)
+    )
+    # valid windows: (5-3+1) + (7-3+1) = 8 (no boundary spanners)
+    assert len(window) == 8
+    for i in range(len(window)):
+        _, t = window[i]
+        # contiguous 6-hourly steps within one segment
+        np.testing.assert_array_equal(
+            np.diff(t.values), 6 * 3600 * 10**6
+        )
