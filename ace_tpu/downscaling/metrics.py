@@ -200,13 +200,13 @@ class GenerationMetricsAggregator:
     coarse [B, h, w]) per variable.
     """
 
-    def __init__(self, downscale_factor: int, n_rank_bins: int | None = None):
+    def __init__(self, downscale_factor: int):
         self._factor = downscale_factor
         self._n = 0
         self._sums: dict[str, dict[str, float]] = {}
+        self._maps: dict[str, dict[str, np.ndarray]] = {}
         self._spectra: dict[str, dict[str, jnp.ndarray]] = {}
         self._ranks: dict[str, np.ndarray] = {}
-        self._n_rank_bins = n_rank_bins
 
     def _acc(self, key, metric, value):
         d = self._sums.setdefault(key, {})
@@ -220,15 +220,24 @@ class GenerationMetricsAggregator:
             tgt = jnp.asarray(target[k])          # [B, H, W]
             pred = jnp.asarray(pred)              # [B, S, H, W]
             n_samples = pred.shape[1]
-            self._acc(k, "crps", jnp.mean(compute_crps(tgt, pred)))
+            crps_map = np.asarray(
+                jnp.mean(compute_crps(tgt, pred), axis=0)
+            )
+            self._acc(k, "crps", crps_map.mean())
+            kmaps = self._maps.setdefault(k, {})
+            kmaps["crps"] = kmaps.get("crps", 0.0) + crps_map
             # bicubic-upsampled coarse baseline (deterministic: CRPS = MAE)
             if k in coarse:
                 interp = interpolate_bicubic(
                     jnp.asarray(coarse[k]), self._factor
                 )
-                self._acc(
-                    k, "interp_mae", jnp.mean(jnp.abs(tgt - interp))
+                mae_map = np.asarray(
+                    jnp.mean(jnp.abs(tgt - interp), axis=0)
                 )
+                kmaps["interp_mae"] = (
+                    kmaps.get("interp_mae", 0.0) + mae_map
+                )
+                self._acc(k, "interp_mae", mae_map.mean())
                 self._acc(
                     k, "interp_mse", jnp.mean((tgt - interp) ** 2)
                 )
@@ -266,8 +275,15 @@ class GenerationMetricsAggregator:
             if "ssim" in d:
                 logs[f"{label}/metrics/ssim/{k}"] = d["ssim"] / self._n
             if "interp_mae" in d:
+                # mean of the per-pixel CRPS/MAE ratio map (reference
+                # RelativeCRPSInterpAggregator._get divides the maps
+                # before averaging, generation.py:151,175)
+                kmaps = self._maps[k]
+                ratio_map = kmaps["crps"] / np.maximum(
+                    kmaps["interp_mae"], 1e-30
+                )
                 logs[f"{label}/metrics/relative_crps_bicubic/{k}"] = (
-                    crps / (d["interp_mae"] / self._n)
+                    float(ratio_map.mean())
                 )
                 logs[f"{label}/metrics/relative_mse_bicubic/{k}"] = (
                     (d["mse"] / self._n) / (d["interp_mse"] / self._n)

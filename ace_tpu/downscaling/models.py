@@ -60,7 +60,9 @@ class DiffusionModelConfig:
     downscale_factor: int = 1
     sigma_min: float = 0.002
     sigma_max: float = 80.0
-    sigma_data: float = 0.5
+    # inputs are standard-score normalized, so the data std is 1
+    # (reference models.py:258-261 hardcodes sigma_data=1.0)
+    sigma_data: float = 1.0
     churn: float = 0.0
     num_diffusion_generation_steps: int = 18
     predict_residual: bool = False
@@ -154,10 +156,37 @@ class DiffusionModel:
             )
         return cond, target
 
+    def _residual_base(self, coarse: TensorMapping):
+        """Coarse-normalized output variables bilinearly upsampled to the
+        fine grid — the base the network predicts a residual against
+        (reference models.py:513-521 / :602-610)."""
+        missing = [
+            k for k in self.config.out_names if k not in coarse
+        ]
+        if missing:
+            raise ValueError(
+                "predict_residual requires every output variable in the "
+                f"coarse data; missing {missing}"
+            )
+        base = self.out_packer.pack(
+            self.coarse_normalizer.normalize(
+                {k: coarse[k] for k in self.config.out_names}
+            )
+        )
+        f = self.config.downscale_factor
+        if f > 1:
+            b, h, w, c = base.shape
+            base = jax.image.resize(
+                base, (b, h * f, w * f, c), method="bilinear"
+            )
+        return base
+
     def loss_fn(self, params, coarse: TensorMapping, fine: TensorMapping,
                 rng: jax.Array):
         """EDM training loss on normalized fields."""
         cond, target = self._pack(coarse, fine)
+        if self.config.predict_residual:
+            target = target - self._residual_base(coarse)
         return edm_loss(
             self._denoiser(params), rng, target, cond,
             noise_distribution=self._noise_dist,
@@ -174,11 +203,18 @@ class DiffusionModel:
         cond, _ = self._pack(coarse, None)
         batch, h, w = cond.shape[0], cond.shape[1], cond.shape[2]
         c_out = len(self.config.out_names)
+        base = (
+            self._residual_base(coarse)
+            if self.config.predict_residual else None
+        )
         outs = []
         for s in range(n_samples):
             rng, k_lat, k_samp = jax.random.split(rng, 3)
             latents = jax.random.normal(k_lat, (batch, h, w, c_out))
-            outs.append(self._jit_sample(params, latents, cond, k_samp))
+            sample = self._jit_sample(params, latents, cond, k_samp)
+            if base is not None:
+                sample = sample + base
+            outs.append(sample)
         stacked = jnp.stack(outs, axis=1)  # [B, S, H, W, C]
         result = {}
         for i, name in enumerate(self.config.out_names):

@@ -8,6 +8,38 @@ over large domains), and writes them to a netCDF file.
 
 import dataclasses
 import logging
+
+
+class StreamingMoments:
+    """Welford streaming mean/std over ensemble members delivered in
+    groups (the count advances per member)."""
+
+    def __init__(self):
+        self.count = 0
+        self._mean = None
+        self._m2 = None
+
+    def update(self, members):
+        import numpy as np
+
+        if self._mean is None:
+            self._mean = np.zeros(members.shape[1:], np.float64)
+            self._m2 = np.zeros(members.shape[1:], np.float64)
+        for member in members:
+            self.count += 1
+            delta = member - self._mean
+            self._mean += delta / self.count
+            self._m2 += delta * (member - self._mean)
+
+    @property
+    def mean(self):
+        return self._mean
+
+    @property
+    def std(self):
+        import numpy as np
+
+        return np.sqrt(self._m2 / max(self.count - 1, 1))
 import os
 
 import jax
@@ -134,20 +166,44 @@ def run_event(config, model, generate, event: EventConfig):
             lat <= event.lat_extent[1]
         )
     if event.lon_extent is not None:
-        lon_sel = (lon >= event.lon_extent[0]) & (
-            lon <= event.lon_extent[1]
+        lo = event.lon_extent[0] % 360.0
+        hi = event.lon_extent[1] % 360.0
+        lon_n = lon % 360.0
+        if lo <= hi:
+            lon_sel = (lon_n >= lo) & (lon_n <= hi)
+        else:  # wraps the prime meridian, e.g. [350, 10]
+            lon_sel = (lon_n >= lo) | (lon_n <= hi)
+    if not lat_sel.any() or not lon_sel.any():
+        raise ValueError(
+            f"event {event.name}: lat/lon extent selects no grid points "
+            f"(lat_extent={event.lat_extent}, "
+            f"lon_extent={event.lon_extent})"
         )
     y0, y1 = np.nonzero(lat_sel)[0][[0, -1]]
-    x0, x1 = np.nonzero(lon_sel)[0][[0, -1]]
-    coarse = {
-        k: jnp.asarray(v[..., y0 : y1 + 1, x0 : x1 + 1])
-        for k, v in window.items()
-    }
-    rng = jax.random.PRNGKey(config.seed + hash(event.name) % 2**16)
+    xs = np.nonzero(lon_sel)[0]
+    contiguous = len(xs) == xs[-1] - xs[0] + 1
+    if contiguous:
+        coarse = {
+            k: jnp.asarray(v[..., y0 : y1 + 1, xs[0] : xs[-1] + 1])
+            for k, v in window.items()
+        }
+    else:
+        # wrapped region: roll the grid so the selection is contiguous
+        coarse = {
+            k: jnp.asarray(
+                np.take(v[..., y0 : y1 + 1, :], xs, axis=-1)
+            )
+            for k, v in window.items()
+        }
+    import zlib
+
+    # stable across processes (hash() is salted per interpreter)
+    rng = jax.random.PRNGKey(
+        config.seed + zlib.crc32(event.name.encode()) % 2**16
+    )
     group = 8
     count = 0
-    mean = None
-    m2 = None
+    moments: dict[str, StreamingMoments] = {}
     samples = []
     while count < event.n_samples:
         n = min(group, event.n_samples - count)
@@ -155,17 +211,7 @@ def run_event(config, model, generate, event: EventConfig):
         gen = generate(coarse, sub, params=model.params, n_samples=n)
         for k, v in gen.items():
             arr = np.asarray(v[0])  # [n, H, W]
-            if mean is None:
-                mean = {}
-                m2 = {}
-            if k not in mean:
-                mean[k] = np.zeros(arr.shape[1:], np.float64)
-                m2[k] = np.zeros(arr.shape[1:], np.float64)
-            for member in arr:
-                count_k = count + 1
-                delta = member - mean[k]
-                mean[k] += delta / count_k
-                m2[k] += delta * (member - mean[k])
+            moments.setdefault(k, StreamingMoments()).update(arr)
         if event.save_generated_samples:
             samples.append(
                 {k: np.asarray(v[0]) for k, v in gen.items()}
@@ -177,11 +223,9 @@ def run_event(config, model, generate, event: EventConfig):
     os.makedirs(config.experiment_dir, exist_ok=True)
     arrays = {}
     dims = {}
-    for k in mean:
-        arrays[f"{k}_mean"] = mean[k].astype(np.float32)
-        arrays[f"{k}_std"] = np.sqrt(
-            m2[k] / max(count - 1, 1)
-        ).astype(np.float32)
+    for k, mom in moments.items():
+        arrays[f"{k}_mean"] = mom.mean.astype(np.float32)
+        arrays[f"{k}_std"] = mom.std.astype(np.float32)
         dims[f"{k}_mean"] = ("lat", "lon")
         dims[f"{k}_std"] = ("lat", "lon")
         if event.save_generated_samples:

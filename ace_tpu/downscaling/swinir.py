@@ -128,21 +128,23 @@ class SwinBlock(nn.Module):
         shortcut = x
         x = self._norm("norm1")(x, noise)
         if self.shift:
-            # cyclic shift: periodic along lon (W); along lat (H) the
-            # wrapped rows are masked out of attention below
             x = jnp.roll(x, (-sh, -sw), axis=(1, 2))
         windows = window_partition(x, wh, ww)
 
         mask = None
         if self.shift:
-            # build attention mask for lat-wrapped windows (lon is truly
-            # periodic so only the H roll needs masking)
+            # standard 9-region shifted-window mask over BOTH dims:
+            # SwinIR runs on regional patches, so neither boundary is
+            # periodic — wrapped rows AND columns must not attend across
+            # the patch edge (reference swinir.py calculate_mask)
             img_mask = np.zeros((1, h, w, 1), np.float32)
             cnt = 0
             for hs in (slice(0, h - wh), slice(h - wh, h - sh),
                        slice(h - sh, h)):
-                img_mask[:, hs] = cnt
-                cnt += 1
+                for ws in (slice(0, w - ww), slice(w - ww, w - sw),
+                           slice(w - sw, w)):
+                    img_mask[:, hs, ws] = cnt
+                    cnt += 1
             # pure-numpy window partition: the mask must be a compile-time
             # constant (building it with traced ops breaks under jit)
             m = img_mask.reshape(1, h // wh, wh, w // ww, ww, 1)
@@ -215,6 +217,17 @@ class SwinIR(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        # reflect-pad to a window-size multiple, crop after the upsample
+        # (reference swinir.py:1109 check_image_size)
+        b, h_in, w_in, _ = x.shape
+        wh, ww = self.window_size
+        pad_h = (wh - h_in % wh) % wh
+        pad_w = (ww - w_in % ww) % ww
+        if pad_h or pad_w:
+            x = jnp.pad(
+                x, ((0, 0), (0, pad_h), (0, pad_w), (0, 0)),
+                mode="reflect",
+            )
         # shallow feature extraction
         shallow = nn.Conv(
             self.embed_dim, (3, 3), dtype=self.dtype, name="conv_first"
@@ -244,4 +257,5 @@ class SwinIR(nn.Module):
         out = nn.Conv(
             self.out_channels, (3, 3), dtype=self.dtype, name="conv_last"
         )(h)
+        out = out[:, : h_in * r, : w_in * r]
         return out.astype(jnp.float32)

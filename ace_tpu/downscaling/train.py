@@ -164,6 +164,7 @@ def load_downscaling_model(path: str):
 class DownscalingTrainer:
     def __init__(self, config: DownscalingTrainConfig):
         self.config = config
+        self._val_datasets = None
         self.coarse_ds = config.train_data.coarse.build()
         self.fine_ds = config.train_data.fine.build()
         coarse_shape = self.coarse_ds.dataset_info.img_shape
@@ -313,8 +314,13 @@ class DownscalingTrainer:
 
     def _validate(self, rng) -> float:
         assert self.config.validation_data is not None
-        val_coarse = self.config.validation_data.coarse.build()
-        val_fine = self.config.validation_data.fine.build()
+        # built once and cached: rebuilding re-opens the stores per epoch
+        if self._val_datasets is None:
+            self._val_datasets = (
+                self.config.validation_data.coarse.build(),
+                self.config.validation_data.fine.build(),
+            )
+        val_coarse, val_fine = self._val_datasets
         names_c = self.model.config.in_names
         names_f = self.model.config.out_names
         params = (

@@ -140,3 +140,73 @@ def test_generation_metrics_aggregator():
     assert diags["rank_histogram-var"].sum() == 3 * b * hf * wf
     assert diags["zonal_power_spectrum_prediction-var"].shape == (wf // 2 + 1,)
     assert diags["zonal_power_spectrum_coarse-var"].shape == (wf // 2 + 1,)
+
+
+def test_streaming_moments_match_numpy():
+    """The event-ensemble streaming mean/std must equal the batch
+    statistics regardless of group sizes (regression: a constant count
+    within a group corrupted both)."""
+    from ace_tpu.downscaling.predict import StreamingMoments
+
+    rng = np.random.RandomState(3)
+    data = rng.randn(23, 4, 6)
+    m = StreamingMoments()
+    for chunk in (data[:8], data[8:16], data[16:]):
+        m.update(chunk)
+    np.testing.assert_allclose(m.mean, data.mean(0), rtol=1e-12)
+    np.testing.assert_allclose(m.std, data.std(0, ddof=1), rtol=1e-12)
+
+
+def test_swinir_pads_non_multiple_inputs():
+    import jax
+    import jax.numpy as jnp
+
+    from ace_tpu.downscaling.swinir import SwinIR
+
+    model = SwinIR(out_channels=2, upscale_factor=2, embed_dim=16,
+                   depths=(1,), num_heads=2, window_size=(4, 8))
+    x = jnp.zeros((1, 10, 12, 3))  # not multiples of (4, 8)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = model.apply(params, x)
+    assert out.shape == (1, 20, 24, 2)
+
+
+def test_diffusion_residual_base():
+    """predict_residual trains/generates against the bilinear coarse
+    base (reference models.py:513/:602)."""
+    import jax.numpy as jnp
+
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.core.coordinates import LatLonCoordinates
+    from ace_tpu.core.dataset_info import DatasetInfo
+    from ace_tpu.downscaling.models import DiffusionModelConfig
+
+    nlat, nlon, f = 4, 8, 2
+    info = DatasetInfo(
+        horizontal_coordinates=LatLonCoordinates(
+            lat=np.linspace(-60, 60, nlat * f),
+            lon=np.linspace(0, 360, nlon * f, endpoint=False),
+        )
+    )
+    cfg = from_dict(DiffusionModelConfig, {
+        "in_names": ["a"], "out_names": ["a"],
+        "normalization": {
+            "coarse": {"means": {"a": 1.0}, "stds": {"a": 2.0}},
+            "fine": {"means": {"a": 1.0}, "stds": {"a": 2.0}},
+        },
+        "downscale_factor": f,
+        "predict_residual": True,
+        "module": {"base_channels": 8, "channel_mults": [1],
+                   "num_res_blocks": 1},
+    })
+    model = cfg.build(info)
+    coarse = {"a": jnp.asarray(
+        np.arange(nlat * nlon, dtype=np.float32).reshape(1, nlat, nlon)
+    )}
+    base = model._residual_base(coarse)
+    assert base.shape == (1, nlat * f, nlon * f, 1)
+    # center value preserved by bilinear upsampling of the normalized map
+    norm = (np.asarray(coarse["a"]) - 1.0) / 2.0
+    np.testing.assert_allclose(
+        float(base[0, 0, 0, 0]), norm[0, 0, 0], rtol=1e-5
+    )
