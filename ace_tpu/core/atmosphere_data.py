@@ -247,6 +247,10 @@ class AtmosphereData:
 
     @property
     def height_at_midpoint(self) -> jnp.ndarray:
+        if self._vertical_coordinate is None:
+            raise ValueError(
+                "height_at_midpoint requires a vertical coordinate"
+            )
         interface_pressure = self._vertical_coordinate.interface_pressure(
             self.surface_pressure
         )
@@ -281,6 +285,12 @@ class AtmosphereData:
 
     @property
     def total_energy_ace2_path(self) -> jnp.ndarray:
+        if self._vertical_coordinate is None:
+            # ValueError so the derived-variable loop skips (its except
+            # clause catches KeyError/ValueError only)
+            raise ValueError(
+                "total_energy_ace2_path requires a vertical coordinate"
+            )
         return self._vertical_coordinate.vertical_integral(
             self.total_energy_ace2, self.surface_pressure
         )

@@ -113,6 +113,26 @@ def total_energy_ace2_path_tendency(data, timestep):
     )
 
 
+@register(
+    VariableMetadata(
+        "W/m**2",
+        "Implied advective tendency of total energy path assuming "
+        "closed budget",
+    )
+)
+def implied_tendency_of_total_energy_ace2_path_due_to_advection(
+    data, timestep
+):
+    """Residual of the column total energy budget (reference
+    derived_variables.py:150)."""
+    path = data.total_energy_ace2_path
+    tendency = (path[:, 1:] - path[:, :-1]) / timestep.total_seconds()
+    tendency = jnp.concatenate(
+        [jnp.zeros_like(path[:, :1]), tendency], axis=1
+    )
+    return tendency - data.net_energy_flux_into_atmosphere
+
+
 @register(VariableMetadata("m/s", "Windspeed at 10m above surface"))
 def windspeed_at_10m(data, timestep):
     return data.windspeed_at_10m
@@ -231,10 +251,15 @@ def compute_ocean_derived_quantities(
     for label, (func, _, exists_ok) in (
         _OCEAN_DERIVED_VARIABLE_REGISTRY.items()
     ):
-        if label in out and not exists_ok:
-            continue
         if label in out:
-            continue
+            if exists_ok:
+                continue
+            raise ValueError(
+                f"variable {label} already exists; derived variables "
+                "may not collide with dataset variables unless "
+                "registered with exists_ok=True (reference "
+                "ocean_derived_variables.py:77-84)"
+            )
         try:
             out[label] = func(ocean, timestep)
         except (KeyError, ValueError):

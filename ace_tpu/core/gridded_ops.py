@@ -32,6 +32,14 @@ class GriddedOperations(abc.ABC):
     def area_weighted_mean(self, data, keepdim: bool = False,
                            name: str | None = None) -> jnp.ndarray: ...
 
+    def area_weighted_mean_channels_last(self, data) -> jnp.ndarray:
+        """Area-weighted spatial mean of a channels-LAST tensor
+        [..., *spatial, C] -> [..., C] (the packed layout the losses
+        see); layout-aware across lat-lon and HEALPix grids."""
+        moved = jnp.moveaxis(data, -1, 0)
+        out = self.area_weighted_mean(moved)
+        return jnp.moveaxis(out, 0, -1)
+
     def area_weighted_sum_dict(self, data: TensorMapping) -> TensorDict:
         return {k: self.area_weighted_sum(v, name=k) for k, v in data.items()}
 

@@ -60,19 +60,16 @@ class L1Loss:
 
 
 class AreaWeightedMSELoss:
-    """MSE with an area-weighted spatial mean (reference: loss.py:356).
+    """MSE with an area-weighted spatial mean (reference: loss.py:356
+    builds from gridded_operations.area_weighted_mean, so it works for
+    both lat-lon and HEALPix layouts)."""
 
-    The gridded area_weighted_mean reduces the last two axes; our packed
-    layout has channel last, so reduce over the (lat, lon) axes at -3, -2.
-    """
-
-    def __init__(self, area_weights: jnp.ndarray):
-        self._w = area_weights
+    def __init__(self, area_weighted_mean_channels_last):
+        self._awm = area_weighted_mean_channels_last
 
     def __call__(self, x, y):
         sq = (x - y) ** 2
-        w = self._w[..., None]  # broadcast over trailing channel
-        weighted = jnp.sum(sq * w, axis=(-3, -2)) / jnp.sum(w, axis=(-3, -2))
+        weighted = self._awm(sq)
         # reduce any remaining middle dims (e.g. ensemble) to (B, C)
         return _reduce_to_channel(weighted)
 
@@ -97,15 +94,12 @@ class GlobalMeanLoss:
     (reference: loss.py:392).
     """
 
-    def __init__(self, area_weights: jnp.ndarray, loss):
-        self._w = area_weights
+    def __init__(self, area_weighted_mean_channels_last, loss):
+        self._awm = area_weighted_mean_channels_last
         self._loss = loss
 
     def __call__(self, x, y):
-        w = self._w[..., None]
-        gx = jnp.sum(x * w, axis=(-3, -2)) / jnp.sum(w, axis=(-3, -2))
-        gy = jnp.sum(y * w, axis=(-3, -2)) / jnp.sum(w, axis=(-3, -2))
-        return self._loss(gx, gy)
+        return self._loss(self._awm(x), self._awm(y))
 
 
 def get_crps(gen, target, alpha: float = 1.0):
@@ -204,6 +198,24 @@ class SpectralWhiteningConfig:
     kind: Literal["none", "per_sample"] = "none"
     eps_frac: float | None = None
     exponent: float | None = None
+
+    def __post_init__(self):
+        # (reference loss.py:519 __post_init__ validation)
+        if self.kind == "none":
+            if self.eps_frac is not None or self.exponent is not None:
+                raise ValueError(
+                    "spectral whitening kind='none' accepts no "
+                    "eps_frac/exponent parameters"
+                )
+            return
+        if self.exponent is not None and not 0.0 < self.exponent <= 1.0:
+            raise ValueError(
+                f"whitening exponent must be in (0, 1]: {self.exponent}"
+            )
+        if self.eps_frac is not None and self.eps_frac <= 0.0:
+            raise ValueError(
+                f"whitening eps_frac must be > 0: {self.eps_frac}"
+            )
 
     def build(self):
         if self.kind == "none":
@@ -335,7 +347,8 @@ class WeightedMappingLoss:
         self.ensemble = ensemble
 
     def __call__(self, predict_dict: TensorMapping,
-                 target_dict: TensorMapping) -> LossOutput:
+                 target_dict: TensorMapping,
+                 data_mask: TensorMapping | None = None) -> LossOutput:
         pred_norm = self.normalizer.normalize(dict(predict_dict))
         targ_norm = self.normalizer.normalize(dict(target_dict))
         pred = jnp.stack([pred_norm[k] for k in self.out_names], axis=-1)
@@ -344,9 +357,39 @@ class WeightedMappingLoss:
         pred = jnp.where(nan_mask, 0.0, pred)
         targ = jnp.where(nan_mask, 0.0, targ)
         per_bc = self.loss(self.weights * pred, self.weights * targ)  # (B, C)
-        per_channel = jnp.mean(per_bc, axis=0)
+        if data_mask is None:
+            per_channel = jnp.mean(per_bc, axis=0)
+            return LossOutput(
+                total=jnp.mean(per_channel),
+                per_channel={
+                    k: per_channel[i] for i, k in enumerate(self.out_names)
+                },
+            )
+        # per-variable [batch] presence masks: masked samples are
+        # excluded from the per-channel average and fully-masked
+        # channels from the total (reference loss.py:284-301 + the
+        # LossOutput masked reduction)
+        mask = jnp.stack(
+            [
+                jnp.asarray(
+                    data_mask[k], jnp.float32
+                ) if k in data_mask else jnp.ones(
+                    per_bc.shape[0], jnp.float32
+                )
+                for k in self.out_names
+            ],
+            axis=-1,
+        )  # (B, C)
+        counts = jnp.sum(mask, axis=0)
+        per_channel = jnp.sum(per_bc * mask, axis=0) / jnp.maximum(
+            counts, 1.0
+        )
+        active = (counts > 0).astype(jnp.float32)
+        total = jnp.sum(per_channel * active) / jnp.maximum(
+            jnp.sum(active), 1.0
+        )
         return LossOutput(
-            total=jnp.mean(per_channel),
+            total=total,
             per_channel={
                 k: per_channel[i] for i, k in enumerate(self.out_names)
             },
@@ -377,9 +420,12 @@ class StepLoss:
         self.loss = loss
         self.sqrt_loss_decay_constant = sqrt_loss_decay_constant
 
-    def __call__(self, predict_dict, target_dict, step) -> LossOutput:
+    def __call__(self, predict_dict, target_dict, step,
+                 data_mask=None) -> LossOutput:
         step_weight = (1.0 + self.sqrt_loss_decay_constant * step) ** (-0.5)
-        return self.loss(predict_dict, target_dict).scale(step_weight)
+        return self.loss(
+            predict_dict, target_dict, data_mask=data_mask
+        ).scale(step_weight)
 
 
 @dataclasses.dataclass
@@ -404,11 +450,16 @@ class LossConfig:
         elif self.type == "MSE":
             main_loss = MSELoss()
         elif self.type == "AreaWeightedMSE":
-            main_loss = AreaWeightedMSELoss(gridded_operations.area_weights)
+            main_loss = AreaWeightedMSELoss(
+                gridded_operations.area_weighted_mean_channels_last
+            )
         elif self.type == "EnsembleLoss":
             if sht is None:
                 raise ValueError("EnsembleLoss requires an SHT transform")
             kwargs = dict(self.kwargs)
+            # reference defaults (loss.py: crps_weight 1.0, energy 0.0)
+            kwargs.setdefault("crps_weight", 1.0)
+            kwargs.setdefault("energy_score_weight", 0.0)
             whitening_cfg = kwargs.pop("energy_score_whitening", None)
             whitening = None
             if isinstance(whitening_cfg, dict):
@@ -432,7 +483,7 @@ class LossConfig:
 
         if self.global_mean_type is not None:
             gm = GlobalMeanLoss(
-                gridded_operations.area_weights,
+                gridded_operations.area_weighted_mean_channels_last,
                 LpLoss(**self.global_mean_kwargs),
             )
             return WeightedSum([main_loss, gm], [1.0, self.global_mean_weight])

@@ -97,17 +97,57 @@ def root_mean_squared_error(truth, predicted, weights=None, dim: Dimension = ())
     return jnp.sqrt(mean_squared_error(truth, predicted, weights=weights, dim=dim))
 
 
+def _central_diff(tensor, axis: int):
+    """torch.gradient semantics: central differences in the interior,
+    one-sided at both edges, unit spacing."""
+    upper = jnp.concatenate(
+        [
+            jnp.take(tensor, jnp.array([1]), axis=axis),
+            jnp.take(
+                tensor,
+                jnp.arange(2, tensor.shape[axis]),
+                axis=axis,
+            ),
+            jnp.take(tensor, jnp.array([-1]), axis=axis),
+        ],
+        axis=axis,
+    )
+    lower = jnp.concatenate(
+        [
+            jnp.take(tensor, jnp.array([0]), axis=axis),
+            jnp.take(
+                tensor,
+                jnp.arange(0, tensor.shape[axis] - 2),
+                axis=axis,
+            ),
+            jnp.take(tensor, jnp.array([-2]), axis=axis),
+        ],
+        axis=axis,
+    )
+    n = tensor.shape[axis]
+    spacing = jnp.concatenate(
+        [jnp.ones(1), 2.0 * jnp.ones(max(n - 2, 0)), jnp.ones(1)]
+    )
+    shape = [1] * tensor.ndim
+    shape[axis] = n
+    return (upper - lower) / spacing.reshape(shape)
+
+
 def gradient_magnitude(tensor, dim: tuple[int, int] = (-2, -1)):
-    """Finite-difference gradient magnitude over the two spatial dims
-    (reference: fme/core/metrics.py gradient_magnitude).
-    """
-    dy = jnp.diff(tensor, axis=dim[0], append=jnp.take(tensor, jnp.array([-1]), axis=dim[0]))
-    dx = jnp.diff(tensor, axis=dim[1], append=jnp.take(tensor, jnp.array([-1]), axis=dim[1]))
+    """Gradient magnitude over the two spatial dims with torch.gradient
+    semantics — central differences in the interior, one-sided at the
+    edges (reference: fme/core/metrics.py gradient_magnitude)."""
+    dy = _central_diff(tensor, dim[0] % tensor.ndim)
+    dx = _central_diff(tensor, dim[1] % tensor.ndim)
     return jnp.sqrt(dx**2 + dy**2)
 
 
 def weighted_mean_gradient_magnitude(tensor, weights=None, dim=(-2, -1)):
-    return weighted_mean(gradient_magnitude(tensor, dim), weights=weights, dim=dim)
+    # nan-aware: NaN cells (masked regions) must not poison the metric
+    # (reference uses weighted_nanmean here)
+    return weighted_nanmean(
+        gradient_magnitude(tensor, dim), weights=weights, dim=dim
+    )
 
 
 def gradient_magnitude_percent_diff(truth, predicted, weights=None, dim=(-2, -1)):

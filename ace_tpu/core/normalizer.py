@@ -209,6 +209,11 @@ class NetworkAndLossNormalizationConfig:
         means = {k: float(v) for k, v in network.means.items()}
         stds = {k: float(v) for k, v in network.stds.items()}
         for k in residual_names:
+            # residual stats override BOTH moments (reference
+            # _combine_normalizers, fme/core/normalizer.py:296): keeping
+            # the network mean with the residual std would offset every
+            # mean-sensitive loss term by mean/residual_std
+            means[k] = float(residual.means[k])
             stds[k] = float(residual.stds[k])
         return StandardNormalizer(means, stds)
 

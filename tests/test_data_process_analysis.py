@@ -218,7 +218,7 @@ def test_write_monthly_data(tmp_path):
         a[0, 1], arrays["a"][28:].mean(axis=0), rtol=1e-5, atol=1e-6
     )
     counts = ds["counts"].read(())
-    np.testing.assert_array_equal(counts, [28, 12])
+    np.testing.assert_array_equal(counts, [[28, 12]])
 
 
 def test_noise_floor_report_extrapolation(tmp_path):

@@ -328,3 +328,31 @@ def test_optimization_state_roundtrips_lr_scale():
     np.testing.assert_allclose(
         fresh.learning_rate, opt.learning_rate
     )
+
+
+def test_weighted_mapping_loss_data_mask():
+    """Masked samples are excluded from per-channel averages and fully
+    masked channels from the total (reference loss.py data_mask path)."""
+    import jax.numpy as jnp
+
+    norm = StandardNormalizer({"a": 0.0, "b": 0.0}, {"a": 1.0, "b": 1.0})
+    loss = WeightedMappingLoss(MSELoss(), {}, ["a", "b"], norm)
+    pred = {
+        "a": jnp.asarray([[1.0], [3.0]])[..., None],
+        "b": jnp.asarray([[1.0], [1.0]])[..., None],
+    }
+    targ = {
+        "a": jnp.zeros((2, 1, 1)),
+        "b": jnp.zeros((2, 1, 1)),
+    }
+    # sample 1 of 'a' masked out; 'b' fully masked
+    mask = {"a": jnp.asarray([1.0, 0.0]), "b": jnp.asarray([0.0, 0.0])}
+    out = loss(pred, targ, data_mask=mask)
+    np.testing.assert_allclose(float(out.per_channel["a"]), 1.0)
+    np.testing.assert_allclose(float(out.per_channel["b"]), 0.0)
+    # total averages only the active channel 'a'
+    np.testing.assert_allclose(float(out.total), 1.0)
+    # unmasked call unchanged: mean over both samples and channels
+    out2 = loss(pred, targ)
+    np.testing.assert_allclose(float(out2.per_channel["a"]), 5.0)
+    np.testing.assert_allclose(float(out2.total), 3.0)
