@@ -57,14 +57,18 @@ class IceBudgetCorrectionConfig:
             all_zero = mask & (n_active == 0)
             resid_t = jnp.where(all_zero, mass, resid_t)
 
-            # sink must stay <= 0; any overshoot moves to transport
+            # sink must stay <= 0; any overshoot moves to transport.
+            # Gated on the violation mask: the reference skips _rebalance
+            # entirely when nothing violates, so violation-free cells must
+            # pass through byte-identical (reference: ice.py:110 torch.any
+            # guard)
             tmp = k + sign * resid_k
-            k_overshoot = jnp.where(tmp > 0, tmp, 0.0)
+            k_overshoot = jnp.where(mask & (tmp > 0), tmp, 0.0)
             resid_k = resid_k - k_overshoot
             resid_t = resid_t + k_overshoot
             # source must stay >= 0
             tmp = s + sign * resid_s
-            s_overshoot = jnp.where(tmp < 0, tmp, 0.0)
+            s_overshoot = jnp.where(mask & (tmp < 0), tmp, 0.0)
             resid_s = resid_s - sign * s_overshoot
             resid_t = resid_t + sign * s_overshoot
 

@@ -307,6 +307,10 @@ class FCN3Step(StepABC):
 
     def step(self, params: Any, args: StepArgs) -> StepOutput:
         config = self._config
+        if args.labels is not None:
+            raise ValueError(
+                "Labels are not supported for FCN3"
+            )  # reference: fme/ace/step/fcn3.py:450
 
         def network_calls(input_norm, rngs):
             x_aux = self.forcing_packer.pack(input_norm)

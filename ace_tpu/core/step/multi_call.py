@@ -93,6 +93,40 @@ class MultiCallStepConfig(StepConfigABC):
             )
 
     @property
+    def normalization(self):
+        """Delegated to the wrapped step (the trainer builds the loss
+        normalizer from step.config.normalization; reference
+        MultiCallStepConfig.get_loss_normalizer extends the wrapped
+        normalizer over the suffixed names)."""
+        return self.wrapped_step.instance.normalization
+
+    @property
+    def _normalize_names(self) -> list[str]:
+        return self.wrapped_step.instance._normalize_names
+
+    def get_loss_normalizer(self, residual_scaled_names=None):
+        """Wrapped loss normalizer extended so each suffixed multi-call
+        output shares its base variable's statistics (reference
+        multi_call.py MultiCallStepConfig.get_loss_normalizer)."""
+        inner = self.wrapped_step.instance
+        base = inner.normalization.build_loss_normalizer(
+            inner._normalize_names,
+            residual_scaled_names=residual_scaled_names,
+        )
+        if self.config is None:
+            return base
+        from ace_tpu.core.normalizer import StandardNormalizer
+
+        means = dict(base.means)
+        stds = dict(base.stds)
+        for suffix in self.config.forcing_multipliers:
+            for name in self.config.output_names:
+                mc = get_multi_call_name(name, suffix)
+                means[mc] = means[name]
+                stds[mc] = stds[name]
+        return StandardNormalizer(means, stds)
+
+    @property
     def input_names(self) -> list[str]:
         return self.wrapped_step.input_names
 
@@ -159,6 +193,17 @@ class MultiCallStep(StepABC):
         mc = self._config.config
         if mc is not None:
             for suffix, multiplier in mc.forcing_multipliers.items():
+                if (
+                    mc.forcing_name not in args.input
+                    and mc.forcing_name not in args.next_step_input_data
+                ):
+                    # fail loudly rather than silently emitting base
+                    # predictions under the multi-call names (reference
+                    # multi_call.py raises at call time)
+                    raise ValueError(
+                        f"multi-call forcing {mc.forcing_name!r} not in "
+                        "input or next_step_input_data"
+                    )
                 scaled_input = dict(args.input)
                 if mc.forcing_name in scaled_input:
                     scaled_input[mc.forcing_name] = (
@@ -169,14 +214,14 @@ class MultiCallStep(StepABC):
                     scaled_next[mc.forcing_name] = (
                         multiplier * scaled_next[mc.forcing_name]
                     )
+                # labels/data_mask carry through to the perturbed calls
+                # (reference apply_input_process_func preserves them)
                 mc_out = self._wrapped.step(
                     params,
-                    StepArgs(
+                    dataclasses.replace(
+                        args,
                         input=scaled_input,
                         next_step_input_data=scaled_next,
-                        stepper_state=args.stepper_state,
-                        rng=args.rng,
-                        deterministic=args.deterministic,
                     ),
                 )
                 for name in mc.output_names:

@@ -24,7 +24,11 @@ from ace_tpu.core.step.base import (
     StepperState,
     StepSelector,
 )
-from ace_tpu.core.step.single_module import step_with_adjustments
+from ace_tpu.core.step.secondary_decoder import SecondaryDecoderConfig
+from ace_tpu.core.step.single_module import (
+    split_rngs,
+    step_with_adjustments,
+)
 from ace_tpu.models.registry import ModuleSelector
 
 
@@ -127,7 +131,15 @@ class SeparateRadiationStepConfig(StepConfigABC):
 
     @property
     def _normalize_names(self) -> list[str]:
-        return sorted(set(self.input_names) | set(self.output_names))
+        # only the model name lists — ocean forcing names (in input_names)
+        # are prescribed, not normalized (reference: radiation.py:142)
+        return sorted(
+            set(self.main_prognostic_names)
+            | set(self.shared_forcing_names)
+            | set(self.radiation_only_forcing_names)
+            | set(self.main_diagnostic_names)
+            | set(self.radiation_diagnostic_names)
+        )
 
     def get_step(self, dataset_info: DatasetInfo) -> "SeparateRadiationStep":
         return SeparateRadiationStep(self, dataset_info)
@@ -213,12 +225,14 @@ class SeparateRadiationStep(StepABC):
         config = self._config
 
         def network_calls(input_norm, rngs):
+            # independent rng streams for the two modules
+            rad_rngs, main_rngs = split_rngs(rngs, 2)
             rad_in = self.radiation_in_packer.pack(
                 {k: input_norm[k] for k in config.radiation_in_names}
             )
             rad_out = self.radiation_module.apply(
                 params["radiation"], rad_in,
-                deterministic=args.deterministic, rngs=rngs,
+                deterministic=args.deterministic, rngs=rad_rngs,
             )
             rad_norm = self.radiation_out_packer.unpack(rad_out)
             if config.detach_radiation:
@@ -234,7 +248,7 @@ class SeparateRadiationStep(StepABC):
             )
             main_out = self.module.apply(
                 params["main"], main_in,
-                deterministic=args.deterministic, rngs=rngs,
+                deterministic=args.deterministic, rngs=main_rngs,
             )
             main_norm = self.out_packer.unpack(main_out)
             return {**rad_norm, **main_norm}
@@ -268,6 +282,7 @@ class SecondaryModuleStepConfig(StepConfigABC):
     secondary_residual_out_names: list[str] = dataclasses.field(
         default_factory=list
     )
+    secondary_decoder: "SecondaryDecoderConfig | None" = None
     ocean: OceanConfig | None = None
     corrector: AtmosphereCorrectorConfig = dataclasses.field(
         default_factory=AtmosphereCorrectorConfig
@@ -281,6 +296,36 @@ class SecondaryModuleStepConfig(StepConfigABC):
     def __post_init__(self):
         if self.secondary_builder is None:
             raise ValueError("secondary_builder is required")
+        # validations mirror reference secondary_module.py:84 __post_init__
+        for name in self.prescribed_prognostic_names:
+            if name not in self.out_names:
+                raise ValueError(
+                    f"prescribed_prognostic_name {name!r} must be in "
+                    f"out_names: {self.out_names}"
+                )
+        for name in self.next_step_forcing_names:
+            if name not in self.in_names:
+                raise ValueError(
+                    f"next_step_forcing_name {name!r} not in in_names: "
+                    f"{self.in_names}"
+                )
+            if name in self.out_names:
+                raise ValueError(
+                    f"next_step_forcing_name is an output variable: {name!r}"
+                )
+        all_secondary_names = set(self.secondary_out_names) | set(
+            self.secondary_residual_out_names
+        )
+        if self.secondary_decoder is not None:
+            for name in self.secondary_decoder.secondary_diagnostic_names:
+                if name in self.in_names:
+                    raise ValueError(
+                        f"secondary_diagnostic_name is an input: {name!r}"
+                    )
+                if name in set(self.out_names) | all_secondary_names:
+                    raise ValueError(
+                        f"secondary_diagnostic_name is an output: {name!r}"
+                    )
         if not self.secondary_out_names and not self.secondary_residual_out_names:
             raise ValueError(
                 "at least one of secondary_out_names or "
@@ -290,6 +335,14 @@ class SecondaryModuleStepConfig(StepConfigABC):
         if overlap:
             raise ValueError(
                 f"secondary_out_names overlap out_names: {sorted(overlap)}"
+            )
+        overlap = set(self.secondary_out_names) & set(
+            self.secondary_residual_out_names
+        )
+        if overlap:
+            raise ValueError(
+                "secondary_out_names must not overlap with "
+                f"secondary_residual_out_names: {sorted(overlap)}"
             )
         for name in self.secondary_residual_out_names:
             if name not in self.out_names and name not in self.in_names:
@@ -313,10 +366,16 @@ class SecondaryModuleStepConfig(StepConfigABC):
 
     @property
     def output_names(self) -> list[str]:
+        decoder_names = (
+            self.secondary_decoder.secondary_diagnostic_names
+            if self.secondary_decoder is not None
+            else []
+        )
         return sorted(
             set(self.out_names)
             | set(self.secondary_out_names)
             | set(self.secondary_residual_out_names)
+            | set(decoder_names)
         )
 
     @property
@@ -332,7 +391,10 @@ class SecondaryModuleStepConfig(StepConfigABC):
 
     @property
     def _normalize_names(self) -> list[str]:
-        return sorted(set(self.input_names) | set(self.output_names))
+        # in_names (not input_names: ocean forcing names are prescribed,
+        # never normalized) plus all outputs
+        # (reference: secondary_module.py:164)
+        return sorted(set(self.in_names) | set(self.output_names))
 
     def get_step(self, dataset_info: DatasetInfo) -> "SecondaryModuleStep":
         return SecondaryModuleStep(self, dataset_info)
@@ -362,12 +424,22 @@ class SecondaryModuleStep(StepABC):
         self.in_packer = Packer(config.in_names)
         self.out_packer = Packer(config.out_names)
         self.secondary_out_packer = Packer(config.secondary_module_out_names)
+        self.secondary_decoder = (
+            config.secondary_decoder.build(
+                n_in_channels=len(config.out_names),
+                dataset_info=dataset_info,
+            )
+            if config.secondary_decoder is not None
+            else None
+        )
         self.normalizer = config.normalization.build_network_normalizer(
             config._normalize_names
         )
+        # ocean sees the primary module's out_names
+        # (reference: secondary_module.py:296)
         self.ocean = (
             config.ocean.build(
-                config.in_names, config.output_names, dataset_info.timestep
+                config.in_names, config.out_names, dataset_info.timestep
             )
             if config.ocean is not None
             else None
@@ -394,12 +466,17 @@ class SecondaryModuleStep(StepABC):
         import jax.numpy as jnp
 
         nlat, nlon = self._dataset_info.img_shape
-        k1, k2 = jax.random.split(rng)
+        k1, k2, k3 = jax.random.split(rng, 3)
         dummy = jnp.zeros((1, nlat, nlon, len(self._config.in_names)))
-        return {
+        params = {
             "main": self.module.init(k1, dummy),
             "secondary": self.secondary_module.init(k2, dummy),
         }
+        if self.secondary_decoder is not None:
+            params["secondary_decoder"] = self.secondary_decoder.init_params(
+                k3, (nlat, nlon)
+            )
+        return params
 
     def init_stepper_state(self, input_data) -> StepperState:
         state: StepperState = {}
@@ -411,17 +488,19 @@ class SecondaryModuleStep(StepABC):
         config = self._config
 
         def network_calls(input_norm, rngs):
+            # independent rng streams for the sibling modules
+            main_rngs, sec_rngs, dec_rngs = split_rngs(rngs, 3)
             packed = self.in_packer.pack(
                 {k: input_norm[k] for k in config.in_names}
             )
             main_out = self.module.apply(
                 params["main"], packed,
-                deterministic=args.deterministic, rngs=rngs,
+                deterministic=args.deterministic, rngs=main_rngs,
             )
             output = self.out_packer.unpack(main_out)
             sec_out = self.secondary_module.apply(
                 params["secondary"], packed,
-                deterministic=args.deterministic, rngs=rngs,
+                deterministic=args.deterministic, rngs=sec_rngs,
             )
             sec = self.secondary_out_packer.unpack(sec_out)
             for name in config.secondary_out_names:
@@ -431,6 +510,15 @@ class SecondaryModuleStep(StepABC):
                     output[name] = output[name] + sec[name]
                 else:
                     output[name] = input_norm[name] + sec[name]
+            if self.secondary_decoder is not None:
+                # decodes from a stop_gradient of the primary outputs
+                # (reference: secondary_module.py:420 detach semantics)
+                output.update(
+                    self.secondary_decoder(
+                        params["secondary_decoder"], main_out,
+                        deterministic=args.deterministic, rngs=dec_rngs,
+                    )
+                )
             return output
 
         return step_with_adjustments(

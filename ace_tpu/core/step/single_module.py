@@ -49,6 +49,18 @@ def make_rngs(rng):
     return {"dropout": k_drop, "noise": k_noise}
 
 
+def split_rngs(rngs, n: int):
+    """Derive ``n`` independent rng-collection dicts from one, so sibling
+    modules in a multi-module step draw independent dropout/noise (the
+    reference's separate torch modules each own their RNG stream)."""
+    if rngs is None:
+        return [None] * n
+    return [
+        {name: jax.random.fold_in(key, i) for name, key in rngs.items()}
+        for i in range(n)
+    ]
+
+
 def apply_input_mask(input_norm: TensorDict, presence: TensorMapping):
     """Zero masked channels of normalized inputs
     (reference: single_module.py _apply_input_mask). ``presence`` maps a
@@ -405,11 +417,13 @@ class SingleModuleStep(StepABC):
             output = self.out_packer.unpack(out_packed)
             if self.secondary_decoder is not None:
                 # decodes from a stop_gradient of the main outputs
-                # (reference: single_module.py:430 detach semantics)
+                # (reference: single_module.py:430 detach semantics);
+                # independent rng stream from the main module
                 output.update(
                     self.secondary_decoder(
                         params["secondary_decoder"], out_packed,
-                        deterministic=args.deterministic, rngs=rngs,
+                        deterministic=args.deterministic,
+                        rngs=split_rngs(rngs, 2)[1],
                     )
                 )
             return output

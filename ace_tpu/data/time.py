@@ -8,6 +8,8 @@ here, so this module implements the three calendars ACE datasets use:
 - "proleptic_gregorian" / "standard": via numpy datetime64 arithmetic
 - "noleap" (365_day): fixed 365-day years
 - "julian": leap every 4 years
+- "360_day": twelve 30-day months
+- "all_leap" (366_day): every year has 366 days
 
 A TimeCoord is (calendar, int64 microseconds since 0001-01-01 00:00:00 of
 that calendar) — vectorized numpy throughout.
@@ -28,8 +30,10 @@ MICROS_PER_SECOND = 10**6
 
 def _is_leap(year, calendar: str):
     year = np.asarray(year)
-    if calendar in ("noleap", "365_day"):
+    if calendar in ("noleap", "365_day", "360_day"):
         return np.zeros(year.shape, dtype=bool)
+    if calendar in ("all_leap", "366_day"):
+        return np.ones(year.shape, dtype=bool)
     if calendar == "julian":
         return year % 4 == 0
     # proleptic gregorian
@@ -37,6 +41,8 @@ def _is_leap(year, calendar: str):
 
 
 def _days_in_year(year, calendar: str):
+    if calendar == "360_day":
+        return np.full(np.asarray(year).shape, 360, dtype=np.int64)
     return np.where(_is_leap(year, calendar), 366, 365).astype(np.int64)
 
 
@@ -45,6 +51,10 @@ def _days_before_year(year, calendar: str):
     y = np.asarray(year).astype(np.int64) - 1
     if calendar in ("noleap", "365_day"):
         return y * 365
+    if calendar == "360_day":
+        return y * 360
+    if calendar in ("all_leap", "366_day"):
+        return y * 366
     if calendar == "julian":
         return y * 365 + y // 4
     return y * 365 + y // 4 - y // 100 + y // 400
@@ -53,6 +63,9 @@ def _days_before_year(year, calendar: str):
 def _ymd_to_day_number(year, month, day, calendar: str):
     month = np.asarray(month).astype(np.int64)
     day = np.asarray(day).astype(np.int64)
+    if calendar == "360_day":
+        doy = (month - 1) * 30 + (day - 1)
+        return _days_before_year(year, calendar) + doy
     doy = _CUM_DAYS[month - 1] + (day - 1)
     leap_adjust = ((month > 2) & _is_leap(year, calendar)).astype(np.int64)
     return _days_before_year(year, calendar) + doy + leap_adjust
@@ -90,14 +103,18 @@ def decode_time(micros, calendar: str = "proleptic_gregorian"):
         year = year + too_small.astype(np.int64)
     day_of_year = days - _days_before_year(year, calendar)  # 0-based
 
-    leap = _is_leap(year, calendar)
-    cum = np.broadcast_to(_CUM_DAYS, (*year.shape, 13)).copy()
-    # months from March on start one day later in leap years
-    cum[..., 2:] += leap[..., None].astype(np.int64)
-    month = (day_of_year[..., None] >= cum).sum(axis=-1).astype(np.int64)
-    day = day_of_year - np.take_along_axis(
-        cum, month[..., None] - 1, axis=-1
-    )[..., 0] + 1
+    if calendar == "360_day":
+        month = day_of_year // 30 + 1
+        day = day_of_year % 30 + 1
+    else:
+        leap = _is_leap(year, calendar)
+        cum = np.broadcast_to(_CUM_DAYS, (*year.shape, 13)).copy()
+        # months from March on start one day later in leap years
+        cum[..., 2:] += leap[..., None].astype(np.int64)
+        month = (day_of_year[..., None] >= cum).sum(axis=-1).astype(np.int64)
+        day = day_of_year - np.take_along_axis(
+            cum, month[..., None] - 1, axis=-1
+        )[..., 0] + 1
     hour = second_of_day // 3600
     minute = (second_of_day % 3600) // 60
     second = second_of_day % 60

@@ -53,8 +53,13 @@ def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
     stepper = load_stepper(
         config.checkpoint_path, override=config.stepper_override
     )
+    deriver = config.derived_forcings.build(stepper.dataset_info)
+    forcing_names = [
+        n for n in stepper.forcing_window_names
+        if n not in deriver.provided_names
+    ]
     data = config.loader.build(
-        forcing_names=stepper.forcing_window_names,
+        forcing_names=forcing_names,
         prognostic_names=stepper.prognostic_names,
         n_forward_steps=config.n_forward_steps,
         forward_steps_in_memory=config.forward_steps_in_memory,
@@ -69,7 +74,6 @@ def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
         info, n_timesteps=config.n_forward_steps
     )
     writer = config.data_writer.build(config.experiment_dir, info)
-    deriver = config.derived_forcings.build(stepper.dataset_info)
     # target variables available in the dataset
     target_names = [
         n for n in stepper.out_names if n in data.dataset.names

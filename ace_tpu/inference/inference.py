@@ -81,8 +81,13 @@ def run_inference_from_config(config: InferenceConfig) -> dict:
     stepper = load_stepper(
         config.checkpoint_path, override=config.stepper_override
     )
+    deriver = config.derived_forcings.build(stepper.dataset_info)
+    forcing_names = [
+        n for n in stepper.forcing_window_names
+        if n not in deriver.provided_names
+    ]
     forcing_data = config.forcing_loader.build(
-        forcing_names=stepper.forcing_window_names,
+        forcing_names=forcing_names,
         prognostic_names=stepper.prognostic_names,
         n_forward_steps=config.n_forward_steps,
         forward_steps_in_memory=config.forward_steps_in_memory,
@@ -106,7 +111,6 @@ def run_inference_from_config(config: InferenceConfig) -> dict:
         info, n_timesteps=config.n_forward_steps
     )
     writer = config.data_writer.build(config.experiment_dir, info)
-    deriver = config.derived_forcings.build(stepper.dataset_info)
     summary = run_inference(
         stepper, ic, forcing_data, writer=writer, aggregator=aggregator,
         forcing_deriver=deriver,

@@ -258,8 +258,10 @@ class InsolationDeriver:
     solar_constant_name: str | None
 
     def compute(self, time: TimeCoord, data: dict) -> dict:
-        if self.name in data:
-            return dict(data)
+        # always overwrite: the configured orbital parameters define the
+        # forcing even when the dataset stores an insolation variable
+        # (the reference removes the name from the data requirements and
+        # computes it unconditionally)
         if self.solar_constant_name is not None:
             solar_constant = np.asarray(data[self.solar_constant_name])
         else:
@@ -291,6 +293,12 @@ class DerivedForcingsConfig:
 class ForcingDeriver:
     def __init__(self, insolation: InsolationDeriver | None):
         self.insolation = insolation
+
+    @property
+    def provided_names(self) -> list[str]:
+        """Forcing names this deriver supplies — removed from what the
+        dataset must provide (reference update_requirements)."""
+        return [self.insolation.name] if self.insolation else []
 
     def __call__(self, time: TimeCoord, data: dict) -> dict:
         if self.insolation is not None:

@@ -116,10 +116,20 @@ class TrainStepper:
                 # HEALPix: channels-last SHT via gridded operations
                 sht = info.gridded_operations.get_real_sht()
         # loss normalizer: network stats with residual stds for prognostics
-        loss_normalizer = step.config.normalization.build_loss_normalizer(
-            step.config._normalize_names,
-            residual_scaled_names=step.prognostic_names,
-        )
+        if hasattr(step.config, "get_loss_normalizer"):
+            # steps with synthetic output names (multi-call) extend the
+            # normalizer themselves (reference
+            # MultiCallStepConfig.get_loss_normalizer)
+            loss_normalizer = step.config.get_loss_normalizer(
+                residual_scaled_names=step.prognostic_names
+            )
+        else:
+            loss_normalizer = (
+                step.config.normalization.build_loss_normalizer(
+                    step.config._normalize_names,
+                    residual_scaled_names=step.prognostic_names,
+                )
+            )
         self.step_loss = train_config.loss.build(
             info.gridded_operations,
             out_names=step.output_names,

@@ -433,3 +433,52 @@ def test_concat_windows_never_span_segments(tmp_path):
         np.testing.assert_array_equal(
             np.diff(t.values), 6 * 3600 * 10**6
         )
+
+
+def test_360_day_and_all_leap_calendars():
+    from ace_tpu.data.time import (
+        decode_time,
+        encode_time,
+        fractional_day_of_year,
+        parse_datetime_string,
+    )
+
+    # 360_day: every month has 30 days, years are 360 days
+    us = encode_time(5, 3, 30, 12, calendar="360_day")
+    c = decode_time(np.asarray([us]), "360_day")
+    assert (int(c["year"][0]), int(c["month"][0]), int(c["day"][0]),
+            int(c["hour"][0])) == (5, 3, 30, 12)
+    assert int(c["day_of_year"][0]) == 2 * 30 + 30  # 1-based
+    # Feb 30 exists in 360_day
+    us2 = parse_datetime_string("2001-02-30", calendar="360_day")
+    c2 = decode_time(np.asarray([us2]), "360_day")
+    assert int(c2["month"][0]) == 2 and int(c2["day"][0]) == 30
+    # consecutive years are exactly 360 days apart
+    y1 = encode_time(2, 1, 1, calendar="360_day")
+    y2 = encode_time(3, 1, 1, calendar="360_day")
+    assert (y2 - y1) == 360 * 86400 * 10**6
+
+    # all_leap: every year has 366 days; Feb 29 always exists
+    us3 = encode_time(2001, 2, 29, calendar="all_leap")
+    c3 = decode_time(np.asarray([us3]), "all_leap")
+    assert (int(c3["year"][0]), int(c3["month"][0]),
+            int(c3["day"][0])) == (2001, 2, 29)
+    y1 = encode_time(2001, 1, 1, calendar="all_leap")
+    y2 = encode_time(2002, 1, 1, calendar="all_leap")
+    assert (y2 - y1) == 366 * 86400 * 10**6
+    # Mar 1 is day-of-year 61 (0-based: 31 + 29 + 0)
+    frac = fractional_day_of_year(
+        np.asarray([encode_time(2001, 3, 1, calendar="all_leap")]),
+        "all_leap",
+    )
+    assert frac[0] == 60.0
+
+    # round-trip across a spread of encoded dates in both calendars
+    for cal in ("360_day", "all_leap"):
+        for (y, m, d) in [(1, 1, 1), (1999, 12, 30), (500, 7, 15)]:
+            us = encode_time(y, m, d, 6, 30, 15, calendar=cal)
+            c = decode_time(np.asarray([us]), cal)
+            got = (int(c["year"][0]), int(c["month"][0]), int(c["day"][0]),
+                   int(c["hour"][0]), int(c["minute"][0]),
+                   int(c["second"][0]))
+            assert got == (y, m, d, 6, 30, 15), (cal, got)

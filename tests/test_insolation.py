@@ -74,7 +74,7 @@ def test_insolation_matches_reference_regression():
     np.testing.assert_allclose(mine, expected, atol=0.25)
 
 
-def test_forcing_deriver_passthrough_when_present():
+def test_forcing_deriver_overwrites_stored_insolation():
     coords = LatLonCoordinates(
         lat=np.linspace(-90, 90, 4), lon=np.linspace(0, 270, 4)
     )
@@ -88,8 +88,16 @@ def test_forcing_deriver_passthrough_when_present():
         insolation=InsolationConfig(insolation_name="DSWRFtoa")
     ).build(info)
     tc = TimeCoord.from_range("2000-01-01", 2, 21600)
-    existing = np.ones((2, 4, 4), np.float32)
+    existing = np.full((2, 4, 4), -999.0, np.float32)
+    # the deriver always overwrites: the configured orbital parameters
+    # define the forcing even when the dataset stores an insolation
+    # variable (reference removes the name from the data requirements
+    # and computes it unconditionally)
     out = deriver(tc, {"DSWRFtoa": existing})
-    np.testing.assert_array_equal(out["DSWRFtoa"], existing)
+    assert not np.allclose(np.asarray(out["DSWRFtoa"]), existing)
     out2 = deriver(tc, {})
     assert "DSWRFtoa" in out2 and out2["DSWRFtoa"].shape == (2, 4, 4)
+    np.testing.assert_allclose(
+        np.asarray(out["DSWRFtoa"]), np.asarray(out2["DSWRFtoa"])
+    )
+    assert deriver.provided_names == ["DSWRFtoa"]

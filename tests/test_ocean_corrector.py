@@ -209,3 +209,41 @@ def test_ice_corrector_selector_in_step():
     ))
     sic = np.asarray(out.output["siconc"])
     assert sic.min() >= -1e-5 and sic.max() <= 1.0 + 1e-5
+
+
+def test_ice_budget_rebalance_leaves_violation_free_cells_untouched():
+    """Violation-free cells pass through unchanged even when their sink is
+    positive or source negative: the reference skips _rebalance entirely
+    when nothing violates, so sign projection must be gated per-cell on
+    the violation mask (reference: fme/core/corrector/ice.py:110)."""
+    import jax.numpy as jnp
+
+    from ace_tpu.core.corrector.ice import IceBudgetCorrectionConfig
+
+    cfg = IceBudgetCorrectionConfig(
+        corrected_variables={"siconc": ["src", "snk", "xprt"]}
+    )
+    dt = 6 * 3600.0
+    # cell 0: no violation, but sink > 0 / source < 0 (sign-convention
+    #   breach without a mass violation) -> must pass through unchanged
+    # cell 1: mass violation (goes negative) -> corrected
+    old = jnp.asarray([[[0.5, 0.5]]], jnp.float32)
+    src = jnp.asarray([[[-0.05, 0.0]]], jnp.float32) / dt
+    snk = jnp.asarray([[[0.02, -0.9]]], jnp.float32) / dt
+    xprt = jnp.asarray([[[0.1, 0.1]]], jnp.float32) / dt
+    out = cfg(
+        {"src": src, "snk": snk, "xprt": xprt}, {"siconc": old},
+        timestep=dt,
+    )
+    # violation-free cell untouched
+    np.testing.assert_allclose(np.asarray(out["src"])[0, 0, 0],
+                               np.asarray(src)[0, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["snk"])[0, 0, 0],
+                               np.asarray(snk)[0, 0, 0], rtol=1e-6)
+    np.testing.assert_allclose(np.asarray(out["xprt"])[0, 0, 0],
+                               np.asarray(xprt)[0, 0, 0], rtol=1e-6)
+    # violating cell corrected to zero mass with sign constraints held
+    sic = np.asarray(out["siconc"])
+    assert abs(sic[0, 0, 1]) <= 1e-6
+    assert np.asarray(out["src"])[0, 0, 1] >= -1e-9
+    assert np.asarray(out["snk"])[0, 0, 1] <= 1e-9
