@@ -86,7 +86,95 @@ class SchedulerConfig:
             return lambda count: base_lr * jnp.where(
                 epochs(count) < total, factor, 1.0
             )
+        if self.type == "OneCycleLR":
+            max_lr = kw.get("max_lr", base_lr)
+            total = kw["total_steps"]
+            pct_start = kw.get("pct_start", 0.3)
+            div_factor = kw.get("div_factor", 25.0)
+            final_div_factor = kw.get("final_div_factor", 1e4)
+            initial = max_lr / div_factor
+            final = initial / final_div_factor
+            up = pct_start * total
+
+            def schedule(count):
+                t = epochs(count)
+                rise = initial + (max_lr - initial) * 0.5 * (
+                    1 - jnp.cos(jnp.pi * jnp.minimum(t / up, 1.0))
+                )
+                t2 = jnp.clip((t - up) / (total - up), 0.0, 1.0)
+                fall = final + (max_lr - final) * 0.5 * (
+                    1 + jnp.cos(jnp.pi * t2)
+                )
+                return jnp.where(t < up, rise, fall)
+
+            return schedule
         raise NotImplementedError(f"scheduler type {self.type!r}")
+
+
+@dataclasses.dataclass
+class SequentialSchedulerConfig:
+    """Run a sequence of LR schedulers one after the other
+    (reference: fme/core/scheduler.py:48 SequentialSchedulerConfig,
+    torch.optim.lr_scheduler.SequentialLR). ``milestones[i]`` is the epoch
+    (or iteration, when step_each_iteration) at which ``schedulers[i+1]``
+    takes over; each scheduler restarts its own clock at its milestone
+    (optax.join_schedules semantics match SequentialLR's fresh start).
+    """
+
+    schedulers: list[SchedulerConfig]
+    milestones: list[int]
+    last_epoch: int = -1
+
+    def __post_init__(self):
+        if not self.schedulers:
+            raise ValueError("schedulers must be non-empty")
+        if len(self.milestones) != len(self.schedulers) - 1:
+            raise ValueError(
+                "milestones must have one fewer entry than schedulers"
+            )
+        if any(
+            s.step_each_iteration != self.schedulers[0].step_each_iteration
+            for s in self.schedulers
+        ):
+            raise ValueError(
+                "All SchedulerConfigs in the SequentialSchedulerConfig "
+                "must have identical values for step_each_iteration."
+            )
+
+    @property
+    def type(self) -> str:
+        return "Sequential"
+
+    @property
+    def step_each_iteration(self) -> bool:
+        return self.schedulers[0].step_each_iteration
+
+    def build(self, base_lr: float, max_epochs: int,
+              steps_per_epoch: int = 1) -> optax.Schedule:
+        children = [
+            s.build(base_lr, max_epochs, steps_per_epoch)
+            for s in self.schedulers
+        ]
+        # milestones are epochs unless stepping per iteration; optax
+        # counts optimizer updates, so scale epoch milestones accordingly
+        scale = 1 if self.step_each_iteration else steps_per_epoch
+        boundaries = [m * scale for m in self.milestones]
+        return optax.join_schedules(children, boundaries)
+
+
+@dataclasses.dataclass
+class CheckpointConfig:
+    """Activation checkpointing (rematerialization) config
+    (reference: fme/core/optimization.py:40 CheckpointConfig). Rollout
+    steps with index >= after_n_forward_steps run under ``jax.checkpoint``
+    so their activations are recomputed in the backward pass instead of
+    stored; earlier steps keep their activations. ``kwargs`` is accepted
+    for reference-config compatibility and ignored (the torch
+    ``use_reentrant`` etc. knobs have no JAX analog).
+    """
+
+    after_n_forward_steps: float = float("inf")
+    kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
 
 
 @dataclasses.dataclass
@@ -101,8 +189,8 @@ class OptimizationConfig:
     lr: float = 0.001
     kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
     enable_automatic_mixed_precision: bool = False
-    scheduler: SchedulerConfig = dataclasses.field(
-        default_factory=SchedulerConfig
+    scheduler: SchedulerConfig | SequentialSchedulerConfig = (
+        dataclasses.field(default_factory=SchedulerConfig)
     )
     max_grad_norm: float | None = None
     # accumulate gradients over this many batches before applying an
@@ -110,6 +198,31 @@ class OptimizationConfig:
     # here via optax.MultiSteps, which also scales the LR schedule count)
     use_gradient_accumulation: bool = False
     gradient_accumulation_steps: int = 1
+    # activation rematerialization for rollout steps
+    # (reference: optimization.py:331 checkpoint field)
+    checkpoint: CheckpointConfig = dataclasses.field(
+        default_factory=CheckpointConfig
+    )
+    # fine-tuning: transfer Adam moment estimates from another training
+    # checkpoint while keeping this config's hyperparameters and a fresh
+    # LR schedule (reference: optimization.py:314)
+    resume_optimizer_ckpt_path: str | None = None
+
+    def __post_init__(self):
+        if self.optimizer_type == "FusedAdam":
+            import warnings
+
+            warnings.warn(
+                "FusedAdam is deprecated. Use AdamW instead.",
+                DeprecationWarning,
+            )
+
+    @property
+    def has_lr_schedule(self) -> bool:
+        """(reference: optimization.py:345)."""
+        if isinstance(self.scheduler, SequentialSchedulerConfig):
+            return True
+        return self.scheduler.type is not None
 
     def build(self, max_epochs: int, steps_per_epoch: int = 1) -> "Optimization":
         base_schedule = self.scheduler.build(

@@ -43,9 +43,10 @@ class StepperTrainConfig:
         sampled per batch host-side, and XLA caches one executable per
         distinct length).
     n_ensemble: ensemble members per sample for CRPS/EnergyScore training.
-    remat: apply jax.checkpoint to the scanned step body (activation
-        rematerialization; the TPU analog of
-        CheckpointConfig.after_n_forward_steps).
+    remat: apply jax.checkpoint to every scanned step body (activation
+        rematerialization). For the reference's threshold behavior use
+        OptimizationConfig.checkpoint.after_n_forward_steps instead,
+        which remats only the steps at or past the threshold.
     """
 
     loss: StepLossConfig = dataclasses.field(default_factory=StepLossConfig)
@@ -291,12 +292,33 @@ class TrainStepper:
                 step_loss.total,
             )
 
-        body_fn = jax.checkpoint(body) if cfg.remat else body
-
-        (_, _, _, total), per_step = jax.lax.scan(
-            body_fn,
-            (state0, stepper_state, rng, jnp.zeros(())),
-            (xs_in, xs_next, xs_target, xs_idx),
+        # activation rematerialization: steps >= after_n_forward_steps
+        # recompute activations in the backward pass (reference:
+        # fme/core/optimization.py:40 CheckpointConfig.build(step)).
+        # cfg.remat=True remats everything; otherwise the threshold
+        # splits the rollout into an eager-prefix scan and a remat scan.
+        if cfg.remat:
+            split = 0
+        else:
+            after = self.optimization.config.checkpoint.after_n_forward_steps
+            split = n_steps if after >= n_steps else max(int(after), 0)
+        carry = (state0, stepper_state, rng, jnp.zeros(()))
+        xs_all = (xs_in, xs_next, xs_target, xs_idx)
+        segments = []
+        if split > 0:
+            segments.append((body, 0, split))
+        if split < n_steps:
+            segments.append((jax.checkpoint(body), split, n_steps))
+        per_step_parts = []
+        for fn, lo, hi in segments:
+            xs_seg = jax.tree_util.tree_map(lambda x: x[lo:hi], xs_all)
+            carry, ps = jax.lax.scan(fn, carry, xs_seg)
+            per_step_parts.append(ps)
+        (_, _, _, total) = carry
+        per_step = (
+            jnp.concatenate(per_step_parts)
+            if len(per_step_parts) > 1
+            else per_step_parts[0]
         )
         if cfg.optimize_last_step_only:
             total = per_step[-1]

@@ -163,6 +163,14 @@ class TrainConfig:
     )
     seed: int = 0
 
+    def __post_init__(self):
+        if self.lr_tuning.enabled and self.optimization.has_lr_schedule:
+            raise ValueError(
+                "lr_tuning and optimization.scheduler cannot both be "
+                "specified; lr_tuning is an alternative form of learning "
+                "rate scheduling"
+            )  # reference: train_config.py:468
+
     @property
     def n_forward_steps(self) -> int:
         # data windows must cover the longest schedulable rollout
@@ -298,6 +306,9 @@ class Trainer:
                 self.params, self.opt_state = self.train_stepper.init(
                     self._next_rng()
                 )
+                resume_path = self.config.optimization.resume_optimizer_ckpt_path
+                if resume_path is not None:
+                    self._load_optimizer_running_state(resume_path)
         # record this job in the stepper's provenance chain (reference:
         # generics/trainer.py:293 update_training_history)
         from ace_tpu.core.training_history import TrainingJob
@@ -651,6 +662,67 @@ class Trainer:
                 self.paths.epoch_checkpoint_path(epoch), stepper,
                 self.config.stepper, extra=extra,
             )
+
+    def _load_optimizer_running_state(self, path: str):
+        """Fine-tuning: transfer Adam moment estimates (mu/nu/count) from
+        another run's checkpoint into the freshly built optimizer state,
+        keeping this config's hyperparameters and a fresh LR-schedule
+        clock (reference: fme/core/optimization.py:314
+        resume_optimizer_ckpt_path).
+        """
+        import optax
+        from flax import serialization
+
+        from ace_tpu.stepper.checkpoint import load_train_checkpoint
+
+        logging.info(f"Loading optimizer running state from {path}")
+        out = load_train_checkpoint(path)
+        if "optimizer_state_dict" not in out:
+            raise ValueError(
+                f"checkpoint {path} has no optimizer state to resume from"
+            )
+
+        # locate the Adam moment subtree in the serialized state dict —
+        # structure-independent of the two runs' clipping/accumulation
+        # wrappers, matching the reference's transfer of only
+        # optimizer.state (the per-parameter moments)
+        def find_adam_dict(node):
+            if isinstance(node, dict):
+                if {"mu", "nu", "count"} <= set(node):
+                    return node
+                for v in node.values():
+                    found = find_adam_dict(v)
+                    if found is not None:
+                        return found
+            return None
+
+        adam_dict = find_adam_dict(out["optimizer_state_dict"])
+        if adam_dict is None:
+            raise ValueError(
+                "no Adam moment state found in resume_optimizer_ckpt_path "
+                f"checkpoint {path}"
+            )
+
+        def graft(fresh):
+            if isinstance(fresh, optax.ScaleByAdamState):
+                try:
+                    return serialization.from_state_dict(fresh, adam_dict)
+                except (ValueError, KeyError) as e:
+                    raise ValueError(
+                        "optimizer state in resume_optimizer_ckpt_path "
+                        "does not match this run's parameter structure: "
+                        f"{e}"
+                    ) from e
+            if hasattr(fresh, "_fields"):  # other namedtuple states
+                return type(fresh)(*(
+                    graft(getattr(fresh, f)) for f in fresh._fields
+                ))
+            if isinstance(fresh, tuple):
+                return tuple(graft(f) for f in fresh)
+            return fresh
+
+        self.opt_state = graft(self.opt_state)
+        self.train_stepper.optimization.state = self.opt_state
 
     def restore(self, path: str):
         """Resume from a training checkpoint

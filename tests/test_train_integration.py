@@ -5,6 +5,9 @@ through real configs on synthetic netCDF data).
 
 import os
 
+import jax
+import pytest
+
 import numpy as np
 import yaml
 
@@ -292,3 +295,70 @@ def test_train_evaluation_batches(tmp_path):
     with open(os.path.join(cfg["experiment_dir"], "metrics.jsonl")) as f:
         rows = [json.loads(line) for line in f]
     assert any("train/loss_independent_shuffle" in r for r in rows)
+
+
+def test_resume_optimizer_ckpt_path_transfers_moments(tmp_path):
+    """Fine-tuning with resume_optimizer_ckpt_path transfers the Adam
+    moment estimates from the base run but keeps a fresh trainer
+    (reference: fme/core/optimization.py:314)."""
+    import jax.numpy as jnp
+    import optax
+
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    config_path = tmp_path / "config.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(cfg, f)
+    from ace_tpu.train.train import main
+
+    main([str(config_path)])
+    ckpt = os.path.join(
+        cfg["experiment_dir"], "training_checkpoints", "ckpt.msgpack"
+    )
+
+    cfg2 = _config(tmp_path, data, max_epochs=1)
+    cfg2["experiment_dir"] = str(tmp_path / "finetune")
+    cfg2["stepper"] = {"checkpoint_path": ckpt}
+    cfg2["optimization"]["resume_optimizer_ckpt_path"] = ckpt
+    from ace_tpu.core.config import from_dict as cfg_from_dict
+    from ace_tpu.train.trainer import TrainConfig
+
+    config = cfg_from_dict(TrainConfig, cfg2)
+    trainer = config.build_trainer()
+    # trigger param/opt-state init without training
+    trainer.params, trainer.opt_state = trainer.train_stepper.init(
+        trainer._next_rng()
+    )
+    trainer._load_optimizer_running_state(ckpt)
+
+    def find_adam(state):
+        if isinstance(state, optax.ScaleByAdamState):
+            return state
+        if isinstance(state, tuple):
+            for s in state:
+                found = find_adam(s)
+                if found is not None:
+                    return found
+        return None
+
+    adam = find_adam(trainer.opt_state)
+    assert adam is not None
+    # moments transferred from the trained base run: non-zero
+    mu_mag = max(
+        float(jnp.abs(m).max()) for m in jax.tree_util.tree_leaves(adam.mu)
+    )
+    assert mu_mag > 0.0
+    assert int(adam.count) > 0
+
+
+def test_lr_tuning_and_scheduler_are_mutually_exclusive(tmp_path):
+    data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
+    cfg = _config(tmp_path, data, max_epochs=1)
+    cfg["optimization"]["scheduler"] = {"type": "CosineAnnealingLR"}
+    cfg["lr_tuning"] = {"enabled": True}
+    from ace_tpu.core.config import from_dict as cfg_from_dict
+    from ace_tpu.core.config import ConfigError
+    from ace_tpu.train.trainer import TrainConfig
+
+    with pytest.raises((ValueError, ConfigError), match="lr_tuning"):
+        cfg_from_dict(TrainConfig, cfg)

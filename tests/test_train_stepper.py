@@ -26,7 +26,7 @@ from tests.test_step_stepper import _dataset_info, _step_config, NLAT, NLON
 
 
 def _train_stepper(n_forward_steps=2, n_ensemble=1, loss_type="MSE",
-                   remat=False, **step_kwargs):
+                   remat=False, opt_config=None, **step_kwargs):
     from ace_tpu.core.config import to_dict
 
     sel = StepSelector(
@@ -43,7 +43,8 @@ def _train_stepper(n_forward_steps=2, n_ensemble=1, loss_type="MSE",
         remat=remat,
     )
     return TrainStepper(
-        stepper, train_cfg, OptimizationConfig(lr=1e-2), EMAConfig()
+        stepper, train_cfg,
+        opt_config or OptimizationConfig(lr=1e-2), EMAConfig(),
     )
 
 
@@ -356,3 +357,97 @@ def test_weighted_mapping_loss_data_mask():
     out2 = loss(pred, targ)
     np.testing.assert_allclose(float(out2.per_channel["a"]), 5.0)
     np.testing.assert_allclose(float(out2.total), 3.0)
+
+
+def test_checkpoint_after_n_forward_steps_matches_unsplit():
+    """The remat threshold split (reference CheckpointConfig
+    after_n_forward_steps) must not change loss or gradients."""
+    from ace_tpu.core.optimization import CheckpointConfig
+
+    ts1 = _train_stepper(n_forward_steps=3)
+    ts2 = _train_stepper(
+        n_forward_steps=3,
+        opt_config=OptimizationConfig(
+            lr=1e-2, checkpoint=CheckpointConfig(after_n_forward_steps=1)
+        ),
+    )
+    params, _ = ts1.init(jax.random.PRNGKey(7))
+    batch = _batch(np.random.RandomState(2), 3)
+    rng = jax.random.PRNGKey(3)
+    l1, m1 = ts1.loss_fn(params, batch, rng)
+    l2, m2 = ts2.loss_fn(params, batch, rng)
+    np.testing.assert_allclose(float(l1), float(l2), rtol=1e-6)
+    for i in range(3):
+        np.testing.assert_allclose(
+            float(m1[f"loss_step_{i}"]), float(m2[f"loss_step_{i}"]),
+            rtol=1e-6,
+        )
+    g1 = jax.grad(lambda p: ts1.loss_fn(p, batch, rng)[0])(params)
+    g2 = jax.grad(lambda p: ts2.loss_fn(p, batch, rng)[0])(params)
+    for a, b in zip(jax.tree_util.tree_leaves(g1),
+                    jax.tree_util.tree_leaves(g2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
+def test_sequential_scheduler():
+    """Linear warmup then cosine decay via SequentialSchedulerConfig
+    (reference: fme/core/scheduler.py:48)."""
+    from ace_tpu.core.optimization import SequentialSchedulerConfig
+
+    cfg = SequentialSchedulerConfig(
+        schedulers=[
+            SchedulerConfig(
+                type="LinearLR",
+                kwargs={"start_factor": 0.1, "total_iters": 5},
+            ),
+            SchedulerConfig(type="CosineAnnealingLR", kwargs={"T_max": 10}),
+        ],
+        milestones=[5],
+    )
+    sched = cfg.build(1.0, max_epochs=15, steps_per_epoch=2)
+    # warmup: starts at 0.1 * lr
+    np.testing.assert_allclose(float(sched(0)), 0.1, rtol=1e-6)
+    # after the milestone (5 epochs * 2 steps) the cosine starts fresh
+    np.testing.assert_allclose(float(sched(10)), 1.0, rtol=1e-6)
+    # cosine midpoint: 5 epochs into the cosine segment
+    np.testing.assert_allclose(float(sched(20)), 0.5, atol=1e-6)
+    # mismatched step_each_iteration is rejected
+    with pytest.raises(ValueError, match="step_each_iteration"):
+        SequentialSchedulerConfig(
+            schedulers=[
+                SchedulerConfig(type="LinearLR"),
+                SchedulerConfig(
+                    type="CosineAnnealingLR", step_each_iteration=True
+                ),
+            ],
+            milestones=[5],
+        )
+    # parses from config dicts through the union field
+    opt = from_dict(OptimizationConfig, {
+        "lr": 0.5,
+        "scheduler": {
+            "schedulers": [
+                {"type": "LinearLR"},
+                {"type": "CosineAnnealingLR"},
+            ],
+            "milestones": [3],
+        },
+    })
+    assert opt.has_lr_schedule
+    sched2 = opt.scheduler.build(opt.lr, max_epochs=6, steps_per_epoch=1)
+    assert float(sched2(3)) == 0.5  # cosine segment start
+
+
+def test_one_cycle_scheduler():
+    cfg = SchedulerConfig(
+        type="OneCycleLR",
+        kwargs={"max_lr": 1.0, "total_steps": 10, "pct_start": 0.3},
+        step_each_iteration=True,
+    )
+    sched = cfg.build(1.0, max_epochs=1, steps_per_epoch=1)
+    lrs = [float(sched(i)) for i in range(11)]
+    np.testing.assert_allclose(lrs[0], 1.0 / 25.0, rtol=1e-6)  # initial
+    np.testing.assert_allclose(lrs[3], 1.0, rtol=1e-6)  # peak at pct_start
+    assert lrs[10] < 1e-4  # annealed to ~final
+    assert all(b >= a for a, b in zip(lrs[:3], lrs[1:4]))  # rising
+    assert all(b <= a for a, b in zip(lrs[3:10], lrs[4:11]))  # falling
