@@ -38,6 +38,65 @@ def edm_precondition(raw_net, sigma_data: float = 0.5) -> DenoiserFn:
     return denoiser
 
 
+def validate_sigma_ranges(sigma_ranges) -> None:
+    """(reference: fme/downscaling/predictors/serial_denoising.py:32)."""
+    if not sigma_ranges:
+        raise ValueError("sigma_ranges must contain at least one entry.")
+    for s_min, s_max in sigma_ranges:
+        if s_min >= s_max:
+            raise ValueError(
+                f"Each range needs sigma_min < sigma_max; got "
+                f"[{s_min}, {s_max}]."
+            )
+    for i in range(len(sigma_ranges) - 1):
+        if sigma_ranges[i][0] >= sigma_ranges[i + 1][0]:
+            raise ValueError(
+                "sigma_ranges must be sorted by sigma_min ascending."
+            )
+        if sigma_ranges[i][1] != sigma_ranges[i + 1][0]:
+            raise ValueError(
+                "Sigma ranges must be contiguous: "
+                f"sigma_ranges[{i}] max ({sigma_ranges[i][1]}) must equal "
+                f"sigma_ranges[{i + 1}] min ({sigma_ranges[i + 1][0]})."
+            )
+
+
+def make_moe_denoiser(sigma_ranges, denoisers) -> DenoiserFn:
+    """Mixture-of-experts denoiser: each net call routes to the expert
+    whose inclusive sigma range contains the current noise level
+    (reference: serial_denoising.py:63 _SigmaDispatchModule). At a shared
+    boundary the lower-noise expert wins; sigmas outside every range
+    clamp to the nearest boundary expert.
+
+    TPU-native: routing is a ``lax.switch`` on a scalar computed from the
+    traced sigma, so the whole multi-step sampler still compiles to one
+    XLA program (the reference breaks the sampler into per-step host
+    dispatch via ``sigma.item()``).
+    """
+    validate_sigma_ranges(sigma_ranges)
+    if len(sigma_ranges) != len(denoisers):
+        raise ValueError(
+            "sigma_ranges and denoisers must have the same length."
+        )
+    if len(denoisers) == 1:
+        return denoisers[0]
+    # expert index = number of upper bounds strictly below sigma; ties at
+    # a boundary pick the lower-noise segment, and out-of-range sigmas
+    # clamp to the first/last expert
+    uppers = jnp.asarray([hi for _, hi in sigma_ranges[:-1]])
+    branches = [
+        (lambda x, c, s, d=d: d(x, c, s)) for d in denoisers
+    ]
+
+    def denoiser(x, condition, sigma):
+        sigma = jnp.reshape(sigma, (-1,))
+        # samplers pass a batch-constant sigma; route on the first entry
+        idx = jnp.sum(sigma[0] > uppers).astype(jnp.int32)
+        return jax.lax.switch(idx, branches, x, condition, sigma)
+
+    return denoiser
+
+
 @dataclasses.dataclass
 class LogNormalNoiseDistribution:
     """sigma ~ exp(N(p_mean, p_std)) (reference: models.py noise dists)."""

@@ -20,6 +20,10 @@ from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
 from ace_tpu.core.config import from_dict
 from ace_tpu.core.wandb import DiskMetricLogger
 from ace_tpu.data.dataset import XarrayDataConfig
+from ace_tpu.downscaling.models import (
+    DenoisingMoEBundledConfig,
+    DenoisingMoEConfig,
+)
 from ace_tpu.train.trainer import LoggingConfig
 
 
@@ -29,9 +33,12 @@ class DownscalingEvaluatorConfig:
     evaluation lands later)."""
 
     experiment_dir: str
-    checkpoint_path: str
     coarse_data: XarrayDataConfig
     fine_data: XarrayDataConfig
+    checkpoint_path: str | None = None
+    # mixture of denoising experts (reference: evaluator.py:173 model
+    # union with DenoisingMoEConfig | DenoisingMoEBundledConfig)
+    model: DenoisingMoEConfig | DenoisingMoEBundledConfig | None = None
     n_samples: int = 4
     n_timesteps: int = 4
     start_index: int = 0
@@ -48,6 +55,10 @@ class DownscalingEvaluatorConfig:
             raise ValueError(
                 "set both or neither of coarse_patch_extent_lat/lon"
             )
+        if (self.checkpoint_path is None) == (self.model is None):
+            raise ValueError(
+                "exactly one of checkpoint_path or model must be set"
+            )
 
 
 def run_downscaling_evaluator(
@@ -55,9 +66,11 @@ def run_downscaling_evaluator(
 ) -> dict[str, float]:
     from ace_tpu.aggregator.one_step import EnsembleOneStepAggregator
     from ace_tpu.downscaling.models import PatchPredictor
-    from ace_tpu.downscaling.train import load_downscaling_model
+    from ace_tpu.downscaling.predict import load_downscaling_predictor
 
-    model = load_downscaling_model(config.checkpoint_path)
+    model = load_downscaling_predictor(
+        config.checkpoint_path, config.model
+    )
     coarse_ds = config.coarse_data.build()
     fine_ds = config.fine_data.build()
     in_names = model.config.in_names

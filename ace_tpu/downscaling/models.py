@@ -20,7 +20,9 @@ from ace_tpu.downscaling.diffusion import (
     LogUniformNoiseDistribution,
     edm_loss,
     edm_precondition,
+    make_moe_denoiser,
     stochastic_sampler,
+    validate_sigma_ranges,
 )
 from ace_tpu.downscaling.unet import DiffusionUNet
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
@@ -225,6 +227,247 @@ class DiffusionModel:
         from ace_tpu.core.config import to_dict
 
         return {"config": to_dict(self.config)}
+
+
+@dataclasses.dataclass
+class DenoisingExpertCheckpointConfig:
+    """One expert checkpoint and the inclusive sigma interval it handles
+    (reference: fme/downscaling/predictors/serial_denoising.py:21)."""
+
+    checkpoint_path: str
+    sigma_min: float
+    sigma_max: float
+
+
+@dataclasses.dataclass
+class DenoisingMoEConfig:
+    """Mixture of denoising experts specializing in different parts of
+    the EDM sigma schedule (reference: serial_denoising.py:119
+    DenoisingMoEConfig). Ranges must be non-overlapping and contiguous;
+    the sampler's overall schedule spans the union.
+    """
+
+    denoising_expert_configs: list[DenoisingExpertCheckpointConfig]
+    num_diffusion_generation_steps: int
+    churn: float = 0.0
+
+    def __post_init__(self):
+        self.denoising_expert_configs = sorted(
+            self.denoising_expert_configs, key=lambda c: c.sigma_min
+        )
+
+    def build(self) -> "DenoisingMoEPredictor":
+        from ace_tpu.downscaling.train import load_downscaling_model
+
+        experts = [
+            load_downscaling_model(c.checkpoint_path)
+            for c in self.denoising_expert_configs
+        ]
+        return DenoisingMoEPredictor(
+            experts=experts,
+            sigma_ranges=[
+                (c.sigma_min, c.sigma_max)
+                for c in self.denoising_expert_configs
+            ],
+            num_diffusion_generation_steps=(
+                self.num_diffusion_generation_steps
+            ),
+            churn=self.churn,
+        )
+
+
+@dataclasses.dataclass
+class DenoisingMoEBundledConfig:
+    """Load a DenoisingMoEPredictor from one bundle written by
+    ``DenoisingMoEPredictor.save`` (reference: serial_denoising.py:350
+    DenoisingMoEBundledConfig)."""
+
+    mixture_of_experts_path: str
+
+    def build(self) -> "DenoisingMoEPredictor":
+        return DenoisingMoEPredictor.load(self.mixture_of_experts_path)
+
+
+def _validate_experts_compatible(experts: list[DiffusionModel]) -> None:
+    """(reference: serial_denoising.py:53)."""
+    primary = experts[0]
+
+    def key(m):
+        return (
+            tuple(m.config.in_names), tuple(m.config.out_names),
+            m.config.downscale_factor, m.config.sigma_data,
+            m.config.predict_residual,
+        )
+
+    for m in experts[1:]:
+        if key(m) != key(primary):
+            raise ValueError(
+                "All experts must share the same variable names, "
+                f"downscale factor, and preconditioning; got {key(m)} "
+                f"vs {key(primary)}."
+            )
+
+
+class DenoisingMoEPredictor:
+    """Mixture of DiffusionModel experts, each used for part of the EDM
+    sigma schedule; behaves like DiffusionModel for generation and
+    patching (reference: serial_denoising.py:166 DenoisingMoEPredictor).
+    The per-call expert routing is a lax.switch inside the compiled
+    sampler (see diffusion.make_moe_denoiser), so generation stays one
+    XLA program."""
+
+    def __init__(self, experts: list[DiffusionModel],
+                 sigma_ranges: list[tuple[float, float]],
+                 num_diffusion_generation_steps: int,
+                 churn: float = 0.0):
+        if not experts:
+            raise ValueError("experts must be non-empty.")
+        if len(experts) != len(sigma_ranges):
+            raise ValueError(
+                "experts and sigma_ranges must have the same length."
+            )
+        validate_sigma_ranges(sigma_ranges)
+        _validate_experts_compatible(experts)
+        self._experts = experts
+        self._primary = experts[0]
+        self._sigma_ranges = [tuple(r) for r in sigma_ranges]
+        self._num_steps = num_diffusion_generation_steps
+        self._churn = churn
+
+        def _sample(expert_params, latents, cond, rng):
+            moe = make_moe_denoiser(
+                self._sigma_ranges,
+                [
+                    e._denoiser(p)
+                    for e, p in zip(self._experts, expert_params)
+                ],
+            )
+            return stochastic_sampler(
+                moe, latents, cond, rng,
+                num_steps=self._num_steps,
+                sigma_min=self._sigma_ranges[0][0],
+                sigma_max=self._sigma_ranges[-1][1],
+                S_churn=self._churn,
+            )
+
+        self._jit_sample = jax.jit(_sample)
+
+    @property
+    def config(self):
+        # predictors and entry points read variable names and the
+        # downscale factor off .config; experts are validated identical
+        return self._primary.config
+
+    @property
+    def dataset_info(self):
+        return self._primary.dataset_info
+
+    @property
+    def params(self):
+        # experts carry their own params; entry points pass params=None
+        return None
+
+    def generate(self, coarse: TensorMapping, rng: jax.Array,
+                 params=None, n_samples: int = 1) -> TensorDict:
+        """Same contract as DiffusionModel.generate; ``params`` is
+        ignored (each expert owns its weights)."""
+        primary = self._primary
+        cond, _ = primary._pack(coarse, None)
+        batch, h, w = cond.shape[0], cond.shape[1], cond.shape[2]
+        c_out = len(primary.config.out_names)
+        base = (
+            primary._residual_base(coarse)
+            if primary.config.predict_residual else None
+        )
+        expert_params = [e.params for e in self._experts]
+        outs = []
+        for _ in range(n_samples):
+            rng, k_lat, k_samp = jax.random.split(rng, 3)
+            latents = jax.random.normal(k_lat, (batch, h, w, c_out))
+            sample = self._jit_sample(expert_params, latents, cond, k_samp)
+            if base is not None:
+                sample = sample + base
+            outs.append(sample)
+        stacked = jnp.stack(outs, axis=1)
+        result = {
+            name: stacked[..., i]
+            for i, name in enumerate(primary.config.out_names)
+        }
+        return primary.fine_normalizer.denormalize(result)
+
+    def save(self, path: str):
+        """Bundle every expert plus routing/sampler parameters into one
+        reloadable file (reference: serial_denoising.py:313 get_state)."""
+        import json
+        import os
+
+        import numpy as np
+
+        from ace_tpu.stepper.checkpoint import save_msgpack
+
+        os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
+        from ace_tpu.core.config import to_dict
+
+        payload: dict[str, Any] = {
+            "moe_meta": json.dumps({
+                "sigma_ranges": [list(r) for r in self._sigma_ranges],
+                "num_diffusion_generation_steps": self._num_steps,
+                "churn": self._churn,
+                "n_experts": len(self._experts),
+            }),
+        }
+        for i, expert in enumerate(self._experts):
+            payload[f"expert_{i}"] = {
+                "config": json.dumps(to_dict(expert.config)),
+                "model_type": type(expert.config).__name__,
+                "dataset_info": json.dumps(
+                    expert.dataset_info.get_state()
+                ),
+                "params": jax.tree_util.tree_map(
+                    np.asarray, expert.params
+                ),
+            }
+        save_msgpack(path, payload)
+
+    @classmethod
+    def load(cls, path: str) -> "DenoisingMoEPredictor":
+        import json
+
+        from flax import serialization
+
+        from ace_tpu.core.config import from_dict as cfg_from_dict
+        from ace_tpu.core.dataset_info import DatasetInfo
+        from ace_tpu.stepper.checkpoint import load_msgpack
+
+        payload = load_msgpack(path)
+        meta = json.loads(payload["moe_meta"])
+        experts = []
+        for i in range(meta["n_experts"]):
+            blob = payload[f"expert_{i}"]
+            config = cfg_from_dict(
+                DiffusionModelConfig, json.loads(blob["config"])
+            )
+            info = DatasetInfo.from_state(
+                json.loads(blob["dataset_info"])
+            )
+            model = config.build(info)
+            template = jax.eval_shape(
+                model.init_params, jax.random.PRNGKey(0)
+            )
+            model.params = serialization.from_state_dict(
+                template, blob["params"]
+            )
+            experts.append(model)
+        return cls(
+            experts=experts,
+            sigma_ranges=[
+                (float(lo), float(hi)) for lo, hi in meta["sigma_ranges"]
+            ],
+            num_diffusion_generation_steps=int(
+                meta["num_diffusion_generation_steps"]
+            ),
+            churn=float(meta["churn"]),
+        )
 
 
 class PatchPredictor:

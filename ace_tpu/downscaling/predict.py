@@ -50,6 +50,10 @@ from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
 from ace_tpu.core.config import from_dict
 from ace_tpu.data.dataset import XarrayDataConfig
 from ace_tpu.data.store import write_h5
+from ace_tpu.downscaling.models import (
+    DenoisingMoEBundledConfig,
+    DenoisingMoEConfig,
+)
 from ace_tpu.train.trainer import LoggingConfig
 
 
@@ -70,11 +74,17 @@ class EventConfig:
 
 @dataclasses.dataclass
 class DownscalerConfig:
-    """(reference: fme/downscaling/predict.py:249 DownscalerConfig)."""
+    """(reference: fme/downscaling/predict.py:249 DownscalerConfig).
+
+    Exactly one of ``checkpoint_path`` (single diffusion/deterministic
+    model) or ``model`` (mixture-of-denoising-experts, by expert
+    checkpoints or a saved bundle) selects the generator.
+    """
 
     experiment_dir: str
-    checkpoint_path: str
     coarse_data: XarrayDataConfig
+    checkpoint_path: str | None = None
+    model: DenoisingMoEConfig | DenoisingMoEBundledConfig | None = None
     n_samples: int = 1
     start_index: int = 0
     n_timesteps: int = 1
@@ -92,13 +102,27 @@ class DownscalerConfig:
             raise ValueError(
                 "set both or neither of coarse_patch_extent_lat/lon"
             )
+        if (self.checkpoint_path is None) == (self.model is None):
+            raise ValueError(
+                "exactly one of checkpoint_path or model must be set"
+            )
+
+
+def load_downscaling_predictor(checkpoint_path, model_config):
+    """Resolve the checkpoint_path/model union into a generator."""
+    from ace_tpu.downscaling.train import load_downscaling_model
+
+    if model_config is not None:
+        return model_config.build()
+    return load_downscaling_model(checkpoint_path)
 
 
 def run_downscaler(config: DownscalerConfig) -> str:
     from ace_tpu.downscaling.models import PatchPredictor
-    from ace_tpu.downscaling.train import load_downscaling_model
 
-    model = load_downscaling_model(config.checkpoint_path)
+    model = load_downscaling_predictor(
+        config.checkpoint_path, config.model
+    )
     ds = config.coarse_data.build()
     names = model.config.in_names
     if config.coarse_patch_extent_lat is not None:

@@ -465,3 +465,129 @@ def test_event_downscaling(tmp_path):
         assert f["temp_std"].shape == (16, 32)
         assert f["temp"].shape == (4, 16, 32)
         assert np.isfinite(f["temp_mean"][:]).all()
+
+
+def test_moe_denoiser_routing():
+    """Sigma routing picks the expert whose inclusive range contains
+    sigma; boundaries go to the lower-noise expert; out-of-range sigmas
+    clamp (reference: serial_denoising.py _SigmaDispatchModule)."""
+    from ace_tpu.downscaling.diffusion import make_moe_denoiser
+
+    def expert(value):
+        return lambda x, c, s: jnp.full_like(x, value)
+
+    moe = make_moe_denoiser(
+        [(0.002, 1.0), (1.0, 10.0), (10.0, 80.0)],
+        [expert(0.0), expert(1.0), expert(2.0)],
+    )
+    x = jnp.zeros((1, 2, 2, 1))
+    c = jnp.zeros((1, 2, 2, 1))
+
+    def route(sigma):
+        return float(moe(x, c, jnp.full((1,), sigma))[0, 0, 0, 0])
+
+    assert route(0.5) == 0.0
+    assert route(1.0) == 0.0  # boundary -> lower-noise expert
+    assert route(5.0) == 1.0
+    assert route(10.0) == 1.0  # boundary -> lower-noise expert
+    assert route(50.0) == 2.0
+    assert route(1e-4) == 0.0  # below all ranges -> first expert
+    assert route(100.0) == 2.0  # above all ranges -> last expert
+    # invalid ranges rejected
+    with pytest.raises(ValueError, match="contiguous"):
+        make_moe_denoiser(
+            [(0.002, 1.0), (2.0, 10.0)], [expert(0.0), expert(1.0)]
+        )
+    with pytest.raises(ValueError, match="sigma_min < sigma_max"):
+        make_moe_denoiser([(1.0, 1.0)], [expert(0.0)])
+
+
+def test_denoising_moe_predictor_and_bundle(tmp_path):
+    """MoE of two experts generates like a DiffusionModel, saves to one
+    bundle, and the reloaded bundle reproduces generation exactly."""
+    from ace_tpu.downscaling.models import (
+        DenoisingExpertCheckpointConfig,
+        DenoisingMoEBundledConfig,
+        DenoisingMoEConfig,
+        DenoisingMoEPredictor,
+    )
+    from ace_tpu.downscaling.train import save_downscaling_checkpoint
+
+    m1 = _model()
+    m2 = _model()
+    m1.init_params(jax.random.PRNGKey(0))
+    m2.init_params(jax.random.PRNGKey(1))
+    # the output conv is zero-initialized (EDM convention), so fresh
+    # experts denoise identically; offset the params so each expert has
+    # a distinct denoiser
+    m1.params = jax.tree_util.tree_map(lambda p: p + 0.01, m1.params)
+    m2.params = jax.tree_util.tree_map(lambda p: p - 0.01, m2.params)
+    p1 = tmp_path / "expert_low.msgpack"
+    p2 = tmp_path / "expert_high.msgpack"
+    save_downscaling_checkpoint(str(p1), m1, m1.params)
+    save_downscaling_checkpoint(str(p2), m2, m2.params)
+
+    cfg = DenoisingMoEConfig(
+        denoising_expert_configs=[
+            # deliberately unsorted: config sorts by sigma_min
+            DenoisingExpertCheckpointConfig(
+                checkpoint_path=str(p2), sigma_min=1.0, sigma_max=80.0
+            ),
+            DenoisingExpertCheckpointConfig(
+                checkpoint_path=str(p1), sigma_min=0.002, sigma_max=1.0
+            ),
+        ],
+        num_diffusion_generation_steps=4,
+    )
+    moe = cfg.build()
+    rng = np.random.RandomState(0)
+    coarse = {
+        n: jnp.asarray(rng.randn(2, H, W), jnp.float32)
+        for n in ["coarse_a", "coarse_b"]
+    }
+    out = moe.generate(coarse, jax.random.PRNGKey(7), n_samples=2)
+    assert set(out) == {"fine_x"}
+    assert out["fine_x"].shape == (2, 2, H, W)
+    assert np.isfinite(np.asarray(out["fine_x"])).all()
+    # the mixture differs from either expert alone (both experts used)
+    solo1 = m1.generate(coarse, jax.random.PRNGKey(7), n_samples=2)
+    solo2 = m2.generate(coarse, jax.random.PRNGKey(7), n_samples=2)
+    assert not np.allclose(
+        np.asarray(out["fine_x"]), np.asarray(solo1["fine_x"])
+    )
+    assert not np.allclose(
+        np.asarray(out["fine_x"]), np.asarray(solo2["fine_x"])
+    )
+
+    # bundle roundtrip: identical generation under the same rng
+    bundle = tmp_path / "moe_bundle.msgpack"
+    moe.save(str(bundle))
+    moe2 = DenoisingMoEBundledConfig(
+        mixture_of_experts_path=str(bundle)
+    ).build()
+    out2 = moe2.generate(coarse, jax.random.PRNGKey(7), n_samples=2)
+    np.testing.assert_allclose(
+        np.asarray(out["fine_x"]), np.asarray(out2["fine_x"]), atol=1e-6
+    )
+    # incompatible experts rejected
+    bad = DiffusionModelConfig(
+        in_names=["coarse_a", "coarse_b"],
+        out_names=["other"],
+        normalization=PairedNormalizationConfig(
+            fine=NormalizationConfig(means={"other": 0.0},
+                                     stds={"other": 1.0}),
+            coarse=NormalizationConfig(
+                means={n: 0.0 for n in ["coarse_a", "coarse_b"]},
+                stds={n: 1.0 for n in ["coarse_a", "coarse_b"]},
+            ),
+        ),
+        module=UNetConfig(base_channels=8, channel_mults=[1, 2],
+                          num_res_blocks=1),
+    ).build(_info())
+    bad.init_params(jax.random.PRNGKey(2))
+    with pytest.raises(ValueError, match="experts must share"):
+        DenoisingMoEPredictor(
+            experts=[m1, bad],
+            sigma_ranges=[(0.002, 1.0), (1.0, 80.0)],
+            num_diffusion_generation_steps=4,
+        )
