@@ -68,21 +68,41 @@ class DiffusionModelConfig:
     churn: float = 0.0
     num_diffusion_generation_steps: int = 18
     predict_residual: bool = False
+    # append normalized fine-grid static fields (e.g. topography) to the
+    # upsampled conditioning channels (reference: fme/downscaling/
+    # models.py:185 use_fine_topography + data/static.py StaticInputs)
+    use_fine_topography: bool = False
     training_noise_distribution: (
         LogNormalNoiseDistribution | LogUniformNoiseDistribution | None
     ) = None
 
-    def build(self, dataset_info: DatasetInfo) -> "DiffusionModel":
-        return DiffusionModel(self, dataset_info)
+    def build(self, dataset_info: DatasetInfo,
+              static_inputs=None) -> "DiffusionModel":
+        return DiffusionModel(self, dataset_info,
+                              static_inputs=static_inputs)
 
 
 class DiffusionModel:
     """EDM training/generation over named coarse/fine variables."""
 
     def __init__(self, config: DiffusionModelConfig,
-                 dataset_info: DatasetInfo):
+                 dataset_info: DatasetInfo, static_inputs=None):
         self.config = config
         self.dataset_info = dataset_info
+        # static_inputs: [H_fine, W_fine, n_static] normalized fields
+        # appended to the conditioning when use_fine_topography is set
+        # (reference: models.py:265 validation, :474 channel concat)
+        if config.use_fine_topography and (
+            static_inputs is None or static_inputs.shape[-1] == 0
+        ):
+            raise ValueError(
+                "use_fine_topography is enabled but no static input "
+                "fields were provided."
+            )
+        self.static_inputs = (
+            jnp.asarray(static_inputs, jnp.float32)
+            if static_inputs is not None else None
+        )
         self.in_packer = Packer(config.in_names)
         self.out_packer = Packer(config.out_names)
         self.coarse_normalizer: StandardNormalizer = (
@@ -125,9 +145,13 @@ class DiffusionModel:
         # fine resolution (coarse * downscale_factor)
         nlat, nlon = img_shape or self.dataset_info.img_shape
         f = self.config.downscale_factor
+        n_static = (
+            self.static_inputs.shape[-1]
+            if self.config.use_fine_topography else 0
+        )
         x = jnp.zeros((1, nlat * f, nlon * f, len(self.config.out_names)))
         cond = jnp.zeros(
-            (1, nlat * f, nlon * f, len(self.config.in_names))
+            (1, nlat * f, nlon * f, len(self.config.in_names) + n_static)
         )
         sigma = jnp.zeros((1,))
         self.params = jax.jit(self.net.init)(rng, x, cond, sigma)
@@ -139,7 +163,8 @@ class DiffusionModel:
 
         return edm_precondition(raw, sigma_data=self.config.sigma_data)
 
-    def _pack(self, coarse: TensorMapping, fine: TensorMapping | None):
+    def _pack(self, coarse: TensorMapping, fine: TensorMapping | None,
+              static=None):
         cond = self.in_packer.pack(
             self.coarse_normalizer.normalize(dict(coarse))
         )
@@ -150,6 +175,20 @@ class DiffusionModel:
             b, h, w, c = cond.shape
             cond = jax.image.resize(
                 cond, (b, h * f, w * f, c), method="bilinear"
+            )
+        if self.config.use_fine_topography:
+            # static: pre-sliced [h_fine, w_fine, n_static] for patched
+            # calls; defaults to the model's full-grid fields
+            static = static if static is not None else self.static_inputs
+            if tuple(static.shape[:2]) != tuple(cond.shape[1:3]):
+                raise ValueError(
+                    f"static input shape {static.shape[:2]} does not "
+                    f"match the fine spatial shape {cond.shape[1:3]}"
+                )  # reference: models.py:476
+            b = cond.shape[0]
+            cond = jnp.concatenate(
+                [cond, jnp.broadcast_to(static[None], (b, *static.shape))],
+                axis=-1,
             )
         target = None
         if fine is not None:
@@ -184,9 +223,9 @@ class DiffusionModel:
         return base
 
     def loss_fn(self, params, coarse: TensorMapping, fine: TensorMapping,
-                rng: jax.Array):
+                rng: jax.Array, static=None):
         """EDM training loss on normalized fields."""
-        cond, target = self._pack(coarse, fine)
+        cond, target = self._pack(coarse, fine, static=static)
         if self.config.predict_residual:
             target = target - self._residual_base(coarse)
         return edm_loss(
@@ -196,13 +235,14 @@ class DiffusionModel:
         )
 
     def generate(self, coarse: TensorMapping, rng: jax.Array,
-                 params=None, n_samples: int = 1) -> TensorDict:
+                 params=None, n_samples: int = 1,
+                 static=None) -> TensorDict:
         """Sample fine fields conditioned on coarse fields.
 
         Returns dict of [batch, n_samples, H, W] denormalized fields.
         """
         params = params if params is not None else self.params
-        cond, _ = self._pack(coarse, None)
+        cond, _ = self._pack(coarse, None, static=static)
         batch, h, w = cond.shape[0], cond.shape[1], cond.shape[2]
         c_out = len(self.config.out_names)
         base = (
@@ -367,12 +407,17 @@ class DenoisingMoEPredictor:
         # experts carry their own params; entry points pass params=None
         return None
 
+    @property
+    def static_inputs(self):
+        return self._primary.static_inputs
+
     def generate(self, coarse: TensorMapping, rng: jax.Array,
-                 params=None, n_samples: int = 1) -> TensorDict:
+                 params=None, n_samples: int = 1,
+                 static=None) -> TensorDict:
         """Same contract as DiffusionModel.generate; ``params`` is
         ignored (each expert owns its weights)."""
         primary = self._primary
-        cond, _ = primary._pack(coarse, None)
+        cond, _ = primary._pack(coarse, None, static=static)
         batch, h, w = cond.shape[0], cond.shape[1], cond.shape[2]
         c_out = len(primary.config.out_names)
         base = (
@@ -483,7 +528,11 @@ class PatchPredictor:
         self.overlap = coarse_horizontal_overlap
 
     def generate(self, coarse: TensorMapping, rng: jax.Array,
-                 params=None, n_samples: int = 1) -> TensorDict:
+                 params=None, n_samples: int = 1,
+                 static=None) -> TensorDict:
+        """``static`` is the fine-grid static field stack covering the
+        SAME extent as ``coarse`` (defaults to the model's full grid);
+        each patch slices its window from it."""
         from ace_tpu.downscaling.patching import (
             composite_patch_predictions,
             get_patches,
@@ -499,16 +548,32 @@ class PatchPredictor:
             drop_partial_patches=False,
         )
         factor = self.model.config.downscale_factor
+        full_static = (
+            static if static is not None
+            else getattr(self.model, "static_inputs", None)
+        )
+        use_static = (
+            getattr(self.model.config, "use_fine_topography", False)
+            and full_static is not None
+        )
         predictions = []
         for patch in patches:
             sl_y, sl_x = patch.input_slice.y, patch.input_slice.x
             coarse_patch = {
                 k: v[..., sl_y, sl_x] for k, v in coarse.items()
             }
+            patch_static = None
+            if use_static:
+                # fine-grid static channels follow the patch
+                patch_static = full_static[
+                    sl_y.start * factor : sl_y.stop * factor,
+                    sl_x.start * factor : sl_x.stop * factor,
+                ]
             rng, sub = jax.random.split(rng)
             predictions.append(
                 self.model.generate(
-                    coarse_patch, sub, params=params, n_samples=n_samples
+                    coarse_patch, sub, params=params,
+                    n_samples=n_samples, static=patch_static,
                 )
             )
         fine_patches = [scale_patch(p, factor) for p in patches]
@@ -612,7 +677,10 @@ class DeterministicModel:
         raise ValueError(f"unknown loss {self.config.loss!r}")
 
     def generate(self, coarse: TensorMapping, rng: jax.Array,
-                 params=None, n_samples: int = 1) -> TensorDict:
+                 params=None, n_samples: int = 1,
+                 static=None) -> TensorDict:
+        # static accepted for predictor-API compatibility; deterministic
+        # models take no static conditioning
         params = params if params is not None else self.params
         cond = self.in_packer.pack(
             self.coarse_normalizer.normalize(dict(coarse))

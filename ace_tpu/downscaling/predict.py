@@ -219,6 +219,19 @@ def run_event(config, model, generate, event: EventConfig):
             )
             for k, v in window.items()
         }
+    # fine-grid static conditioning follows the event crop
+    static = None
+    full_static = getattr(model, "static_inputs", None)
+    if getattr(model.config, "use_fine_topography", False) and (
+        full_static is not None
+    ):
+        f = model.config.downscale_factor
+        rows = np.asarray(full_static)[y0 * f : (y1 + 1) * f]
+        if contiguous:
+            static = rows[:, xs[0] * f : (xs[-1] + 1) * f]
+        else:
+            fine_xs = (xs[:, None] * f + np.arange(f)).ravel()
+            static = np.take(rows, fine_xs, axis=1)
     import zlib
 
     # stable across processes (hash() is salted per interpreter)
@@ -232,7 +245,9 @@ def run_event(config, model, generate, event: EventConfig):
     while count < event.n_samples:
         n = min(group, event.n_samples - count)
         rng, sub = jax.random.split(rng)
-        gen = generate(coarse, sub, params=model.params, n_samples=n)
+        gen = generate(
+            coarse, sub, params=model.params, n_samples=n, static=static
+        )
         for k, v in gen.items():
             arr = np.asarray(v[0])  # [n, H, W]
             moments.setdefault(k, StreamingMoments()).update(arr)

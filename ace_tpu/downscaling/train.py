@@ -99,6 +99,10 @@ class DownscalingTrainConfig:
     coarse_patch_extent_lat: int | None = None
     coarse_patch_extent_lon: int | None = None
     region_sampling: RegionSamplingConfig | None = None
+    # fine-grid static conditioning fields: {field_name: file_path},
+    # normalized at load (reference: fme/downscaling/train.py:422
+    # static_inputs + data/static.py load_static_inputs)
+    static_inputs: dict[str, str] = dataclasses.field(default_factory=dict)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     seed: int = 0
 
@@ -122,17 +126,55 @@ class DownscalingTrainConfig:
         return os.path.join(self.experiment_dir, "checkpoints")
 
 
+def load_static_inputs(static_inputs_config: dict[str, str]) -> np.ndarray:
+    """Load and standard-score-normalize fine-grid static fields into one
+    [H, W, n_fields] array (reference: fme/downscaling/data/static.py:245
+    load_static_inputs; normalization at :105)."""
+    from ace_tpu.data.store import open_file_dataset
+
+    if not static_inputs_config:
+        raise ValueError("load_static_inputs requires at least one field.")
+    fields = []
+    shape = None
+    for field_name, path in static_inputs_config.items():
+        ds = open_file_dataset(path)
+        arr = np.asarray(ds[field_name].read(()), dtype=np.float64)
+        if arr.ndim == 3:  # squeeze a time dimension by its first step
+            arr = arr[0]
+        if arr.ndim != 2:
+            raise ValueError(
+                f"unexpected shape {arr.shape} for static input "
+                f"{field_name!r}; only 2-D lat/lon fields are supported"
+            )
+        if shape is None:
+            shape = arr.shape
+        elif arr.shape != shape:
+            raise ValueError(
+                f"static input {field_name!r} shape {arr.shape} does not "
+                f"match {shape}"
+            )
+        fields.append(((arr - arr.mean()) / arr.std()).astype(np.float32))
+    return np.stack(fields, axis=-1)
+
+
 def save_downscaling_checkpoint(path: str, model: DiffusionModel,
                                 params: Any):
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     import json
 
-    save_msgpack(path, {
+    payload = {
         "config": json.dumps(to_dict(model.config)),
         "model_type": type(model.config).__name__,
         "dataset_info": json.dumps(model.dataset_info.get_state()),
         "params": jax.tree_util.tree_map(np.asarray, params),
-    })
+    }
+    static = getattr(model, "static_inputs", None)
+    if static is not None:
+        # bundle the normalized static fields so predict/evaluate reload
+        # them without the original files (reference: models.py get_state
+        # stores static_inputs)
+        payload["static_inputs"] = np.asarray(static)
+    save_msgpack(path, payload)
 
 
 def load_downscaling_model(path: str):
@@ -151,7 +193,12 @@ def load_downscaling_model(path: str):
     dataset_info = DatasetInfo.from_state(
         json.loads(payload["dataset_info"])
     )
-    model = config.build(dataset_info)
+    if payload.get("static_inputs") is not None and cls is DiffusionModelConfig:
+        model = config.build(
+            dataset_info, static_inputs=np.asarray(payload["static_inputs"])
+        )
+    else:
+        model = config.build(dataset_info)
     # abstract init: the template only supplies pytree structure, so skip
     # the real (device-executing) parameter initialization
     template = jax.eval_shape(model.init_params, jax.random.PRNGKey(0))
@@ -186,7 +233,24 @@ class DownscalingTrainer:
         else:
             self.patch_shape = None
             model_coarse_shape = coarse_shape
-        self.model = config.model.build(self.coarse_ds.dataset_info)
+        self._static_full = (
+            load_static_inputs(config.static_inputs)
+            if config.static_inputs else None
+        )
+        if self._static_full is not None and (
+            tuple(self._static_full.shape[:2]) != tuple(fine_shape)
+        ):
+            raise ValueError(
+                f"static input shape {self._static_full.shape[:2]} does "
+                f"not match the fine grid {tuple(fine_shape)}"
+            )
+        if isinstance(config.model, DiffusionModelConfig):
+            self.model = config.model.build(
+                self.coarse_ds.dataset_info,
+                static_inputs=self._static_full,
+            )
+        else:
+            self.model = config.model.build(self.coarse_ds.dataset_info)
         self.params = self.model.init_params(
             jax.random.PRNGKey(config.seed), img_shape=model_coarse_shape
         )
@@ -202,9 +266,20 @@ class DownscalingTrainer:
             os.path.join(config.experiment_dir, "metrics.jsonl")
         )
 
-        def train_step(params, opt_state, coarse, fine, rng):
-            loss, grads = jax.value_and_grad(self.model.loss_fn)(
-                params, coarse, fine, rng
+        use_static = getattr(
+            self.model.config, "use_fine_topography", False
+        )
+
+        def loss_fn(params, coarse, fine, rng, static):
+            if use_static:
+                return self.model.loss_fn(
+                    params, coarse, fine, rng, static=static
+                )
+            return self.model.loss_fn(params, coarse, fine, rng)
+
+        def train_step(params, opt_state, coarse, fine, rng, static):
+            loss, grads = jax.value_and_grad(loss_fn)(
+                params, coarse, fine, rng, static
             )
             updates, new_opt_state = self.optimization.tx.update(
                 grads, opt_state, params
@@ -216,7 +291,7 @@ class DownscalingTrainer:
             )
 
         self._train_step = jax.jit(train_step)
-        self._valid_loss = jax.jit(self.model.loss_fn)
+        self._valid_loss = jax.jit(loss_fn)
 
     def _batches(self, rng: np.random.RandomState, shuffle: bool):
         n = min(self.coarse_ds.n_times, self.fine_ds.n_times)
@@ -270,7 +345,15 @@ class DownscalingTrainer:
                     ]
                     for k, v in fine.items()
                 }
-            yield coarse, fine
+                static = (
+                    self._static_full[
+                        y0 * f : (y0 + ph) * f, x0 * f : (x0 + pw) * f
+                    ]
+                    if self._static_full is not None else None
+                )
+            else:
+                static = self._static_full
+            yield coarse, fine, static
 
     def train(self):
         config = self.config
@@ -283,10 +366,10 @@ class DownscalingTrainer:
         last = {}
         for epoch in range(end_epoch):
             losses = []
-            for coarse, fine in self._batches(np_rng, shuffle=True):
+            for coarse, fine, static in self._batches(np_rng, shuffle=True):
                 rng, sub = jax.random.split(rng)
                 self.params, self.opt_state, loss = self._train_step(
-                    self.params, self.opt_state, coarse, fine, sub
+                    self.params, self.opt_state, coarse, fine, sub, static
                 )
                 self.ema(self.params)
                 losses.append(float(loss))
@@ -342,6 +425,7 @@ class DownscalingTrainer:
                 k: jnp.asarray(val_fine.get_window(j, 1, names_f)[0][k])
                 for k in names_f
             }
+            static = self._static_full
             if self.patch_shape is not None:
                 ph, pw = self.patch_shape
                 f = self.model.config.downscale_factor
@@ -352,9 +436,11 @@ class DownscalingTrainer:
                     k: v[..., : ph * f, : pw * f]
                     for k, v in fine.items()
                 }
+                if static is not None:
+                    static = static[: ph * f, : pw * f]
             rng, sub = jax.random.split(rng)
             losses.append(float(
-                self._valid_loss(params, coarse, fine, sub)
+                self._valid_loss(params, coarse, fine, sub, static)
             ))
         return float(np.mean(losses))
 

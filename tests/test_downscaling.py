@@ -591,3 +591,102 @@ def test_denoising_moe_predictor_and_bundle(tmp_path):
             sigma_ranges=[(0.002, 1.0), (1.0, 80.0)],
             num_diffusion_generation_steps=4,
         )
+
+
+def test_fine_topography_static_inputs(tmp_path):
+    """use_fine_topography: normalized fine-grid static fields append to
+    the conditioning, follow training patches, survive the checkpoint,
+    and feed patched generation (reference: fme/downscaling/models.py
+    use_fine_topography + data/static.py)."""
+    import yaml
+
+    from ace_tpu.data.store import write_h5
+    from ace_tpu.downscaling.train import load_static_inputs
+    from ace_tpu.testing import SyntheticData
+
+    names = ["temp"]
+    coarse = SyntheticData(
+        tmp_path / "coarse", names, n_time=6, nlat=8, nlon=16
+    )
+    fine = SyntheticData(
+        tmp_path / "fine", names, n_time=6, nlat=16, nlon=32
+    )
+    # fine-grid topography file (16x32)
+    topo = np.random.RandomState(5).rand(16, 32).astype(np.float32) * 1000
+    topo_path = tmp_path / "topography.nc"
+    write_h5(str(topo_path), {"HGTsfc": topo}, {"HGTsfc": ("lat", "lon")})
+
+    static = load_static_inputs({"HGTsfc": str(topo_path)})
+    assert static.shape == (16, 32, 1)
+    np.testing.assert_allclose(static.mean(), 0.0, atol=1e-5)
+    np.testing.assert_allclose(static.std(), 1.0, atol=1e-4)
+
+    config = {
+        "experiment_dir": str(tmp_path / "out"),
+        "max_epochs": 1,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+        "optimization": {"lr": 1e-3},
+        "static_inputs": {"HGTsfc": str(topo_path)},
+        "model": {
+            "in_names": names,
+            "out_names": names,
+            "downscale_factor": 2,
+            "num_diffusion_generation_steps": 3,
+            "use_fine_topography": True,
+            "module": {
+                "base_channels": 8,
+                "channel_mults": [1, 2],
+                "num_res_blocks": 1,
+            },
+            "normalization": {
+                "coarse": {
+                    "global_means_path": str(coarse.mean_path),
+                    "global_stds_path": str(coarse.std_path),
+                },
+                "fine": {
+                    "global_means_path": str(fine.mean_path),
+                    "global_stds_path": str(fine.std_path),
+                },
+            },
+        },
+        "train_data": {
+            "coarse": {"data_path": str(coarse.data_dir)},
+            "fine": {"data_path": str(fine.data_dir)},
+            "batch_size": 2,
+        },
+        "coarse_patch_extent_lat": 4,
+        "coarse_patch_extent_lon": 8,
+    }
+    config_path = tmp_path / "ds.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.downscaling.train import load_downscaling_model, main
+
+    main([str(config_path)])
+    ckpt = os.path.join(str(tmp_path / "out"), "checkpoints", "ckpt.msgpack")
+    model = load_downscaling_model(ckpt)
+    # static fields restored from the checkpoint, no original file needed
+    assert model.static_inputs is not None
+    np.testing.assert_allclose(
+        np.asarray(model.static_inputs), static, atol=1e-6
+    )
+    from ace_tpu.downscaling.models import PatchPredictor
+
+    predictor = PatchPredictor(
+        model, coarse_patch_shape=(4, 8), coarse_horizontal_overlap=1
+    )
+    coarse_data = {
+        "temp": jnp.asarray(
+            np.random.RandomState(0).randn(1, 8, 16), jnp.float32
+        )
+    }
+    out = predictor.generate(
+        coarse_data, jax.random.PRNGKey(0), params=model.params,
+        n_samples=1,
+    )
+    assert out["temp"].shape == (1, 1, 16, 32)
+    assert bool(jnp.all(jnp.isfinite(out["temp"])))
+    # misconfigured: topography enabled but no fields
+    with pytest.raises(ValueError, match="no static input"):
+        model.config.build(model.dataset_info)
