@@ -289,8 +289,13 @@ def write_zarr(
     coords: Mapping[str, np.ndarray] | None = None,
     attrs: Mapping[str, Mapping] | None = None,
     time: TimeCoord | None = None,
+    chunks: Mapping[str, list[int]] | None = None,
 ):
-    """Write a zarr v2 group (xarray conventions) via tensorstore."""
+    """Write a zarr v2 group (xarray conventions) via tensorstore.
+
+    ``chunks`` optionally maps a variable name to its chunk shape;
+    variables not listed are written as one whole-array chunk.
+    """
     import tensorstore as ts
 
     os.makedirs(path, exist_ok=True)
@@ -308,6 +313,7 @@ def write_zarr(
         all_vars[cname] = (np.asarray(cvals), (cname,))
     for name, arr in data.items():
         all_vars[name] = (np.asarray(arr), tuple(dims[name]))
+    chunks = dict(chunks or {})
     for name, (arr, arr_dims) in all_vars.items():
         arr_dir = os.path.join(path, name)
         store = ts.open({
@@ -315,7 +321,7 @@ def write_zarr(
             "kvstore": {"driver": "file", "path": arr_dir},
             "metadata": {
                 "shape": list(arr.shape),
-                "chunks": list(arr.shape),
+                "chunks": list(chunks.get(name, arr.shape)),
                 "dtype": arr.dtype.str,
             },
             "create": True, "delete_existing": True,

@@ -48,13 +48,87 @@ import numpy as np
 
 from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
 from ace_tpu.core.config import from_dict
+from ace_tpu.core.typing_ import Slice
 from ace_tpu.data.dataset import XarrayDataConfig
 from ace_tpu.data.store import write_h5
+from ace_tpu.data.time import RepeatedInterval, TimeSlice
 from ace_tpu.downscaling.models import (
     DenoisingMoEBundledConfig,
     DenoisingMoEConfig,
 )
 from ace_tpu.train.trainer import LoggingConfig
+
+
+def _region_indices(lat, lon, lat_extent, lon_extent, label=""):
+    """Resolve lat/lon extents to index selections: returns
+    (y0, y1, xs, contiguous). Longitude extents may wrap the prime
+    meridian (e.g. [350, 10])."""
+    lat = np.asarray(lat)
+    lon = np.asarray(lon)
+    lat_sel = np.ones(len(lat), bool)
+    lon_sel = np.ones(len(lon), bool)
+    if lat_extent is not None:
+        lat_sel = (lat >= lat_extent[0]) & (lat <= lat_extent[1])
+    if lon_extent is not None:
+        lo = lon_extent[0] % 360.0
+        hi = lon_extent[1] % 360.0
+        lon_n = lon % 360.0
+        if lo <= hi:
+            lon_sel = (lon_n >= lo) & (lon_n <= hi)
+        else:  # wraps the prime meridian
+            lon_sel = (lon_n >= lo) | (lon_n <= hi)
+    if not lat_sel.any() or not lon_sel.any():
+        raise ValueError(
+            f"{label}: lat/lon extent selects no grid points "
+            f"(lat_extent={lat_extent}, lon_extent={lon_extent})"
+        )
+    y0, y1 = np.nonzero(lat_sel)[0][[0, -1]]
+    xs = np.nonzero(lon_sel)[0]
+    contiguous = len(xs) == xs[-1] - xs[0] + 1
+    return int(y0), int(y1), xs, contiguous
+
+
+def _crop_window(window, y0, y1, xs, contiguous):
+    import jax.numpy as jnp
+
+    if contiguous:
+        return {
+            k: jnp.asarray(v[..., y0 : y1 + 1, xs[0] : xs[-1] + 1])
+            for k, v in window.items()
+        }
+    return {
+        k: jnp.asarray(np.take(v[..., y0 : y1 + 1, :], xs, axis=-1))
+        for k, v in window.items()
+    }
+
+
+def _crop_static(model, y0, y1, xs, contiguous):
+    """Fine-grid static fields cropped to the same coarse region."""
+    full_static = getattr(model, "static_inputs", None)
+    if not getattr(model.config, "use_fine_topography", False) or (
+        full_static is None
+    ):
+        return None
+    f = model.config.downscale_factor
+    rows = np.asarray(full_static)[y0 * f : (y1 + 1) * f]
+    if contiguous:
+        return rows[:, xs[0] * f : (xs[-1] + 1) * f]
+    fine_xs = (xs[:, None] * f + np.arange(f)).ravel()
+    return np.take(rows, fine_xs, axis=1)
+
+
+def zarr_output_chunks(shape, max_mb: float = 10.0):
+    """Chunk shape for [..., lat, lon] float32 output: leading dims get
+    chunk 1; lat/lon halve (larger dim first) until a chunk is <= max_mb
+    (reference: fme/downscaling/inference/zarr_utils.py:88
+    determine_zarr_chunks)."""
+    h, w = int(shape[-2]), int(shape[-1])
+    while h * w * 4 > max_mb * 2**20:
+        if h >= w:
+            h = max(1, -(-h // 2))
+        else:
+            w = max(1, -(-w // 2))
+    return [1] * (len(shape) - 2) + [h, w]
 
 
 @dataclasses.dataclass
@@ -70,6 +144,28 @@ class EventConfig:
     lon_extent: list[float] | None = None
     n_samples: int = 64
     save_generated_samples: bool = False
+
+
+@dataclasses.dataclass
+class TimeRangeOutputConfig:
+    """Named time-segment + region output written to zarr
+    (reference: fme/downscaling/inference/output.py:411 TimeRangeConfig).
+
+    time_range selects coarse timesteps by timestamps (TimeSlice),
+    repeating pattern (RepeatedInterval), or integer indices (Slice).
+    Output: ``<experiment_dir>/<name>.zarr`` with dims
+    (time, sample, lat, lon), lat/lon chunks auto-sized to <=10 MB.
+    """
+
+    name: str
+    time_range: "TimeSlice | RepeatedInterval | Slice"
+    n_samples: int = 1
+    lat_extent: list[float] | None = None
+    lon_extent: list[float] | None = None
+    save_vars: list[str] | None = None
+    # samples generated per sampler call, bounding device memory
+    # (reference output.py max_samples_per_gpu)
+    max_samples_per_call: int = 8
 
 
 @dataclasses.dataclass
@@ -93,6 +189,9 @@ class DownscalerConfig:
     coarse_horizontal_overlap: int = 1
     seed: int = 0
     events: list[EventConfig] = dataclasses.field(default_factory=list)
+    time_ranges: list[TimeRangeOutputConfig] = dataclasses.field(
+        default_factory=list
+    )
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
 
     def __post_init__(self):
@@ -154,6 +253,8 @@ def run_downscaler(config: DownscalerConfig) -> str:
 
     for event in config.events:
         run_event(config, model, generate, event)
+    for out_cfg in config.time_ranges:
+        run_time_range(config, model, generate, out_cfg)
 
     os.makedirs(config.experiment_dir, exist_ok=True)
     path = os.path.join(config.experiment_dir, "downscaled_predictions.nc")
@@ -181,57 +282,13 @@ def run_event(config, model, generate, event: EventConfig):
     names = model.config.in_names
     window, _ = ds.get_window(t, 1, names)
     hc = ds.dataset_info.horizontal_coordinates
-    lat = np.asarray(hc.lat)
-    lon = np.asarray(hc.lon)
-    lat_sel = np.ones(len(lat), bool)
-    lon_sel = np.ones(len(lon), bool)
-    if event.lat_extent is not None:
-        lat_sel = (lat >= event.lat_extent[0]) & (
-            lat <= event.lat_extent[1]
-        )
-    if event.lon_extent is not None:
-        lo = event.lon_extent[0] % 360.0
-        hi = event.lon_extent[1] % 360.0
-        lon_n = lon % 360.0
-        if lo <= hi:
-            lon_sel = (lon_n >= lo) & (lon_n <= hi)
-        else:  # wraps the prime meridian, e.g. [350, 10]
-            lon_sel = (lon_n >= lo) | (lon_n <= hi)
-    if not lat_sel.any() or not lon_sel.any():
-        raise ValueError(
-            f"event {event.name}: lat/lon extent selects no grid points "
-            f"(lat_extent={event.lat_extent}, "
-            f"lon_extent={event.lon_extent})"
-        )
-    y0, y1 = np.nonzero(lat_sel)[0][[0, -1]]
-    xs = np.nonzero(lon_sel)[0]
-    contiguous = len(xs) == xs[-1] - xs[0] + 1
-    if contiguous:
-        coarse = {
-            k: jnp.asarray(v[..., y0 : y1 + 1, xs[0] : xs[-1] + 1])
-            for k, v in window.items()
-        }
-    else:
-        # wrapped region: roll the grid so the selection is contiguous
-        coarse = {
-            k: jnp.asarray(
-                np.take(v[..., y0 : y1 + 1, :], xs, axis=-1)
-            )
-            for k, v in window.items()
-        }
+    y0, y1, xs, contiguous = _region_indices(
+        hc.lat, hc.lon, event.lat_extent, event.lon_extent,
+        label=f"event {event.name}",
+    )
+    coarse = _crop_window(window, y0, y1, xs, contiguous)
     # fine-grid static conditioning follows the event crop
-    static = None
-    full_static = getattr(model, "static_inputs", None)
-    if getattr(model.config, "use_fine_topography", False) and (
-        full_static is not None
-    ):
-        f = model.config.downscale_factor
-        rows = np.asarray(full_static)[y0 * f : (y1 + 1) * f]
-        if contiguous:
-            static = rows[:, xs[0] * f : (xs[-1] + 1) * f]
-        else:
-            fine_xs = (xs[:, None] * f + np.arange(f)).ravel()
-            static = np.take(rows, fine_xs, axis=1)
+    static = _crop_static(model, y0, y1, xs, contiguous)
     import zlib
 
     # stable across processes (hash() is salted per interpreter)
@@ -276,6 +333,90 @@ def run_event(config, model, generate, event: EventConfig):
         config.experiment_dir, f"{event.name}_event.nc"
     )
     write_h5(path, arrays, dims)
+    logging.info(f"wrote {path}")
+    return path
+
+
+def run_time_range(config, model, generate, out_cfg: TimeRangeOutputConfig):
+    """(reference: fme/downscaling/inference/output.py:411
+    TimeRangeConfig + inference.py Downscaler.run_output_generation):
+    generate an ensemble over a time segment and region, written to
+    ``<experiment_dir>/<name>.zarr`` with [time, sample, lat, lon] dims
+    and auto-sized lat/lon chunks."""
+    import datetime
+    import zlib
+
+    from ace_tpu.data.store import write_zarr
+    from ace_tpu.data.time import TimeCoord
+
+    ds = config.coarse_data.build()
+    tr = out_cfg.time_range
+    if isinstance(tr, Slice):
+        t_indices = np.arange(ds.n_times)[tr.slice]
+    elif isinstance(tr, RepeatedInterval):
+        step = ds.all_time.timestep_seconds()
+        t_indices = tr.indices(
+            ds.all_time,
+            datetime.timedelta(seconds=step) if step else None,
+        )
+    else:
+        t_indices = tr.indices(ds.all_time)
+    if len(t_indices) == 0:
+        raise ValueError(
+            f"time range output {out_cfg.name!r} selects no timesteps"
+        )
+    names = model.config.in_names
+    hc = ds.dataset_info.horizontal_coordinates
+    y0, y1, xs, contiguous = _region_indices(
+        hc.lat, hc.lon, out_cfg.lat_extent, out_cfg.lon_extent,
+        label=f"time range {out_cfg.name}",
+    )
+    static = _crop_static(model, y0, y1, xs, contiguous)
+    rng = jax.random.PRNGKey(
+        config.seed + zlib.crc32(out_cfg.name.encode()) % 2**16
+    )
+    save_vars = out_cfg.save_vars or model.config.out_names
+    per_time: dict[str, list[np.ndarray]] = {}
+    for t in t_indices:
+        window, _ = ds.get_window(int(t), 1, names)
+        coarse = _crop_window(window, y0, y1, xs, contiguous)
+        members: dict[str, list[np.ndarray]] = {}
+        count = 0
+        while count < out_cfg.n_samples:
+            n = min(out_cfg.max_samples_per_call,
+                    out_cfg.n_samples - count)
+            rng, sub = jax.random.split(rng)
+            gen = generate(
+                coarse, sub, params=model.params, n_samples=n,
+                static=static,
+            )
+            for k in save_vars:
+                members.setdefault(k, []).append(
+                    np.asarray(gen[k][0], np.float32)
+                )
+            count += n
+        for k, parts in members.items():
+            per_time.setdefault(k, []).append(
+                np.concatenate(parts, axis=0)
+            )
+        logging.info(
+            f"time range {out_cfg.name}: timestep {int(t)} done "
+            f"({out_cfg.n_samples} samples)"
+        )
+    arrays = {k: np.stack(v, axis=0) for k, v in per_time.items()}
+    dims = {k: ("time", "sample", "lat", "lon") for k in arrays}
+    chunks = {
+        k: zarr_output_chunks(v.shape) for k, v in arrays.items()
+    }
+    os.makedirs(config.experiment_dir, exist_ok=True)
+    path = os.path.join(config.experiment_dir, f"{out_cfg.name}.zarr")
+    sel_times = ds.all_time[np.asarray(t_indices)]
+    write_zarr(
+        path, arrays, dims,
+        coords={"sample": np.arange(out_cfg.n_samples)},
+        time=TimeCoord(sel_times.values, sel_times.calendar),
+        chunks=chunks,
+    )
     logging.info(f"wrote {path}")
     return path
 

@@ -690,3 +690,59 @@ def test_fine_topography_static_inputs(tmp_path):
     # misconfigured: topography enabled but no fields
     with pytest.raises(ValueError, match="no static input"):
         model.config.build(model.dataset_info)
+
+
+def test_time_range_zarr_output(tmp_path):
+    """Named time-range outputs: region crop + ensemble written to zarr
+    with [time, sample, lat, lon] dims (reference:
+    fme/downscaling/inference/output.py TimeRangeConfig)."""
+    import yaml
+
+    # train a tiny model first (reuses the training test fixture)
+    test_downscaling_train_and_patched_generate(tmp_path)
+    config = {
+        "experiment_dir": str(tmp_path / "tr_out"),
+        "checkpoint_path": os.path.join(
+            str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+        ),
+        "coarse_data": {"data_path": str(tmp_path / "coarse" / "data")},
+        "n_timesteps": 0,
+        "time_ranges": [
+            {
+                "name": "region_a",
+                "time_range": {"start": 1, "stop": 3},
+                "n_samples": 3,
+                "max_samples_per_call": 2,
+                "lat_extent": [-60, 60],
+            }
+        ],
+        "logging": {"log_to_screen": False, "log_to_file": False},
+    }
+    config_path = tmp_path / "tr.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+    from ace_tpu.downscaling.predict import main
+
+    main([str(config_path)])
+    from ace_tpu.data.store import open_file_dataset
+
+    ds = open_file_dataset(str(tmp_path / "tr_out" / "region_a.zarr"))
+    arr = np.asarray(ds["temp"].read(()))
+    # 2 timesteps, 3 samples, lat crop x downscale factor 2
+    assert arr.shape[0] == 2 and arr.shape[1] == 3
+    assert arr.shape[2] < 16 and arr.shape[3] == 32
+    assert np.isfinite(arr).all()
+    # ensemble members differ
+    assert not np.allclose(arr[:, 0], arr[:, 1])
+
+
+def test_zarr_output_chunks():
+    from ace_tpu.downscaling.predict import zarr_output_chunks
+
+    # small field: whole lat/lon in one chunk, leading dims chunk 1
+    assert zarr_output_chunks((5, 4, 16, 32)) == [1, 1, 16, 32]
+    # big field halves until <= 10MB per chunk
+    ch = zarr_output_chunks((1, 1, 4000, 8000))
+    assert ch[0] == 1 and ch[1] == 1
+    assert ch[2] * ch[3] * 4 <= 10 * 2**20
+    assert ch[2] >= 1 and ch[3] >= 1
