@@ -121,18 +121,31 @@ class LogUniformNoiseDistribution:
 
 
 def edm_loss(denoiser: DenoiserFn, rng, target, condition,
-             noise_distribution=None, sigma_data: float = 0.5):
-    """EDM denoising score-matching loss (Karras et al. eq. 8)."""
+             noise_distribution=None, sigma_data: float = 0.5,
+             loss_weight_exponent: float = 1.0,
+             channel_weights=None):
+    """EDM denoising score-matching loss (Karras et al. eq. 8).
+
+    loss_weight_exponent: exponent on the EDM noise-level weight
+    (reference: fme/downscaling/noise.py:63; <1 de-emphasizes low-noise
+    samples). channel_weights: optional [C] per-output-variable
+    multiplicative weights (reference: models.py:81 LossWeightsConfig).
+    """
     if noise_distribution is None:
         noise_distribution = LogNormalNoiseDistribution()
     k_sigma, k_noise = jax.random.split(rng)
     batch = target.shape[0]
     sigma = noise_distribution.sample(k_sigma, (batch,))
     sigma_b = jnp.reshape(sigma, (-1,) + (1,) * (target.ndim - 1))
-    weight = (sigma_b**2 + sigma_data**2) / (sigma_b * sigma_data) ** 2
+    weight = (
+        (sigma_b**2 + sigma_data**2) / (sigma_b * sigma_data) ** 2
+    ) ** loss_weight_exponent
     noise = jax.random.normal(k_noise, target.shape) * sigma_b
     denoised = denoiser(target + noise, condition, sigma)
-    return jnp.mean(weight * (denoised - target) ** 2)
+    err = weight * (denoised - target) ** 2
+    if channel_weights is not None:
+        err = err * jnp.asarray(channel_weights)
+    return jnp.mean(err)
 
 
 def stochastic_sampler(

@@ -52,6 +52,21 @@ class UNetConfig:
 
 
 @dataclasses.dataclass
+class LossWeightsConfig:
+    """(reference: fme/downscaling/models.py:81 LossWeightsConfig).
+
+    output_channels: per-variable multiplicative loss weights (missing
+    variables default to 1). noise_weight_exponent: exponent on the EDM
+    noise-level weight; <1 reduces the dominance of low-noise samples.
+    """
+
+    output_channels: dict[str, float] = dataclasses.field(
+        default_factory=dict
+    )
+    noise_weight_exponent: float = 1.0
+
+
+@dataclasses.dataclass
 class DiffusionModelConfig:
     """(reference: fme/downscaling/models.py:145)."""
 
@@ -72,6 +87,9 @@ class DiffusionModelConfig:
     # upsampled conditioning channels (reference: fme/downscaling/
     # models.py:185 use_fine_topography + data/static.py StaticInputs)
     use_fine_topography: bool = False
+    loss_weights: LossWeightsConfig = dataclasses.field(
+        default_factory=LossWeightsConfig
+    )
     training_noise_distribution: (
         LogNormalNoiseDistribution | LogUniformNoiseDistribution | None
     ) = None
@@ -228,10 +246,19 @@ class DiffusionModel:
         cond, target = self._pack(coarse, fine, static=static)
         if self.config.predict_residual:
             target = target - self._residual_base(coarse)
+        lw = self.config.loss_weights
+        channel_weights = None
+        if lw.output_channels:
+            channel_weights = jnp.asarray([
+                lw.output_channels.get(n, 1.0)
+                for n in self.config.out_names
+            ])
         return edm_loss(
             self._denoiser(params), rng, target, cond,
             noise_distribution=self._noise_dist,
             sigma_data=self.config.sigma_data,
+            loss_weight_exponent=lw.noise_weight_exponent,
+            channel_weights=channel_weights,
         )
 
     def generate(self, coarse: TensorMapping, rng: jax.Array,

@@ -746,3 +746,40 @@ def test_zarr_output_chunks():
     assert ch[0] == 1 and ch[1] == 1
     assert ch[2] * ch[3] * 4 <= 10 * 2**20
     assert ch[2] >= 1 and ch[3] >= 1
+
+
+def test_loss_weights_config():
+    """Per-variable and noise-exponent loss weighting
+    (reference: fme/downscaling/models.py:81, noise.py:63)."""
+    import dataclasses as dc
+
+    from ace_tpu.downscaling.models import LossWeightsConfig
+
+    m = _model()
+    m.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    coarse = {
+        n: jnp.asarray(rng.randn(2, H, W), jnp.float32)
+        for n in ["coarse_a", "coarse_b"]
+    }
+    fine = {"fine_x": jnp.asarray(rng.randn(2, H, W), jnp.float32)}
+    key = jax.random.PRNGKey(3)
+    base = float(m.loss_fn(m.params, coarse, fine, key))
+    # doubling the sole output channel weight doubles the loss
+    m2 = _model()
+    m2.config = dc.replace(
+        m2.config,
+        loss_weights=LossWeightsConfig(output_channels={"fine_x": 2.0}),
+    )
+    m2.params = m.params
+    np.testing.assert_allclose(
+        float(m2.loss_fn(m.params, coarse, fine, key)), 2 * base,
+        rtol=1e-6,
+    )
+    # a different noise exponent changes the weighting
+    m3 = _model()
+    m3.config = dc.replace(
+        m3.config,
+        loss_weights=LossWeightsConfig(noise_weight_exponent=0.5),
+    )
+    assert float(m3.loss_fn(m.params, coarse, fine, key)) != base
