@@ -21,6 +21,7 @@ with un-normalized inverse DFT (Hermitian-doubled).
 """
 
 import functools
+import os
 
 import jax
 import jax.numpy as jnp
@@ -75,9 +76,64 @@ def _dft_matrices(nlon: int, mmax: int):
     return fwd_cos, fwd_sin, inv_cos, inv_sin
 
 
+def _parity_split_tables(tensor: np.ndarray):
+    """Split a Legendre tensor [m, l, k] by the equatorial symmetry
+    P_l^m(pi - theta) = (-1)^(l+m) P_l^m(theta).
+
+    Returns (wp0, wp1, pmask):
+      wp0 [m, jp, h+odd] — rows with (l+m) even (symmetric in latitude),
+          row j holding l = 2j + (m % 2); includes the equator column;
+      wp1 [m, jp, h]     — rows with (l+m) odd (antisymmetric; the
+          equator column is dropped because P_l^m vanishes there),
+          row j holding l = 2j + 1 - (m % 2);
+      pmask [l, m]       — True where (l + m) is even.
+
+    Contracting the folded halves x[:h] +/- flip(x[h+odd:]) against
+    these tables halves the Legendre matmul FLOPs; the full-l result is
+    recovered with a repeat + select because row j of either table maps
+    back to l with l // 2 == j for every m parity.
+    """
+    M, L, K = tensor.shape
+    h, odd = K // 2, K % 2
+    jp = (L + 1) // 2
+    m_idx = np.arange(M)[:, None]
+    j = np.arange(jp)[None, :]
+    l0 = 2 * j + (m_idx % 2)
+    l1 = 2 * j + 1 - (m_idx % 2)
+    w0 = tensor[m_idx, np.minimum(l0, L - 1), :] * (l0 < L)[..., None]
+    w1 = tensor[m_idx, np.minimum(l1, L - 1), :] * (l1 < L)[..., None]
+    pmask = (np.arange(L)[:, None] + np.arange(M)[None, :]) % 2 == 0
+    return (
+        w0[:, :, : h + odd].astype(np.float32),
+        w1[:, :, :h].astype(np.float32),
+        pmask,
+    )
+
+
+def _is_equatorially_symmetric(tq: np.ndarray, w: np.ndarray) -> bool:
+    """True when colatitudes and quadrature weights mirror about the
+    equator (holds for legendre-gauss, lobatto, and equiangular grids;
+    guards the parity-split fast path against exotic node sets)."""
+    return bool(
+        np.allclose(tq + tq[::-1], np.pi, atol=1e-12)
+        and np.allclose(w, w[::-1], atol=1e-12)
+    )
+
+
 class RealSHT:
     """Forward real SHT: grid (..., nlat, nlon[, C]) -> coeffs
     (..., lmax, mmax[, C]) complex64.
+
+    The Legendre contraction is the dense [m, l, k] einsum the
+    reference evaluates (fme/sht_fix.py:133-151). A parity-split
+    variant (fold the grid about the equator, contract symmetric/
+    antisymmetric halves separately — exact up to float reassociation,
+    half the matmul FLOPs) is available via ``parity_split=True`` or
+    ``ACE_TPU_SHT_PARITY_SPLIT=1`` but is OFF by default: measured on
+    one TPU v5e at ACE2 scale it is slower (sht+isht roundtrip 2.87 ms
+    vs 2.45 ms at 180x360x256; 4.55 vs 3.60 ms at C=512) because the
+    einsums are HBM-bound there and the fold/select passes add traffic
+    that outweighs the halved FLOPs.
 
     Args:
         nlat, nlon: input grid size.
@@ -85,11 +141,17 @@ class RealSHT:
         grid: latitude grid ("legendre-gauss", "lobatto", "equiangular").
         channels_last: if True, operates on axes (-3, -2) with a trailing
             channel axis — the native TPU layout used by the models.
+        parity_split: True enables the folded Legendre contraction
+            (see class docstring); None reads ACE_TPU_SHT_PARITY_SPLIT.
     """
 
     def __init__(self, nlat, nlon, lmax=None, mmax=None, grid="legendre-gauss",
                  norm="ortho", csphase=True, channels_last=False,
-                 precision=jax.lax.Precision.HIGH):
+                 precision=jax.lax.Precision.HIGH, parity_split=None):
+        if parity_split is None:
+            parity_split = os.environ.get(
+                "ACE_TPU_SHT_PARITY_SPLIT", "0"
+            ) == "1"
         self.precision = precision
         self.nlat, self.nlon, self.grid = nlat, nlon, grid
         cost, w, default_lmax = quadrature_for_grid(grid, nlat)
@@ -104,6 +166,14 @@ class RealSHT:
         # weights are symmetric in latitude so no flip is needed
         weights = pct * w[None, None, :]
         self.weights = jnp.asarray(weights, dtype=jnp.float32)  # [m, l, k]
+        self.parity_split = parity_split and _is_equatorially_symmetric(
+            tq, w
+        )
+        if self.parity_split:
+            wp0, wp1, pmask = _parity_split_tables(weights)
+            self._wp0 = jnp.asarray(wp0)
+            self._wp1 = jnp.asarray(wp1)
+            self._pmask = jnp.asarray(pmask)
         self._fc, self._fs, _, _ = map(
             jnp.asarray, _dft_matrices(nlon, self.mmax)
         )
@@ -173,11 +243,50 @@ class RealSHT:
                         preferred_element_type=jnp.float32)
         xi = jnp.einsum(dft_eq, x, self._fs, precision=prec,
                         preferred_element_type=jnp.float32)
+        if self.parity_split:
+            return self._legendre_folded(xr), self._legendre_folded(xi)
         cr = jnp.einsum(leg_eq, xr, self.weights, precision=prec,
                         preferred_element_type=jnp.float32)
         ci = jnp.einsum(leg_eq, xi, self.weights, precision=prec,
                         preferred_element_type=jnp.float32)
         return cr, ci
+
+    def _legendre_folded(self, xm):
+        """Parity-split Legendre contraction: fold the latitude axis
+        about the equator and contract the symmetric/antisymmetric
+        halves against the even/odd-(l+m) weight rows — half the
+        matmul FLOPs of the dense [m, l, k] einsum."""
+        prec = self.precision
+        ax = -3 if self.channels_last else -2
+        h, odd = self.nlat // 2, self.nlat % 2
+        north = jax.lax.slice_in_dim(xm, 0, h, axis=ax)
+        south = jnp.flip(
+            jax.lax.slice_in_dim(xm, h + odd, self.nlat, axis=ax), axis=ax
+        )
+        xs = north + south
+        xa = north - south
+        if odd:
+            # the equator row contributes to symmetric rows only
+            # (P_l^m vanishes at the equator for odd l+m)
+            xs = jnp.concatenate(
+                [xs, jax.lax.slice_in_dim(xm, h, h + 1, axis=ax)], axis=ax
+            )
+        eq = "...kmc,mjk->...jmc" if self.channels_last else "...km,mjk->...jm"
+        ce = jnp.einsum(eq, xs, self._wp0, precision=prec,
+                        preferred_element_type=jnp.float32)
+        co = jnp.einsum(eq, xa, self._wp1, precision=prec,
+                        preferred_element_type=jnp.float32)
+        # row j of either parity holds the l with l // 2 == j, so a
+        # repeat + parity select restores the interleaved l axis
+        ce = jax.lax.slice_in_dim(
+            jnp.repeat(ce, 2, axis=ax), 0, self.lmax, axis=ax
+        )
+        co = jax.lax.slice_in_dim(
+            jnp.repeat(co, 2, axis=ax), 0, self.lmax, axis=ax
+        )
+        mask = (self._pmask[:, :, None] if self.channels_last
+                else self._pmask)
+        return jnp.where(mask, ce, co)
 
 
 class InverseRealSHT:
@@ -187,10 +296,14 @@ class InverseRealSHT:
 
     def __init__(self, nlat, nlon, lmax=None, mmax=None, grid="legendre-gauss",
                  norm="ortho", csphase=True, channels_last=False,
-                 precision=jax.lax.Precision.HIGH):
+                 precision=jax.lax.Precision.HIGH, parity_split=None):
+        if parity_split is None:
+            parity_split = os.environ.get(
+                "ACE_TPU_SHT_PARITY_SPLIT", "0"
+            ) == "1"
         self.precision = precision
         self.nlat, self.nlon, self.grid = nlat, nlon, grid
-        cost, _, default_lmax = quadrature_for_grid(grid, nlat)
+        cost, w, default_lmax = quadrature_for_grid(grid, nlat)
         self.lmax = lmax or default_lmax
         self.mmax = mmax or nlon // 2 + 1
         self.channels_last = channels_last
@@ -198,6 +311,14 @@ class InverseRealSHT:
         pct = precompute_legpoly(self.mmax, self.lmax, t, norm=norm,
                                  inverse=True, csphase=csphase)
         self.pct = jnp.asarray(pct, dtype=jnp.float32)  # [m, l, k]
+        self.parity_split = parity_split and _is_equatorially_symmetric(
+            t, w
+        )
+        if self.parity_split:
+            wp0, wp1, pmask = _parity_split_tables(np.asarray(pct))
+            self._wp0 = jnp.asarray(wp0)
+            self._wp1 = jnp.asarray(wp1)
+            self._pmask = jnp.asarray(pmask)
         _, _, self._ic, self._is = map(
             jnp.asarray, _dft_matrices(nlon, self.mmax)
         )
@@ -212,14 +333,58 @@ class InverseRealSHT:
             return self._inverse(cr, ci, "...lmc,mlk->...kmc", "...kmc,mj->...kjc")
         return self._inverse(cr, ci, "...lm,mlk->...km", "...km,mj->...kj")
 
+    def _legendre_folded_inv(self, c):
+        """Parity-split inverse Legendre evaluation (see
+        RealSHT._legendre_folded): contract even/odd-(l+m) coefficient
+        rows against the half-latitude tables, then unfold the
+        symmetric/antisymmetric halves back onto the full grid."""
+        prec = self.precision
+        ax = (-3 if self.channels_last else -2) % c.ndim
+        h, odd = self.nlat // 2, self.nlat % 2
+        jp = (self.lmax + 1) // 2
+        pad = 2 * jp - self.lmax
+        mask = (self._pmask[:, :, None] if self.channels_last
+                else self._pmask)
+        ce = jnp.where(mask, c, 0.0)
+        co = jnp.where(mask, 0.0, c)
+        if pad:
+            widths = [(0, 0)] * c.ndim
+            widths[ax] = (0, pad)
+            ce = jnp.pad(ce, widths)
+            co = jnp.pad(co, widths)
+        # fold l-pairs (2j, 2j+1) -> row j: exactly one of the two is
+        # nonzero per (l, m) parity, so a pair-sum is a gather
+        pair_shape = ce.shape[:ax] + (jp, 2) + ce.shape[ax + 1:]
+        cp0 = ce.reshape(pair_shape).sum(axis=ax + 1)
+        cp1 = co.reshape(pair_shape).sum(axis=ax + 1)
+        eq = "...jmc,mjk->...kmc" if self.channels_last else "...jm,mjk->...km"
+        xe = jnp.einsum(eq, cp0, self._wp0, precision=prec,
+                        preferred_element_type=jnp.float32)
+        xo = jnp.einsum(eq, cp1, self._wp1, precision=prec,
+                        preferred_element_type=jnp.float32)
+        xe_n = jax.lax.slice_in_dim(xe, 0, h, axis=ax - c.ndim)
+        north = xe_n + xo
+        south = jnp.flip(xe_n - xo, axis=ax - c.ndim)
+        parts = [north]
+        if odd:
+            parts.append(
+                jax.lax.slice_in_dim(xe, h, h + 1, axis=ax - c.ndim)
+            )
+        parts.append(south)
+        return jnp.concatenate(parts, axis=ax - c.ndim)
+
     def _inverse(self, cr, ci, leg_eq, dft_eq):
         prec = self.precision  # see RealSHT._forward
         cr = cr.astype(jnp.float32)
         ci = ci.astype(jnp.float32)
-        xr = jnp.einsum(leg_eq, cr, self.pct, precision=prec,
-                        preferred_element_type=jnp.float32)
-        xi = jnp.einsum(leg_eq, ci, self.pct, precision=prec,
-                        preferred_element_type=jnp.float32)
+        if self.parity_split:
+            xr = self._legendre_folded_inv(cr)
+            xi = self._legendre_folded_inv(ci)
+        else:
+            xr = jnp.einsum(leg_eq, cr, self.pct, precision=prec,
+                            preferred_element_type=jnp.float32)
+            xi = jnp.einsum(leg_eq, ci, self.pct, precision=prec,
+                            preferred_element_type=jnp.float32)
         # Hermitian cleanup (imag of m=0 / nyquist) is implicit: the sin
         # rows of the inverse DFT matrix are identically zero there
         # (reference applies it explicitly, fme/fft.py:85-99).

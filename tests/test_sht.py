@@ -201,3 +201,43 @@ def test_fused_pallas_sht_matches_einsum_path():
     np.testing.assert_allclose(
         np.asarray(fused), np.asarray(ref), atol=2e-3
     )
+
+
+@pytest.mark.parametrize(
+    "nlat,nlon,lmax,mmax,grid,channels_last",
+    [
+        (16, 32, None, None, "legendre-gauss", False),
+        (16, 32, None, None, "legendre-gauss", True),
+        (9, 18, None, None, "equiangular", True),
+        (9, 18, None, None, "lobatto", False),
+        (12, 24, 7, 9, "legendre-gauss", True),
+        (13, 24, 11, 10, "equiangular", False),
+    ],
+)
+def test_parity_split_matches_dense(nlat, nlon, lmax, mmax, grid,
+                                    channels_last):
+    """The folded (equator-symmetric) Legendre contraction agrees with
+    the dense einsum up to float reassociation on every grid family,
+    odd/even nlat, truncation, and both layouts."""
+    from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+
+    rng = np.random.RandomState(0)
+    shape = (2, nlat, nlon, 3) if channels_last else (2, nlat, nlon)
+    x = jnp.asarray(rng.randn(*shape), jnp.float32)
+    kw = dict(lmax=lmax, mmax=mmax, grid=grid, channels_last=channels_last)
+    fwd_split = RealSHT(nlat, nlon, parity_split=True, **kw)
+    fwd_dense = RealSHT(nlat, nlon, parity_split=False, **kw)
+    assert fwd_split.parity_split
+    c_split, c_dense = fwd_split(x), fwd_dense(x)
+    scale = float(jnp.abs(c_dense).max())
+    np.testing.assert_allclose(
+        np.asarray(c_split), np.asarray(c_dense), atol=3e-6 * scale
+    )
+    inv_split = InverseRealSHT(nlat, nlon, parity_split=True, **kw)
+    inv_dense = InverseRealSHT(nlat, nlon, parity_split=False, **kw)
+    assert inv_split.parity_split
+    y_split, y_dense = inv_split(c_dense), inv_dense(c_dense)
+    scale = float(jnp.abs(y_dense).max())
+    np.testing.assert_allclose(
+        np.asarray(y_split), np.asarray(y_dense), atol=3e-6 * scale
+    )
