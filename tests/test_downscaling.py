@@ -783,3 +783,46 @@ def test_loss_weights_config():
         loss_weights=LossWeightsConfig(noise_weight_exponent=0.5),
     )
     assert float(m3.loss_fn(m.params, coarse, fine, key)) != base
+
+
+def test_bundle_denoising_moe_cli(tmp_path):
+    """The bundling CLI (reference:
+    scripts/downscaling/bundle_denoising_moe_checkpoint.py) writes a
+    single-file bundle that DenoisingMoEBundledConfig reloads."""
+    import yaml
+
+    from ace_tpu.data_process.bundle_denoising_moe import main as bundle_main
+    from ace_tpu.downscaling.models import DenoisingMoEBundledConfig
+    from ace_tpu.downscaling.train import save_downscaling_checkpoint
+
+    m1 = _model()
+    m2 = _model()
+    m1.init_params(jax.random.PRNGKey(0))
+    m2.init_params(jax.random.PRNGKey(1))
+    p1 = tmp_path / "low.msgpack"
+    p2 = tmp_path / "high.msgpack"
+    save_downscaling_checkpoint(str(p1), m1, m1.params)
+    save_downscaling_checkpoint(str(p2), m2, m2.params)
+    cfg_path = tmp_path / "moe.yaml"
+    with open(cfg_path, "w") as f:
+        yaml.safe_dump({
+            "denoising_expert_configs": [
+                {"checkpoint_path": str(p1),
+                 "sigma_min": 0.002, "sigma_max": 1.0},
+                {"checkpoint_path": str(p2),
+                 "sigma_min": 1.0, "sigma_max": 80.0},
+            ],
+            "num_diffusion_generation_steps": 4,
+        }, f)
+    out_path = tmp_path / "bundle.msgpack"
+    bundle_main([str(cfg_path), str(out_path)])
+    moe = DenoisingMoEBundledConfig(
+        mixture_of_experts_path=str(out_path)
+    ).build()
+    rng = np.random.RandomState(0)
+    coarse = {
+        n: jnp.asarray(rng.randn(1, H, W), jnp.float32)
+        for n in ["coarse_a", "coarse_b"]
+    }
+    out = moe.generate(coarse, jax.random.PRNGKey(7), n_samples=1)
+    assert np.isfinite(np.asarray(out["fine_x"])).all()
