@@ -12,7 +12,7 @@ pure function, rollouts are `lax.scan`, and scale-out is `jax.sharding.Mesh`
 + NamedSharding over a (data, h, w) mesh (reference: fme/core/distributed/).
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 import os as _os
 
