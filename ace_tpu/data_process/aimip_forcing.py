@@ -33,8 +33,9 @@ from typing import List, Optional
 import numpy as np
 
 from ace_tpu.core.config import from_dict
-from ace_tpu.data.store import open_file_dataset, write_h5, write_zarr
+from ace_tpu.data.store import encode_cf_time, open_file_dataset, write_h5
 from ace_tpu.data.time import TimeCoord, parse_datetime_string
+from ace_tpu.data_process.compute_dataset import ZarrRegionWriter
 from ace_tpu.ops.conservative_regrid import ConservativeRegridder
 
 logger = logging.getLogger(__name__)
@@ -181,7 +182,21 @@ class AimipInterpolateConfig:
     time_chunk: int = 1460
 
 
+def _var_attrs(var) -> dict:
+    """JSON-safe copy of a source variable's attrs (units, long_name, …)."""
+    return {
+        k: (v.tolist() if isinstance(v, np.ndarray) else v)
+        for k, v in var.attrs.items()
+        if k != "_ARRAY_DIMENSIONS"
+    }
+
+
 def interpolate_aimip_forcing(config: AimipInterpolateConfig) -> str:
+    """Streamed per-variable, per-time-slab: at production scale the
+    6-hourly output is ~17 GB per float32 variable, so nothing larger
+    than one (time_chunk, lat, lon) slab is ever held in memory — the
+    reference writes one variable at a time for the same reason
+    (interpolate_aimip_forcing.py:46-260)."""
     monthly = open_file_dataset(config.input_path)
     era5 = open_file_dataset(config.era5_forcing_path)
     m_time = monthly.read_time()
@@ -193,27 +208,57 @@ def interpolate_aimip_forcing(config: AimipInterpolateConfig) -> str:
     step = config.timestep_seconds * MICROS_PER_SECOND
     out_vals = np.arange(t0, t1 + 1, step, dtype=np.int64)
     out_time = TimeCoord(out_vals, cal)
+    n_out = len(out_vals)
+
+    lat, lon, _, _ = _grid_coords(monthly)
+    e_lat, e_lon, _, _ = _grid_coords(era5)
+    if not (lat.shape == e_lat.shape and lon.shape == e_lon.shape
+            and np.allclose(lat, e_lat) and np.allclose(lon, e_lon)):
+        raise ValueError(
+            "ERA5 forcing grid does not match the regridded monthly grid: "
+            f"monthly ({len(lat)}, {len(lon)}) vs "
+            f"ERA5 ({len(e_lat)}, {len(e_lon)})"
+        )
+    nlat, nlon = len(lat), len(lon)
+    tchunk = min(config.time_chunk, n_out)
+    spatial_dims = ("time", "latitude", "longitude")
+
+    writer = ZarrRegionWriter(config.output_path)
+    cf_vals, cf_units, cf_cal = encode_cf_time(out_time)
+    writer.create("time", (n_out,), cf_vals.dtype, ("time",),
+                  attrs={"units": cf_units, "calendar": cf_cal})
+    writer.write("time", cf_vals)
+    for cname, cvals in (("latitude", lat), ("longitude", lon)):
+        cvals = cvals.astype(np.float32)
+        writer.create(cname, cvals.shape, cvals.dtype, (cname,))
+        writer.write(cname, cvals)
 
     # SST mask: ocean points are those with any valid SST in the
     # monthly record; land is filled with -999 before interpolation so
     # coastal interpolation never mixes NaN (reference :46-63,215-224)
     sst = _read_all(monthly, "surface_temperature")
     sst_mask = np.isfinite(sst).sum(axis=0) > 0
-    data, dims = {}, {}
+
+    # monthly variables: source stays at monthly resolution (small);
+    # only one interpolated output slab exists at a time
     for v in config.monthly_variables:
+        var = monthly[v]
         vals = _read_all(monthly, v)
-        if vals.ndim == 2:  # static field: broadcast over time
-            interp = np.broadcast_to(
-                vals[None], (len(out_vals),) + vals.shape
-            ).astype(np.float32).copy()
-        else:
-            if v == "surface_temperature":
-                vals = np.nan_to_num(vals, nan=-999.0)
-            interp = interp_time(vals, m_time.values, out_vals)
-            if v == "surface_temperature":
-                interp = np.where(sst_mask[None], interp, np.nan)
-        data[v] = interp
-        dims[v] = ("time", "latitude", "longitude")
+        if v == "surface_temperature" and vals.ndim == 3:
+            vals = np.nan_to_num(vals, nan=-999.0)
+        writer.create(v, (n_out, nlat, nlon), np.float32, spatial_dims,
+                      chunks=[tchunk, nlat, nlon], attrs=_var_attrs(var))
+        for s0 in range(0, n_out, tchunk):
+            s1 = min(s0 + tchunk, n_out)
+            if vals.ndim == 2:  # static field: broadcast over time
+                slab = np.broadcast_to(
+                    vals[None], (s1 - s0,) + vals.shape
+                ).astype(np.float32)
+            else:
+                slab = interp_time(vals, m_time.values, out_vals[s0:s1])
+                if v == "surface_temperature":
+                    slab = np.where(sst_mask[None], slab, np.nan)
+            writer.write(v, np.ascontiguousarray(slab, np.float32), t0=s0)
 
     # existing ERA5 forcing over the pre-extension period + repeated
     # insolation over the extension
@@ -231,45 +276,52 @@ def interpolate_aimip_forcing(config: AimipInterpolateConfig) -> str:
         (e_time.values >= rs0) & (e_time.values <= rs1)
     )
     n_ext = int((out_vals >= ext0).sum())
+    n_base = keep.stop - keep.start
+    if n_base + n_ext != n_out:
+        raise ValueError(
+            f"ERA5 base period ({n_base}) + extension ({n_ext}) does not "
+            f"cover the output time axis ({n_out})"
+        )
+    n_repeat = src_sel.stop - src_sel.start
     for v in config.era5_variables:
         var = era5[v]
-        if var.dims and var.dims[0] == "time":
-            base = np.asarray(var.read((keep,)))
-            if v == config.insolation_name:
-                repeat = np.asarray(var.read((src_sel,)))
-                if len(repeat) < n_ext:
-                    raise ValueError(
-                        "insolation repeat window shorter than extension"
-                    )
-                full = np.concatenate([base, repeat[:n_ext]], axis=0)
-            else:
-                # non-repeated vars carry their final value forward
-                full = np.concatenate(
-                    [base, np.repeat(base[-1:], n_ext, axis=0)], axis=0
-                )
-            data[v] = full.astype(np.float32)
-            dims[v] = ("time", "latitude", "longitude")
-        else:
-            data[v] = np.asarray(var.read(()))
-            dims[v] = ("latitude", "longitude")
-
-    for v, arr in data.items():
-        if dims[v][0] == "time" and arr.shape[0] != len(out_vals):
+        if not (var.dims and var.dims[0] == "time"):
+            static = np.asarray(var.read(()))
+            writer.create(v, static.shape, static.dtype,
+                          ("latitude", "longitude"), attrs=_var_attrs(var))
+            writer.write(v, static)
+            continue
+        if v == config.insolation_name and n_repeat < n_ext:
             raise ValueError(
-                f"{v}: time length {arr.shape[0]} != axis {len(out_vals)}"
+                "insolation repeat window shorter than extension"
             )
-    lat, lon, _, _ = _grid_coords(monthly)
-    nlat, nlon = len(lat), len(lon)
-    chunks = {
-        v: [min(config.time_chunk, len(out_vals)), nlat, nlon]
-        for v in data if dims[v][0] == "time"
-    }
-    write_zarr(
-        config.output_path, data, dims,
-        coords={"latitude": lat.astype(np.float32),
-                "longitude": lon.astype(np.float32)},
-        time=out_time, chunks=chunks,
-    )
+        writer.create(v, (n_out, nlat, nlon), np.float32, spatial_dims,
+                      chunks=[tchunk, nlat, nlon], attrs=_var_attrs(var))
+        last_base = None
+        for s0 in range(0, n_out, tchunk):
+            s1 = min(s0 + tchunk, n_out)
+            parts = []
+            if s0 < n_base:  # base period straight from ERA5
+                b1 = min(s1, n_base)
+                parts.append(np.asarray(var.read(
+                    (slice(keep.start + s0, keep.start + b1),)
+                )))
+            if s1 > n_base:  # extension period
+                e0, e1 = max(s0, n_base) - n_base, s1 - n_base
+                if v == config.insolation_name:
+                    parts.append(np.asarray(var.read(
+                        (slice(src_sel.start + e0, src_sel.start + e1),)
+                    )))
+                else:
+                    # non-repeated vars carry their final value forward
+                    if last_base is None:
+                        last_base = np.asarray(var.read(
+                            (slice(keep.stop - 1, keep.stop),)
+                        ))
+                    parts.append(np.repeat(last_base, e1 - e0, axis=0))
+            slab = parts[0] if len(parts) == 1 else np.concatenate(parts)
+            writer.write(v, np.ascontiguousarray(slab, np.float32), t0=s0)
+
     monthly.close()
     era5.close()
     logger.info("wrote interpolated AIMIP forcing to %s", config.output_path)
@@ -289,6 +341,8 @@ class PrependFirstTimestepConfig:
 
 
 def prepend_first_timestep(config: PrependFirstTimestepConfig) -> str:
+    """Streamed per-variable, per-time-slab (a full 6-hourly forcing
+    variable is ~17 GB at production scale; see interpolate above)."""
     ds = open_file_dataset(config.input_path)
     time = ds.read_time()
     src_us = parse_datetime_string(config.input_timestamp, time.calendar)
@@ -301,26 +355,37 @@ def prepend_first_timestep(config: PrependFirstTimestepConfig) -> str:
     out_time = TimeCoord(
         np.concatenate([[new_us], time.values]), time.calendar
     )
-    data, dims, coords = {}, {}, {}
+    n_in = len(time)
+    tchunk = min(config.time_chunk, n_in + 1)
+
+    writer = ZarrRegionWriter(config.output_path)
+    cf_vals, cf_units, cf_cal = encode_cf_time(out_time)
+    writer.create("time", (n_in + 1,), cf_vals.dtype, ("time",),
+                  attrs={"units": cf_units, "calendar": cf_cal})
+    writer.write("time", cf_vals)
     for v in ds.keys():
         var = ds[v]
         if v == "time":
             continue
-        if var.dims == (v,):
-            coords[v] = np.asarray(var.read(()))
+        attrs = _var_attrs(var)
+        if var.dims == (v,):  # coordinate
+            cvals = np.asarray(var.read(()))
+            writer.create(v, cvals.shape, cvals.dtype, (v,), attrs=attrs)
+            writer.write(v, cvals)
         elif var.dims and var.dims[0] == "time":
-            full = np.asarray(var.read(()))
-            data[v] = np.concatenate([full[idx:idx + 1], full], axis=0)
-            dims[v] = var.dims
+            shape = (n_in + 1,) + tuple(var.shape[1:])
+            writer.create(v, shape, var.dtype, var.dims,
+                          chunks=[tchunk] + list(shape[1:]), attrs=attrs)
+            writer.write(v, np.asarray(var.read((slice(idx, idx + 1),))))
+            for s0 in range(0, n_in, tchunk):
+                s1 = min(s0 + tchunk, n_in)
+                slab = np.asarray(var.read((slice(s0, s1),)))
+                writer.write(v, slab, t0=s0 + 1)
         else:
-            data[v] = np.asarray(var.read(()))
-            dims[v] = var.dims
-    chunks = {
-        v: [min(config.time_chunk, len(out_time))] + list(data[v].shape[1:])
-        for v in data if dims[v][0] == "time"
-    }
-    write_zarr(config.output_path, data, dims, coords=coords,
-               time=out_time, chunks=chunks)
+            static = np.asarray(var.read(()))
+            writer.create(v, static.shape, static.dtype, var.dims,
+                          attrs=attrs)
+            writer.write(v, static)
     ds.close()
     logger.info("wrote prepended forcing to %s", config.output_path)
     return config.output_path

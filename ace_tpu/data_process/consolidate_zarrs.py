@@ -83,8 +83,19 @@ def consolidate_dataset(
                 f"variables {missing} not in {src.path}; "
                 f"available: {sorted(ds.keys())[:20]}..."
             )
-        if time is None and "time" in ds.keys():
-            time = ds.read_time()
+        if "time" in ds.keys():
+            src_time = ds.read_time()
+            if time is None:
+                time = src_time
+            elif (len(src_time) != len(time)
+                  or not np.array_equal(src_time.values, time.values)):
+                # xr.merge in the reference would align or raise; without
+                # alignment, silently writing against the first source's
+                # time axis would mislabel every sample.
+                raise ValueError(
+                    f"{src.path}: time axis (length {len(src_time)}) does "
+                    f"not match the first source's (length {len(time)})"
+                )
         for v in src.variables:
             out_name = src.renaming.get(v, v)
             if variables is not None and out_name not in variables:
@@ -100,8 +111,13 @@ def consolidate_dataset(
                 continue
             data[out_name] = np.asarray(ds[v].read(()))
             dims[out_name] = var_dims
-            attrs[out_name] = {"source_path": src.path,
-                               "source_variable": v}
+            attrs[out_name] = {
+                **{k: (a.tolist() if isinstance(a, np.ndarray) else a)
+                   for k, a in ds[v].attrs.items()
+                   if k != "_ARRAY_DIMENSIONS"},
+                "source_path": src.path,
+                "source_variable": v,
+            }
         for c in ds.keys():
             if ds[c].dims == (c,) and c != "time":
                 out_c = config.dim_renaming.get(c, c)

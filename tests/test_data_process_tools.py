@@ -5,6 +5,7 @@ compute_repeating_forcing.py, create_window_avg_dataset.py,
 scripts/compute_enso_index/compute_enso_index.py)."""
 
 import numpy as np
+import pytest
 import yaml
 
 from ace_tpu.data.store import open_file_dataset, write_h5, write_zarr
@@ -211,3 +212,55 @@ def test_enso_index(tmp_path):
     years = {y for (y, m, d) in labels}
     assert years >= {2000, 2001, 2002, 2003}
     assert all(m in (1, 4, 7, 10) for (_, m, _) in labels)
+
+
+def test_consolidate_zarrs(tmp_path):
+    """consolidate_dataset merges variables from two sources, preserves
+    source attrs, and raises on mismatched time axes."""
+    from ace_tpu.data.store import write_zarr as _wz
+    from ace_tpu.data_process.consolidate_zarrs import (
+        ConsolidateDatasetConfig,
+        SourceConfig,
+        consolidate_dataset,
+    )
+
+    _write_zarr_series(tmp_path / "src1.zarr", 8)
+    rng = np.random.RandomState(1)
+    time = TimeCoord.from_range("1999-12-25T00:00", 8, 21600)
+    _wz(
+        str(tmp_path / "src2.zarr"),
+        {"c": rng.randn(8, NY, NX).astype(np.float32),
+         "lat": np.linspace(-60, 60, NY),
+         "lon": np.linspace(0, 360, NX, endpoint=False)},
+        {"c": ("time", "lat", "lon"), "lat": ("lat",), "lon": ("lon",)},
+        attrs={"c": {"units": "K", "long_name": "temperature"}},
+        time=time,
+    )
+    cfg = ConsolidateDatasetConfig(
+        name="merged",
+        sources=[
+            SourceConfig(path=str(tmp_path / "src1.zarr"),
+                         variables=["a"], renaming={"a": "alpha"}),
+            SourceConfig(path=str(tmp_path / "src2.zarr"), variables=["c"]),
+        ],
+    )
+    out = consolidate_dataset(cfg, str(tmp_path / "out"))
+    ds = open_file_dataset(out)
+    assert set(ds.keys()) >= {"alpha", "c", "time", "lat", "lon"}
+    assert ds["c"].attrs["units"] == "K"
+    assert ds["c"].attrs["source_variable"] == "c"
+    assert np.array_equal(ds.read_time().values, time.values)
+    ds.close()
+
+    # mismatched time axis in a later source must raise, not silently
+    # write against the first source's axis
+    _write_zarr_series(tmp_path / "src3.zarr", 6)
+    bad = ConsolidateDatasetConfig(
+        name="bad",
+        sources=[
+            SourceConfig(path=str(tmp_path / "src1.zarr"), variables=["a"]),
+            SourceConfig(path=str(tmp_path / "src3.zarr"), variables=["b"]),
+        ],
+    )
+    with pytest.raises(ValueError, match="time axis"):
+        consolidate_dataset(bad, str(tmp_path / "out_bad"))
