@@ -424,14 +424,17 @@ class InferenceEvaluatorAggregator:
             )
 
     def flush_images(self, output_dir: str):
-        """Render diagnostic maps/videos to PNG/GIF files — the
-        file-based equivalent of the reference's wandb Image/Video logs
+        """Render diagnostic maps/videos to PNG/GIF files, and mirror
+        them to wandb as Image/Video media when a run is active
         (reference: fme/ace/aggregator/inference/main.py get_logs media;
-        plotting.py plot_imshow)."""
+        plotting.py plot_imshow; fme/core/wandb.py:96 media types)."""
         import os
 
         from ace_tpu.aggregator import plotting
+        from ace_tpu.core.wandb import Image, Video, WandB
 
+        wandb = WandB.get_instance()
+        media: dict = {}
         os.makedirs(output_dir, exist_ok=True)
         items = dict(self._aggregators)
         if self._annual is not None:
@@ -451,10 +454,11 @@ class InferenceEvaluatorAggregator:
                 )
                 try:
                     if key.startswith("video-"):
+                        gif_path = os.path.join(output_dir, safe + ".gif")
                         plotting.save_video_gif(
-                            os.path.join(output_dir, safe + ".gif"),
-                            arr, diverging=diverging,
+                            gif_path, arr, diverging=diverging,
                         )
+                        media[f"inference/{label}/{key}"] = Video(gif_path)
                     elif arr.ndim == 2 or (
                         arr.ndim == 3 and arr.shape[0] == 12
                     ):
@@ -474,8 +478,10 @@ class InferenceEvaluatorAggregator:
                             cmap="RdBu_r" if diverging else None,
                             roll_lon=is_map,
                         )
-                        plotting.save_figure(
-                            fig, os.path.join(output_dir, safe + ".png")
-                        )
+                        png_path = os.path.join(output_dir, safe + ".png")
+                        plotting.save_figure(fig, png_path)
+                        media[f"inference/{label}/{key}"] = Image(png_path)
                 except Exception:  # rendering must never fail a run
                     logging.exception("failed to render %s", safe)
+        if media and wandb.enabled:
+            wandb.log(media)

@@ -7,7 +7,81 @@ fme/core/disk_metric_logger.py:10 DiskMetricLogger).
 import json
 import logging
 import os
-from typing import Any, Mapping
+from typing import Any, Mapping, Sequence
+
+
+class _Media:
+    """Base for lazily-converted wandb media values (reference:
+    fme/core/wandb.py:96 exposes wandb.Image/Video/Table/Histogram).
+
+    Instances are cheap containers (a path or numpy array); the real
+    wandb object is only built inside WandB.log when a run is active,
+    so aggregators can emit media unconditionally."""
+
+    def to_wandb(self):  # pragma: no cover - overridden
+        raise NotImplementedError
+
+
+class Image(_Media):
+    """A figure, [H, W(, C)] array, or image-file path."""
+
+    def __init__(self, data_or_path, caption: str | None = None):
+        self.data = data_or_path
+        self.caption = caption
+
+    def to_wandb(self):
+        import wandb
+
+        return wandb.Image(self.data, caption=self.caption)
+
+
+class Video(_Media):
+    """A video-file path (e.g. the GIFs rendered by
+    aggregator/plotting.py) or a [T, C, H, W] uint8 array."""
+
+    def __init__(self, data_or_path, caption: str | None = None,
+                 fps: int = 8):
+        self.data = data_or_path
+        self.caption = caption
+        self.fps = fps
+
+    def to_wandb(self):
+        import wandb
+
+        if isinstance(self.data, str):
+            fmt = self.data.rsplit(".", 1)[-1]
+            return wandb.Video(self.data, caption=self.caption, format=fmt)
+        return wandb.Video(self.data, caption=self.caption, fps=self.fps)
+
+
+class Table(_Media):
+    """Columns + rows (reference uses tables for per-variable metrics)."""
+
+    def __init__(self, columns: Sequence[str], data: Sequence[Sequence]):
+        self.columns = list(columns)
+        self.rows = [list(r) for r in data]
+
+    def to_wandb(self):
+        import wandb
+
+        return wandb.Table(columns=self.columns, data=self.rows)
+
+
+class Histogram(_Media):
+    """A sequence of samples or a precomputed (counts, bin_edges) pair."""
+
+    def __init__(self, sequence=None, np_histogram=None, num_bins: int = 64):
+        self.sequence = sequence
+        self.np_histogram = np_histogram
+        self.num_bins = num_bins
+
+    def to_wandb(self):
+        import wandb
+
+        return wandb.Histogram(
+            sequence=self.sequence, np_histogram=self.np_histogram,
+            num_bins=self.num_bins,
+        )
 
 
 class WandB:
@@ -54,7 +128,11 @@ class WandB:
                 )
             self._last_step = step
         if self._enabled and self._run is not None:
-            self._run.log(dict(data), step=step)
+            payload = {
+                k: (v.to_wandb() if isinstance(v, _Media) else v)
+                for k, v in data.items()
+            }
+            self._run.log(payload, step=step)
 
     @property
     def enabled(self) -> bool:
@@ -76,7 +154,8 @@ class DiskMetricLogger:
         os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
 
     def log(self, data: Mapping[str, Any], step: int | None = None):
-        record = {k: _to_scalar(v) for k, v in data.items()}
+        record = {k: _to_scalar(v) for k, v in data.items()
+                  if not isinstance(v, _Media)}
         if step is not None:
             record["step"] = step
         with open(self._path, "a") as f:

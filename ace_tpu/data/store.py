@@ -116,11 +116,19 @@ def _h5_attr(value):
 
 
 class H5Dataset(FileDataset):
-    """netCDF4/HDF5 file reader (h5py)."""
+    """netCDF4/HDF5 file reader (h5py).
+
+    Remote paths (gs://, s3://, http(s)://) are fetched through an
+    inter-filesystem copy to a temp file first, since HDF5 needs a
+    local file (reference: fme/core/cloud.py:48). Small files only.
+    """
 
     def __init__(self, path: str):
         import h5py
 
+        from ace_tpu.data.cloud import fetch_to_local
+
+        path, self._fetch = fetch_to_local(path)
         self._f = h5py.File(path, "r")
         variables: dict[str, Variable] = {}
         for name, ds in self._f.items():
@@ -153,6 +161,8 @@ class H5Dataset(FileDataset):
 
     def close(self):
         self._f.close()
+        if self._fetch is not None:
+            self._fetch.close()
 
 
 def kvstore_spec(path: str) -> dict:
@@ -228,12 +238,16 @@ class ZarrDataset(FileDataset):
 
 def open_file_dataset(path: str, engine: str | None = None) -> FileDataset:
     if engine is None:
-        remote = str(path).startswith(("gs://", "s3://"))
-        engine = "zarr" if remote or str(path).rstrip("/").endswith(
-            ".zarr"
-        ) or (
+        stripped = str(path).rstrip("/")
+        remote = "://" in str(path) and not str(path).startswith("file://")
+        if stripped.endswith((".nc", ".nc4", ".h5", ".hdf5")):
+            engine = "netcdf4"  # remote netCDF fetches via cloud.py
+        elif remote or stripped.endswith(".zarr") or (
             os.path.isdir(path) and os.path.exists(os.path.join(path, ".zgroup"))
-        ) else "netcdf4"
+        ):
+            engine = "zarr"
+        else:
+            engine = "netcdf4"
     if engine in ("netcdf4", "h5netcdf", "h5"):
         return H5Dataset(path)
     if engine == "zarr":

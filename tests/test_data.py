@@ -482,3 +482,43 @@ def test_360_day_and_all_leap_calendars():
                    int(c["hour"][0]), int(c["minute"][0]),
                    int(c["second"][0]))
             assert got == (y, m, d, 6, 30, 15), (cal, got)
+
+
+def test_remote_netcdf_fetch(tmp_path, monkeypatch):
+    """Remote netCDF paths open via an inter-filesystem copy
+    (reference: fme/core/cloud.py:48). Uses a memory:// fsspec URL so no
+    real network is touched."""
+    import fsspec
+
+    from ace_tpu.data.store import open_file_dataset, write_h5
+
+    local = tmp_path / "ic.nc"
+    write_h5(
+        str(local), {"a": np.arange(6, dtype=np.float32).reshape(2, 3)},
+        {"a": ("y", "x")},
+    )
+    with open(local, "rb") as f:
+        payload = f.read()
+    mem = fsspec.filesystem("memory")
+    with mem.open("/bucket/ic.nc", "wb") as f:
+        f.write(payload)
+
+    ds = open_file_dataset("memory://bucket/ic.nc")
+    np.testing.assert_array_equal(
+        ds["a"].read(()), np.arange(6, dtype=np.float32).reshape(2, 3)
+    )
+    ds.close()
+
+
+def test_cloud_helpers(tmp_path):
+    from ace_tpu.data import cloud
+
+    assert cloud.is_local(str(tmp_path))
+    assert cloud.is_local("file:///a/b.nc")
+    assert not cloud.is_local("gs://bucket/b.nc")
+    p = tmp_path / "x.txt"
+    p.write_text("hi")
+    assert cloud.exists(str(p))
+    assert not cloud.exists(str(tmp_path / "missing"))
+    cloud.inter_filesystem_copy(str(p), str(tmp_path / "y.txt"))
+    assert (tmp_path / "y.txt").read_text() == "hi"

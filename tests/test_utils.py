@@ -168,3 +168,79 @@ def test_smooth_flood_fill():
     np.testing.assert_array_equal(out[:, :2, :2], data[:, :2, :2])
     # filled values are near the local field magnitude
     assert abs(out[:, 6:10, 6:10].mean() - 5.0) < 2.0
+
+
+def test_wandb_media_logging(tmp_path):
+    """WandB.log converts media wrappers at log time; DiskMetricLogger
+    skips them (reference: fme/core/wandb.py:96 media types)."""
+    import json
+
+    import numpy as np
+
+    from ace_tpu.core.wandb import (
+        DiskMetricLogger,
+        Histogram,
+        Image,
+        Table,
+        Video,
+        WandB,
+    )
+
+    logged = []
+
+    class _FakeRun:
+        def log(self, data, step=None):
+            logged.append((data, step))
+
+    wb = WandB.get_instance()
+    wb.configure(log_to_wandb=True)
+    wb._run = _FakeRun()
+
+    class _FakeWandbModule:
+        @staticmethod
+        def Image(data, caption=None):
+            return ("image", caption)
+
+        @staticmethod
+        def Video(data, caption=None, format=None, fps=None):
+            return ("video", format or fps)
+
+        @staticmethod
+        def Table(columns, data):
+            return ("table", columns, data)
+
+        @staticmethod
+        def Histogram(sequence=None, np_histogram=None, num_bins=64):
+            return ("hist", num_bins)
+
+    import sys
+
+    had = "wandb" in sys.modules
+    orig = sys.modules.get("wandb")
+    sys.modules["wandb"] = _FakeWandbModule()
+    try:
+        wb.log({
+            "scalar": 1.0,
+            "map": Image(np.zeros((4, 4)), caption="map"),
+            "vid": Video("/tmp/x.gif"),
+            "tbl": Table(["a"], [[1]]),
+            "hist": Histogram(sequence=[1, 2, 3]),
+        }, step=3)
+    finally:
+        if had:
+            sys.modules["wandb"] = orig
+        else:
+            del sys.modules["wandb"]
+    (data, step), = logged
+    assert step == 3
+    assert data["scalar"] == 1.0
+    assert data["map"] == ("image", "map")
+    assert data["vid"] == ("video", "gif")
+    assert data["tbl"] == ("table", ["a"], [[1]])
+    assert data["hist"] == ("hist", 64)
+
+    # DiskMetricLogger writes scalars only
+    disk = DiskMetricLogger(str(tmp_path / "metrics.jsonl"))
+    disk.log({"scalar": 2.0, "map": Image(np.zeros((2, 2)))}, step=1)
+    rec = json.loads((tmp_path / "metrics.jsonl").read_text())
+    assert rec == {"scalar": 2.0, "step": 1}
