@@ -49,8 +49,14 @@ class BatchData:
         return self.time.values.shape[1]
 
     def to_device(self, sharding=None) -> "BatchData":
+        from ace_tpu.parallel.distributed import BatchPlacement
+
         if sharding is None:
             data = {k: jax.device_put(v) for k, v in self.data.items()}
+        elif isinstance(sharding, BatchPlacement):
+            # mesh placement: shards over (data, h, w); multi-process
+            # aware (each process holds only its rows of the batch)
+            data = {k: sharding.put(v) for k, v in self.data.items()}
         else:
             data = {k: jax.device_put(v, sharding) for k, v in self.data.items()}
         return BatchData(data=data, time=self.time, labels=self.labels)
@@ -229,6 +235,11 @@ class DataLoader:
         return self.iter_batches()
 
     def _attach_labels(self, batch: BatchData) -> BatchData:
+        from jax.sharding import PartitionSpec as P
+
+        from ace_tpu.parallel.distributed import BatchPlacement
+        from ace_tpu.parallel.mesh import DATA_AXIS
+
         label_names = _dataset_labels(self.dataset.dataset)
         if not label_names:
             return batch
@@ -237,14 +248,39 @@ class DataLoader:
         onehot = np.zeros((n, len(encoding)), np.float32)
         for name in label_names:
             onehot[:, encoding.index(name)] = 1.0
-        return BatchData(
-            data=batch.data, time=batch.time, labels=jnp.asarray(onehot)
-        )
+        if isinstance(self.sharding, BatchPlacement):
+            # n is the GLOBAL batch (data is already on device); put()
+            # wants this process's local rows, which are identical
+            # one-hot rows here
+            placement = self.sharding
+            n_local = (
+                len(placement.local_rows(n))
+                if placement.multiprocess else n
+            )
+            labels = placement.put(
+                onehot[:n_local], spec=P(DATA_AXIS, None)
+            )
+        else:
+            labels = jnp.asarray(onehot)
+        return BatchData(data=batch.data, time=batch.time, labels=labels)
 
     def iter_batches(self, start_batch: int = 0) -> Iterator[BatchData]:
+        from ace_tpu.parallel.distributed import BatchPlacement
+
         batches = self._index_batches(start_batch)
         if not batches:
             return
+        if (
+            isinstance(self.sharding, BatchPlacement)
+            and self.sharding.multiprocess
+        ):
+            # per-process shard of the global batch: this process reads
+            # only its own rows (the reference's DistributedSampler,
+            # fme/core/distributed/distributed.py:218)
+            placement = self.sharding
+            batches = [
+                idx[placement.local_rows(len(idx))] for idx in batches
+            ]
         out_q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = threading.Event()
 

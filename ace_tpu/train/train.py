@@ -19,11 +19,19 @@ def run_train_from_config(config: TrainConfig):
 
 
 def main(argv=None):
+    from ace_tpu.parallel import distributed as dist
+
+    # connect to the coordination service when launched multi-process
+    # (reference: Distributed.context() at every entry __main__,
+    # fme/core/distributed/distributed.py:67)
+    dist.initialize()
     parser = get_parser()
     args = parser.parse_args(argv)
     data = prepare_config(args.yaml_config, args.override)
     config = from_dict(TrainConfig, data)
-    prepare_directory(config.experiment_dir, data)
+    if dist.is_root():
+        prepare_directory(config.experiment_dir, data)
+    dist.barrier("prepare_directory")
     logging.info("Starting training")
     return run_train_from_config(config)
 

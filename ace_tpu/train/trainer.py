@@ -23,6 +23,8 @@ from ace_tpu.core.wandb import DiskMetricLogger, WandB
 from ace_tpu.data.inference import InferenceDataLoaderConfig
 from ace_tpu.data.loading import DataLoaderConfig, GriddedData
 from ace_tpu.data.requirements import DataRequirements
+from ace_tpu.parallel import distributed as dist
+from ace_tpu.parallel.mesh import MeshConfig
 from ace_tpu.stepper.checkpoint import (
     load_train_checkpoint,
     save_train_checkpoint,
@@ -64,18 +66,22 @@ class LoggingConfig:
         handlers: list[logging.Handler] = []
         if self.log_to_screen:
             handlers.append(logging.StreamHandler())
-        if self.log_to_file:
+        if self.log_to_file and dist.is_root():
             os.makedirs(experiment_dir, exist_ok=True)
             handlers.append(
                 logging.FileHandler(os.path.join(experiment_dir, "out.log"))
             )
         logging.basicConfig(
-            level=logging.INFO,
+            # root process logs INFO; others WARNING only (reference:
+            # fme/core/logging_utils.py root-rank logging)
+            level=logging.INFO if dist.is_root() else logging.WARNING,
             format="%(asctime)s %(levelname)s %(message)s",
             handlers=handlers,
             force=True,
         )
-        WandB.get_instance().configure(self.log_to_wandb)
+        WandB.get_instance().configure(
+            self.log_to_wandb and dist.is_root()
+        )
 
 
 class CheckpointPaths:
@@ -161,6 +167,11 @@ class TrainConfig:
     lr_tuning: "LRTuningConfig" = dataclasses.field(
         default_factory=lambda: LRTuningConfig()
     )
+    # (data, h, w) device mesh for data-parallel + spatial decomposition
+    # (reference: FME_DISTRIBUTED_BACKEND/H/W env config,
+    # fme/core/distributed/model_torch_distributed.py:112). None keeps
+    # the single-device placement; required for multi-process runs.
+    mesh: MeshConfig | None = None
     seed: int = 0
 
     def __post_init__(self):
@@ -188,11 +199,22 @@ class TrainConfig:
             ),
             n_timesteps=self.n_forward_steps + 1,
         )
+        if self.mesh is not None:
+            mesh = self.mesh.build()
+            placement = dist.BatchPlacement(mesh)
+        elif dist.process_count() > 1:
+            raise ValueError(
+                "multi-process training requires an explicit `mesh` "
+                "config (data_parallel/h/w)"
+            )
+        else:
+            mesh = None
+            placement = None
         train_data = self.train_loader.build(
-            requirements, train=True, seed=self.seed
+            requirements, train=True, seed=self.seed, sharding=placement
         )
         valid_data = self.validation_loader.build(
-            requirements, train=False, seed=self.seed
+            requirements, train=False, seed=self.seed, sharding=placement
         )
         dataset_info = train_data.dataset_info
         stepper = self.stepper.get_stepper(dataset_info)
@@ -204,7 +226,10 @@ class TrainConfig:
             max_epochs=self.max_epochs,
             steps_per_epoch=max(1, train_data.n_batches),
         )
-        return Trainer(self, train_stepper, train_data, valid_data)
+        return Trainer(
+            self, train_stepper, train_data, valid_data,
+            mesh=mesh, placement=placement,
+        )
 
 
 class Trainer:
@@ -214,11 +239,15 @@ class Trainer:
         train_stepper: TrainStepper,
         train_data: GriddedData,
         valid_data: GriddedData,
+        mesh=None,
+        placement=None,
     ):
         self.config = config
         self.train_stepper = train_stepper
         self.train_data = train_data
         self.valid_data = valid_data
+        self.mesh = mesh
+        self.placement = placement
         self.paths = CheckpointPaths(config.experiment_dir)
         self.num_batches_seen = 0
         self._epoch_batches_seen = 0
@@ -226,8 +255,11 @@ class Trainer:
         self.start_epoch = 0
         self.best_validation_loss = float("inf")
         self.best_inference_error = float("inf")
-        self._disk_logger = DiskMetricLogger(
-            os.path.join(config.experiment_dir, "metrics.jsonl")
+        self._disk_logger = (
+            DiskMetricLogger(
+                os.path.join(config.experiment_dir, "metrics.jsonl")
+            )
+            if dist.is_root() else None
         )
         self.params = None
         self.opt_state = None
@@ -285,7 +317,7 @@ class Trainer:
         }
 
     def _save_latest(self):
-        if self.params is None:
+        if self.params is None or not dist.is_root():
             return
         stepper = self.stepper
         stepper.params = self.params
@@ -299,6 +331,16 @@ class Trainer:
         )
 
     def train(self):
+        import contextlib
+
+        ctx = (
+            jax.set_mesh(self.mesh) if self.mesh is not None
+            else contextlib.nullcontext()
+        )
+        with ctx:
+            return self._train_impl()
+
+    def _train_impl(self):
         if self.params is None:
             if os.path.exists(self.paths.latest_checkpoint_path):
                 self.restore(self.paths.latest_checkpoint_path)
@@ -309,6 +351,26 @@ class Trainer:
                 resume_path = self.config.optimization.resume_optimizer_ckpt_path
                 if resume_path is not None:
                     self._load_optimizer_running_state(resume_path)
+        if self.placement is not None:
+            # replicate params + optimizer state over the mesh (every
+            # process holds identical values from the shared seed or the
+            # shared checkpoint, so assembling global replicated arrays
+            # is exact; gradients then psum over "data" via SPMD)
+            self.params = jax.tree.map(
+                self.placement.put_replicated, self.params
+            )
+            self.opt_state = jax.tree.map(
+                self.placement.put_replicated, self.opt_state
+            )
+            self.train_stepper.optimization.state = self.opt_state
+            if (
+                self.train_stepper.ema is not None
+                and self.train_stepper.ema.ema_params is not None
+            ):
+                self.train_stepper.ema.ema_params = jax.tree.map(
+                    self.placement.put_replicated,
+                    self.train_stepper.ema.ema_params,
+                )
         # record this job in the stepper's provenance chain (reference:
         # generics/trainer.py:293 update_training_history)
         from ace_tpu.core.training_history import TrainingJob
@@ -396,7 +458,10 @@ class Trainer:
                 "epoch": epoch,
                 "lr": self.train_stepper.optimization.learning_rate,
             }
-            self._disk_logger.log(all_metrics, step=self.num_batches_seen)
+            if self._disk_logger is not None:
+                self._disk_logger.log(
+                    all_metrics, step=self.num_batches_seen
+                )
             WandB.get_instance().log(all_metrics, step=self.num_batches_seen)
             logging.info(
                 f"Epoch {epoch}: train loss {train_metrics['loss']:.5f}, "
@@ -409,13 +474,14 @@ class Trainer:
                 err = inference_metrics.get("inference_error")
                 if err is not None and err < self.best_inference_error:
                     self.best_inference_error = err
-                    stepper = self.stepper
-                    stepper.params = self._validation_params()
-                    save_train_checkpoint(
-                        self.paths.best_inference_checkpoint_path,
-                        stepper, self.config.stepper,
-                    )
-                    stepper.params = self.params
+                    if dist.is_root():
+                        stepper = self.stepper
+                        stepper.params = self._validation_params()
+                        save_train_checkpoint(
+                            self.paths.best_inference_checkpoint_path,
+                            stepper, self.config.stepper,
+                        )
+                        stepper.params = self.params
         self._restore_signal_handlers()
         return self.params
 
@@ -627,6 +693,12 @@ class Trainer:
 
     def save_all_checkpoints(self, epoch: int, valid_loss: float):
         self._epoch_batches_seen = 0  # the epoch is complete
+        if not dist.is_root():
+            # non-root processes still track best-so-far for consistency
+            self.best_validation_loss = min(
+                self.best_validation_loss, valid_loss
+            )
+            return
         extra = self._checkpoint_extra(epoch + 1)
         extra["best_validation_loss"] = min(
             self.best_validation_loss, valid_loss
