@@ -211,13 +211,34 @@ class SpectralConvS2(nn.Module):
                 jnp.float32,
             )
             wr, wi = w[..., 0], w[..., 1]
-        if use_pair:
+        # distributed (spatially-parallel) transforms keep the spectral
+        # tensor padded to mesh multiples and sharded over (h, w): skip
+        # the mode slice (padded rows are exactly zero) and zero-pad the
+        # filter weights to match instead (slicing would re-shard)
+        is_dist = hasattr(self.forward_transform, "l_padded")
+        if is_dist:
+            xr, xi = xr_full, xi_full
+            l_extra = self.forward_transform.l_padded - modes_lat
+            m_extra = self.forward_transform.m_padded - modes_lon
+        elif use_pair:
             xr = xr_full[..., : modes_lat, : modes_lon, :]
             xi = xi_full[..., : modes_lat, : modes_lon, :]
         else:
             xr = jnp.real(coeffs)[..., : modes_lat, : modes_lon, :]
             xi = jnp.imag(coeffs)[..., : modes_lat, : modes_lon, :]
 
+        if is_dist and (l_extra or m_extra):
+            # weight axes are (..., l) for dhconv, (..., l, m) for
+            # diagonal — logical shapes stay checkpoint-stable; only the
+            # in-graph operand is padded
+            if self.operator_type == "dhconv":
+                wpad = [(0, 0)] * (wr.ndim - 1) + [(0, l_extra)]
+            else:
+                wpad = [(0, 0)] * (wr.ndim - 2) + [
+                    (0, l_extra), (0, m_extra)
+                ]
+            wr = jnp.pad(wr, wpad)
+            wi = jnp.pad(wi, wpad)
         if self.operator_type == "dhconv":
             eq = "...lmi,iol->...lmo" if not self.separable else "...lmi,il->...lmi"
         else:
@@ -256,6 +277,10 @@ class SpectralConvS2(nn.Module):
                 "lora_b", nn.initializers.zeros,
                 (r, c_out, modes_lat, 2), jnp.float32,
             )
+            if is_dist and l_extra:
+                lpad = ((0, 0), (0, 0), (0, l_extra), (0, 0))
+                la = jnp.pad(la, lpad)
+                lb = jnp.pad(lb, lpad)
             eq_l = "...lmi,irl->...lmr"
             ein_a = functools.partial(
                 jnp.einsum, eq_l, precision=prec,
@@ -450,14 +475,51 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             self.trans = RealFFT2(self.h, self.w, **kw)
             self.itrans = InverseRealFFT2(self.h, self.w, **kw)
         elif self.spectral_transform == "sht":
-            self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
-            self.itrans_up = InverseRealSHT(
-                nlat, nlon, grid=self.data_grid, **kw
-            )
-            self.trans = RealSHT(self.h, self.w, grid="legendre-gauss", **kw)
-            self.itrans = InverseRealSHT(
-                self.h, self.w, grid="legendre-gauss", **kw
-            )
+            from ace_tpu.parallel.mesh import get_spatial_mesh
+
+            mesh = get_spatial_mesh()
+            if mesh is not None:
+                # spatial model parallelism: explicit all-to-all SHT
+                # (reference: thd.DistributedRealSHT swapped in by
+                # model_torch_distributed.py:454-465)
+                from ace_tpu.ops.distributed_sht import (
+                    DistributedInverseRealSHT,
+                    DistributedRealSHT,
+                )
+
+                self.trans_down = DistributedRealSHT(
+                    mesh, nlat, nlon, grid=self.data_grid,
+                    lmax=kw["lmax"], mmax=kw["mmax"],
+                    precision=kw["precision"],
+                )
+                self.itrans_up = DistributedInverseRealSHT(
+                    mesh, nlat, nlon, grid=self.data_grid,
+                    lmax=kw["lmax"], mmax=kw["mmax"],
+                    precision=kw["precision"],
+                )
+                self.trans = DistributedRealSHT(
+                    mesh, self.h, self.w, grid="legendre-gauss",
+                    lmax=kw["lmax"], mmax=kw["mmax"],
+                    precision=kw["precision"],
+                )
+                self.itrans = DistributedInverseRealSHT(
+                    mesh, self.h, self.w, grid="legendre-gauss",
+                    lmax=kw["lmax"], mmax=kw["mmax"],
+                    precision=kw["precision"],
+                )
+            else:
+                self.trans_down = RealSHT(
+                    nlat, nlon, grid=self.data_grid, **kw
+                )
+                self.itrans_up = InverseRealSHT(
+                    nlat, nlon, grid=self.data_grid, **kw
+                )
+                self.trans = RealSHT(
+                    self.h, self.w, grid="legendre-gauss", **kw
+                )
+                self.itrans = InverseRealSHT(
+                    self.h, self.w, grid="legendre-gauss", **kw
+                )
         else:
             raise ValueError(
                 f"unknown spectral_transform {self.spectral_transform!r}"
@@ -539,8 +601,12 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             imag = jnp.pad(
                 cc * cmask, ((0, 0), (0, 0), (1, 0), (0, 0))
             )
-            coeffs = (rc * rmask) + 1j * imag
-            pe = self.itrans_up(coeffs)
+            if hasattr(self.itrans_up, "l_padded"):
+                # distributed inverse takes a (real, imag) pair
+                pe = self.itrans_up(rc * rmask, imag)
+            else:
+                coeffs = (rc * rmask) + 1j * imag
+                pe = self.itrans_up(coeffs)
             h = h + pe.astype(h.dtype)
         elif pos_embed_type != "none":
             raise ValueError(

@@ -1,0 +1,266 @@
+"""Distributed real SHT with explicit all-to-all transposes.
+
+The spatial-parallel SHT (reference: torch_harmonics.distributed
+DistributedRealSHT / DistributedInverseRealSHT, used at
+fme/core/distributed/model_torch_distributed.py:454-465). Inputs are
+sharded over the (h: lat, w: lon) mesh axes; the transform runs inside
+``shard_map`` with ``jax.lax.all_to_all`` transposes that trade the
+channel axis against a spatial/spectral axis — so compute AND memory
+stay sharded everywhere:
+
+    grid  [B, lat/h, lon/w, C]
+      --a2a(w: C->lon)-->    [B, lat/h, lon, C/w]     (full lon locally)
+      --DFT matmul-->        [B, lat/h, M, C/w]
+      --a2a(w: M->C)-->      [B, lat/h, M/w, C]       (m sharded over w)
+      --a2a(h: C->lat)-->    [B, lat, M/w, C/h]       (full lat locally)
+      --Legendre matmul-->   [B, L, M/w, C/h]
+      --a2a(h: L->C)-->      [B, L/h, M/w, C]         (l sharded over h)
+
+(the inverse mirrors this). Communication per transform is four
+all-to-alls of ~(tensor size / P) — unlike the XLA SPMD partitioning of
+the plain einsum, which all-reduces the FULL spectral tensor and leaves
+it replicated on every device (measured: 36 all-reduce, 0 all-to-all in
+the compiled SFNO forward; see tests/test_distributed_sht.py).
+
+Spectral filters that are diagonal in (l, m) — the SFNO "diagonal" and
+"dhconv" operator types — apply locally on the [L/h, M/w, C] shard with
+full channels, exactly like the reference's spatially-parallel SFNO.
+
+Uneven splits (e.g. 180 lat over h=8, reference
+thd.compute_split_shapes, model_torch_distributed.py:200-267) are
+handled by zero-padding lat/lon/l/m to mesh multiples: the padded
+Legendre/DFT matrix rows are identically zero, so padded cells
+contribute nothing and padded spectral rows are exactly zero.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import PartitionSpec as P
+
+from ace_tpu.parallel.mesh import DATA_AXIS, H_AXIS, W_AXIS
+
+
+def _pad_to(n: int, mult: int) -> int:
+    return (mult - n % mult) % mult
+
+
+class DistributedRealSHT:
+    """Forward SHT over a (data, h, w) mesh; channels-last only.
+
+    __call__ takes a global [B, nlat, nlon, C] array sharded
+    P(data, h, w, None) and returns (real, imag) float32 coefficient
+    arrays of global shape [B, L_pad, M_pad, C], sharded
+    P(data, h, w, None), where rows beyond (lmax, mmax) are zero.
+    Use ``.lmax``/``.mmax`` (logical) and ``.l_padded``/``.m_padded``.
+    """
+
+    def __init__(self, mesh, nlat, nlon, lmax=None, mmax=None,
+                 grid="legendre-gauss", norm="ortho", csphase=True,
+                 precision=jax.lax.Precision.HIGH):
+        self.mesh = mesh
+        self.ph = int(mesh.shape[H_AXIS])
+        self.pw = int(mesh.shape[W_AXIS])
+        self.precision = precision
+        # pure-numpy precompute (this runs inside flax setup, i.e. under
+        # a jit trace — jnp intermediates would become tracers)
+        from ace_tpu.ops.legendre import precompute_legpoly
+        from ace_tpu.ops.sht import _dft_matrices, quadrature_for_grid
+
+        cost, wq, default_lmax = quadrature_for_grid(grid, nlat)
+        self.nlat, self.nlon, self.grid = nlat, nlon, grid
+        self.lmax = lmax or default_lmax
+        self.mmax = mmax or nlon // 2 + 1
+        tq = np.flip(np.arccos(cost))
+        pct = precompute_legpoly(self.mmax, self.lmax, tq, norm=norm,
+                                 csphase=csphase)
+        weights_np = (pct * wq[None, None, :]).astype(np.float32)
+        fc_np, fs_np, _, _ = _dft_matrices(nlon, self.mmax)
+        self.k_padded = nlat + _pad_to(nlat, self.ph)
+        self.j_padded = nlon + _pad_to(nlon, self.pw)
+        self.l_padded = self.lmax + _pad_to(self.lmax, self.ph)
+        self.m_padded = self.mmax + _pad_to(self.mmax, self.pw)
+        fc = np.zeros((self.j_padded, self.m_padded), np.float32)
+        fs = np.zeros_like(fc)
+        fc[:nlon, : self.mmax] = fc_np
+        fs[:nlon, : self.mmax] = fs_np
+        w = np.zeros((self.m_padded, self.l_padded, self.k_padded),
+                     np.float32)
+        w[: self.mmax, : self.lmax, :nlat] = weights_np
+        self._fc = jnp.asarray(fc)
+        self._fs = jnp.asarray(fs)
+        self._weights = jnp.asarray(w)  # [M_pad, L_pad, K_pad]
+        self.n_data = int(mesh.shape[DATA_AXIS])
+        self._mapped = self._build(batch_sharded=True)
+        # batches not divisible by the data axis (e.g. flax init's
+        # batch-1 dummy) run with the batch replicated per data slice
+        self._mapped_whole_batch = self._build(batch_sharded=False)
+
+    def _build(self, batch_sharded: bool = True):
+        prec = self.precision
+        def fwd(x, fc, fs, w_mblock):
+            # block shapes: x [b, k/ph, j/pw, c]; w_mblock [M/pw, L, K]
+            x = x.astype(jnp.float32)
+            x = jax.lax.all_to_all(
+                x, W_AXIS, split_axis=3, concat_axis=2, tiled=True
+            )  # [b, k/ph, J, c/pw]
+            xr = jnp.einsum("bkjc,jm->bkmc", x, fc, precision=prec,
+                            preferred_element_type=jnp.float32)
+            xi = jnp.einsum("bkjc,jm->bkmc", x, fs, precision=prec,
+                            preferred_element_type=jnp.float32)
+            # stack real/imag on the batch axis: a2a never touches it,
+            # so ordering through the transposes is trivially stable
+            z = jnp.concatenate([xr, xi], axis=0)  # [2b, k/ph, M, c/pw]
+            z = jax.lax.all_to_all(
+                z, W_AXIS, split_axis=2, concat_axis=3, tiled=True
+            )  # [2b, k/ph, M/pw, c]
+            z = jax.lax.all_to_all(
+                z, H_AXIS, split_axis=3, concat_axis=1, tiled=True
+            )  # [2b, K, M/pw, c/ph]
+            z = jnp.einsum("bkmc,mlk->blmc", z, w_mblock, precision=prec,
+                           preferred_element_type=jnp.float32)
+            z = jax.lax.all_to_all(
+                z, H_AXIS, split_axis=1, concat_axis=3, tiled=True
+            )  # [2b, L/ph, M/pw, c]
+            cr, ci = jnp.split(z, 2, axis=0)
+            return cr, ci
+
+        spec = P(DATA_AXIS if batch_sharded else None,
+                 H_AXIS, W_AXIS, None)
+        return jax.shard_map(
+            fwd, mesh=self.mesh,
+            in_specs=(spec, P(), P(), P(W_AXIS, None, None)),
+            out_specs=(spec, spec),
+        )
+
+    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        b, k0, j0, c0 = x.shape
+        cpad = _pad_to(c0, self.ph * self.pw)
+        pads = (
+            (0, 0),
+            (0, self.k_padded - k0),
+            (0, self.j_padded - j0),
+            (0, cpad),
+        )
+        if any(p != (0, 0) for p in pads):
+            x = jnp.pad(x, pads)
+        mapped = (
+            self._mapped if b % self.n_data == 0
+            else self._mapped_whole_batch
+        )
+        cr, ci = mapped(x, self._fc, self._fs, self._weights)
+        if cpad:
+            cr = cr[..., :c0]
+            ci = ci[..., :c0]
+        return cr, ci
+
+    # pair-API alias so SpectralConvS2's no-complex hot path applies
+    # (see ace_tpu/models/sfno.py use_pair)
+    forward_pair = __call__
+
+
+class DistributedInverseRealSHT:
+    """Inverse of DistributedRealSHT: (real, imag) [B, L_pad, M_pad, C]
+    sharded P(data, h, w, None) -> grid [B, nlat, nlon, C]."""
+
+    def __init__(self, mesh, nlat, nlon, lmax=None, mmax=None,
+                 grid="legendre-gauss", norm="ortho", csphase=True,
+                 precision=jax.lax.Precision.HIGH):
+        self.mesh = mesh
+        self.ph = int(mesh.shape[H_AXIS])
+        self.pw = int(mesh.shape[W_AXIS])
+        self.precision = precision
+        from ace_tpu.ops.legendre import precompute_legpoly
+        from ace_tpu.ops.sht import _dft_matrices, quadrature_for_grid
+
+        cost, _, default_lmax = quadrature_for_grid(grid, nlat)
+        self.nlat, self.nlon, self.grid = nlat, nlon, grid
+        self.lmax = lmax or default_lmax
+        self.mmax = mmax or nlon // 2 + 1
+        t = np.flip(np.arccos(cost))
+        pct_np = precompute_legpoly(
+            self.mmax, self.lmax, t, norm=norm, inverse=True,
+            csphase=csphase,
+        ).astype(np.float32)
+        _, _, ic_np, is_np = _dft_matrices(nlon, self.mmax)
+        self.k_padded = nlat + _pad_to(nlat, self.ph)
+        self.j_padded = nlon + _pad_to(nlon, self.pw)
+        self.l_padded = self.lmax + _pad_to(self.lmax, self.ph)
+        self.m_padded = self.mmax + _pad_to(self.mmax, self.pw)
+        ic = np.zeros((self.m_padded, self.j_padded), np.float32)
+        isin = np.zeros_like(ic)
+        ic[: self.mmax, : self.nlon] = ic_np
+        isin[: self.mmax, : self.nlon] = is_np
+        pct = np.zeros((self.m_padded, self.l_padded, self.k_padded),
+                       np.float32)
+        pct[: self.mmax, : self.lmax, :nlat] = pct_np
+        self._ic = jnp.asarray(ic)
+        self._is = jnp.asarray(isin)
+        self._pct = jnp.asarray(pct)
+        self.n_data = int(mesh.shape[DATA_AXIS])
+        self._mapped = self._build(batch_sharded=True)
+        self._mapped_whole_batch = self._build(batch_sharded=False)
+
+    def _build(self, batch_sharded: bool = True):
+        prec = self.precision
+        def inv(cr, ci, ic, isin, pct_mblock):
+            z = jnp.concatenate(
+                [cr.astype(jnp.float32), ci.astype(jnp.float32)], axis=0
+            )  # [2b, L/ph, M/pw, c]
+            z = jax.lax.all_to_all(
+                z, H_AXIS, split_axis=3, concat_axis=1, tiled=True
+            )  # [2b, L, M/pw, c/ph]
+            z = jnp.einsum("blmc,mlk->bkmc", z, pct_mblock, precision=prec,
+                           preferred_element_type=jnp.float32)
+            z = jax.lax.all_to_all(
+                z, H_AXIS, split_axis=1, concat_axis=3, tiled=True
+            )  # [2b, K/ph, M/pw, c]
+            z = jax.lax.all_to_all(
+                z, W_AXIS, split_axis=3, concat_axis=2, tiled=True
+            )  # [2b, K/ph, M, c/pw]
+            xr, xi = jnp.split(z, 2, axis=0)
+            out = jnp.einsum("bkmc,mj->bkjc", xr, ic, precision=prec,
+                             preferred_element_type=jnp.float32)
+            out = out + jnp.einsum("bkmc,mj->bkjc", xi, isin,
+                                   precision=prec,
+                                   preferred_element_type=jnp.float32)
+            out = jax.lax.all_to_all(
+                out, W_AXIS, split_axis=2, concat_axis=3, tiled=True
+            )  # [b, K/ph, J/pw, c]
+            return out
+
+        spec = P(DATA_AXIS if batch_sharded else None,
+                 H_AXIS, W_AXIS, None)
+        return jax.shard_map(
+            inv, mesh=self.mesh,
+            in_specs=(spec, spec, P(), P(), P(W_AXIS, None, None)),
+            out_specs=spec,
+        )
+
+    def __call__(self, cr: jax.Array, ci: jax.Array) -> jax.Array:
+        b, l0, m0, c0 = cr.shape
+        cpad = _pad_to(c0, self.ph * self.pw)
+        pads = (
+            (0, 0),
+            (0, self.l_padded - l0),
+            (0, self.m_padded - m0),
+            (0, cpad),
+        )
+        if any(p != (0, 0) for p in pads):
+            cr = jnp.pad(cr, pads)
+            ci = jnp.pad(ci, pads)
+        mapped = (
+            self._mapped if b % self.n_data == 0
+            else self._mapped_whole_batch
+        )
+        out = mapped(cr, ci, self._ic, self._is, self._pct)
+        if (
+            cpad
+            or self.k_padded != self.nlat
+            or self.j_padded != self.nlon
+        ):
+            out = out[:, : self.nlat, : self.nlon, :c0]
+        return out
+
+    # pair-API alias (see ace_tpu/models/sfno.py use_pair)
+    inverse_pair = __call__

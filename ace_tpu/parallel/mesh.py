@@ -91,3 +91,35 @@ def replicated(mesh: Mesh) -> NamedSharding:
 def use_mesh(mesh: Mesh):
     with jax.set_mesh(mesh):
         yield mesh
+
+
+_SPATIAL_MESH: Mesh | None = None
+
+
+@contextmanager
+def spatial_parallel(mesh: Mesh | None):
+    """Declare the active (data, h, w) mesh for spatial model
+    parallelism. While active (and the mesh has h*w > 1), SFNO models
+    build the explicit all-to-all distributed SHT
+    (ace_tpu/ops/distributed_sht.py) instead of the plain einsum —
+    the reference's thd.init(h_group, w_group) moment
+    (fme/core/distributed/model_torch_distributed.py:157).
+    """
+    global _SPATIAL_MESH
+    old = _SPATIAL_MESH
+    _SPATIAL_MESH = mesh
+    try:
+        yield mesh
+    finally:
+        _SPATIAL_MESH = old
+
+
+def get_spatial_mesh() -> Mesh | None:
+    """The mesh declared via ``spatial_parallel``, if it actually
+    decomposes space (h*w > 1); else None."""
+    mesh = _SPATIAL_MESH
+    if mesh is None:
+        return None
+    if int(mesh.shape[H_AXIS]) * int(mesh.shape[W_AXIS]) == 1:
+        return None
+    return mesh

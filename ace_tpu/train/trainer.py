@@ -333,11 +333,15 @@ class Trainer:
     def train(self):
         import contextlib
 
-        ctx = (
-            jax.set_mesh(self.mesh) if self.mesh is not None
-            else contextlib.nullcontext()
-        )
-        with ctx:
+        from ace_tpu.parallel.mesh import spatial_parallel
+
+        with contextlib.ExitStack() as stack:
+            if self.mesh is not None:
+                stack.enter_context(jax.set_mesh(self.mesh))
+                # h*w > 1 switches SFNO to the all-to-all distributed
+                # SHT (ops/distributed_sht.py); spatial_parallel is a
+                # no-op for purely data-parallel meshes
+                stack.enter_context(spatial_parallel(self.mesh))
             return self._train_impl()
 
     def _train_impl(self):

@@ -1,13 +1,21 @@
-"""Headline benchmark: ACE2-scale SFNO autoregressive rollout throughput
-on one chip (north star: BASELINE.json — rollout steps/sec/chip at 1°).
+"""Headline benchmark: ACE2-ERA5 flagship throughput on one chip.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", ...}.
+North star (BASELINE.json): rollout steps/sec/chip at 1° ACE2. The
+benchmarked model is the FLAGSHIP config — NoiseConditionedSFNO
+embed_dim=512 / 8 layers on the 1° Gaussian grid, the same architecture
+the reference trains in
+configs/baselines/era5/ace-train-config-1-step-pretrain.yaml:95-109 and
+this repo's configs/ace2-era5-train.yaml — through the full production
+stepper pipeline (normalize -> pack -> net -> unpack -> denormalize ->
+ocean overwrite -> correctors) rolled out with lax.scan.
 
-The benchmarked path is the full production stepper pipeline (normalize ->
-pack -> SFNO forward -> unpack -> denormalize -> dry-air corrector) rolled
-out with lax.scan, bfloat16 compute / fp32 transforms, batch 1, on the 1°
-Gaussian grid with ACE2-ERA5 channel counts (reference scale:
-configs/baselines/era5/ace-train-config-1-step-pretrain.yaml).
+Also measured (extra JSON fields):
+- a CRPS training step (n_ensemble=2, EnsembleLoss crps 0.9 / energy
+  0.1, fwd+bwd+optimizer), reporting samples/s and model FLOP
+  utilization (reference counters: fme/core/generics/trainer.py:583-585)
+- the round-1 SFNO-256 rollout config for continuity with BENCH_r01
+
+Prints ONE JSON line.
 """
 
 import json
@@ -16,90 +24,122 @@ from datetime import timedelta
 
 import numpy as np
 
+NLAT, NLON, NZ = 180, 360, 8  # noqa: module-level, overridden by --smoke
 
-def main():
-    import jax
-    import jax.numpy as jnp
 
-    from ace_tpu.core.config import from_dict, to_dict
+def _names():
+    prognostic = (
+        [f"air_temperature_{k}" for k in range(NZ)]
+        + [f"specific_total_water_{k}" for k in range(NZ)]
+        + [f"eastward_wind_{k}" for k in range(NZ)]
+        + [f"northward_wind_{k}" for k in range(NZ)]
+        + ["PRESsfc", "surface_temperature", "h500"]
+    )
+    diagnostics = ["LHTFLsfc", "SHTFLsfc", "PRATEsfc", "ULWRFsfc",
+                   "ULWRFtoa", "DLWRFsfc", "DSWRFsfc", "USWRFsfc",
+                   "USWRFtoa"]
+    forcings = ["DSWRFtoa", "HGTsfc", "ocean_fraction"]
+    return prognostic, diagnostics, forcings
+
+
+def _dataset_info():
     from ace_tpu.core.coordinates import (
         HybridSigmaPressureCoordinate,
         LatLonCoordinates,
         gaussian_latitudes,
     )
     from ace_tpu.core.dataset_info import DatasetInfo
-    from ace_tpu.core.step.base import StepSelector
-    from ace_tpu.core.step.single_module import SingleModuleStepConfig
-    from ace_tpu.stepper.stepper import PrognosticState, StepperConfig
 
-    nlat, nlon, nz = 180, 360, 8
-    n_steps = 20
-    batch = 1
-
-    # ACE2-ERA5-like variable set: 8-level T/q/u/v + surface/flux fields
-    prognostic = (
-        [f"air_temperature_{k}" for k in range(nz)]
-        + [f"specific_total_water_{k}" for k in range(nz)]
-        + [f"eastward_wind_{k}" for k in range(nz)]
-        + [f"northward_wind_{k}" for k in range(nz)]
-        + ["PRESsfc", "surface_temperature"]
-    )
-    diagnostics = ["LHTFLsfc", "SHTFLsfc", "PRATEsfc", "ULWRFsfc",
-                   "ULWRFtoa", "DLWRFsfc", "DSWRFsfc", "USWRFsfc", "USWRFtoa"]
-    forcings = ["DSWRFtoa", "HGTsfc", "ocean_fraction"]
-    in_names = prognostic + forcings
-    out_names = prognostic + diagnostics
-    all_names = sorted(set(in_names) | set(out_names))
-
-    info = DatasetInfo(
+    return DatasetInfo(
         horizontal_coordinates=LatLonCoordinates(
-            lat=gaussian_latitudes(nlat),
-            lon=np.linspace(0, 360, nlon, endpoint=False),
+            lat=gaussian_latitudes(NLAT),
+            lon=np.linspace(0, 360, NLON, endpoint=False),
         ),
         vertical_coordinate=HybridSigmaPressureCoordinate(
-            ak=np.concatenate([np.linspace(100.0, 5000.0, nz // 2),
-                               np.linspace(5000.0, 0.0, nz // 2 + 1)]),
-            bk=np.linspace(0.0, 1.0, nz + 1),
+            ak=np.concatenate([np.linspace(100.0, 5000.0, NZ // 2),
+                               np.linspace(5000.0, 0.0, NZ // 2 + 1)]),
+            bk=np.linspace(0.0, 1.0, NZ + 1),
         ),
         timestep=timedelta(hours=6),
     )
+
+
+def _stepper(builder: dict):
+    from ace_tpu.core.config import from_dict, to_dict
+    from ace_tpu.core.step.base import StepSelector
+    from ace_tpu.core.step.single_module import SingleModuleStepConfig
+    from ace_tpu.stepper.stepper import StepperConfig
+
+    prognostic, diagnostics, forcings = _names()
+    in_names = prognostic + forcings
+    out_names = prognostic + diagnostics
+    all_names = sorted(set(in_names) | set(out_names))
     step_cfg = from_dict(SingleModuleStepConfig, dict(
-        builder={"type": "SphericalFourierNeuralOperatorNet", "config": {
-            "embed_dim": 256, "num_layers": 8, "operator_type": "dhconv",
-            "scale_factor": 1, "compute_dtype": "bfloat16",
-        }},
+        builder=builder,
         in_names=in_names,
         out_names=out_names,
         normalization={"network": {
             "means": {n: 0.0 for n in all_names},
             "stds": {n: 1.0 for n in all_names},
         }},
+        ocean={"surface_temperature_name": "surface_temperature",
+               "ocean_fraction_name": "ocean_fraction"},
         corrector={"conserve_dry_air": True},
     ))
-    stepper = StepperConfig(
+    return StepperConfig(
         step=StepSelector(type="single_module", config=to_dict(step_cfg))
-    ).get_stepper(info)
-    params = stepper.init_params(jax.random.PRNGKey(0))
+    ).get_stepper(_dataset_info())
 
+
+def _synthetic(batch, n_steps, forcing_names=None):
+    import jax.numpy as jnp
+
+    prognostic, _, forcings = _names()
+    forcing_names = sorted(set(forcing_names or forcings))
     rng = np.random.RandomState(0)
 
     def field(shape):
         return jnp.asarray(rng.randn(*shape), jnp.float32)
 
-    ic = PrognosticState(
-        data={k: field((batch, 1, nlat, nlon)) for k in prognostic}
-    )
-    ic_phys = dict(ic.data)
-    ic_phys["PRESsfc"] = ic_phys["PRESsfc"] * 100 + 1.0e5
-    for k in ic_phys:
+    ic = {k: field((batch, 1, NLAT, NLON)) for k in prognostic}
+    ic["PRESsfc"] = ic["PRESsfc"] * 100 + 1.0e5
+    for k in ic:
         if k.startswith("specific_total_water"):
-            ic_phys[k] = jnp.abs(ic_phys[k]) * 1e-3
-    ic = PrognosticState(data=ic_phys)
+            ic[k] = jnp.abs(ic[k]) * 1e-3
     forcing = {
-        k: field((batch, n_steps + 1, nlat, nlon)) for k in forcings
+        k: field((batch, n_steps + 1, NLAT, NLON))
+        for k in forcing_names
     }
+    if "ocean_fraction" in forcing:
+        forcing["ocean_fraction"] = jnp.clip(
+            jnp.abs(forcing["ocean_fraction"]), 0, 1
+        )
+    return ic, forcing
 
-    ic2 = stepper.get_initial_state(ic)
+
+def _device_peak_flops(device) -> float | None:
+    """bf16 peak for MFU accounting; None when unknown."""
+    kind = getattr(device, "device_kind", "").lower()
+    # TPU v5 lite (v5e): 197 TFLOP/s bf16; v5p: 459; v4: 275; v6e: 918
+    for key, peak in (("v5 lite", 197e12), ("v5litepod", 197e12),
+                      ("v5p", 459e12), ("v6 lite", 918e12),
+                      ("v6e", 918e12), ("v4", 275e12)):
+        if key in kind:
+            return peak
+    return None
+
+
+def _bench_rollout(stepper, batch, n_steps, n_repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from ace_tpu.stepper.stepper import PrognosticState
+
+    params = stepper.init_params(jax.random.PRNGKey(0))
+    ic, forcing = _synthetic(
+        batch, n_steps, forcing_names=stepper.forcing_window_names
+    )
+    state = stepper.get_initial_state(PrognosticState(data=ic))
 
     @jax.jit
     def rollout(params, ic_data, forcing, st):
@@ -111,34 +151,163 @@ def main():
         # tunnels)
         return jnp.mean(outputs["PRESsfc"][:, -1])
 
-    # warmup/compile
     t0 = time.time()
-    float(rollout(params, ic2.data, forcing, ic2.stepper_state))
-    compile_time = time.time() - t0
-
-    n_repeats = 3
+    float(rollout(params, state.data, forcing, state.stepper_state))
+    compile_s = time.time() - t0
     t0 = time.time()
     for _ in range(n_repeats):
-        float(rollout(params, ic2.data, forcing, ic2.stepper_state))
+        float(rollout(params, state.data, forcing, state.stepper_state))
     elapsed = time.time() - t0
     steps_per_sec = n_steps * n_repeats / elapsed
-    # 6h steps -> simulated years per wall-clock day
-    sim_years_per_day = steps_per_sec * 86400 * (6 * 3600) / (
-        365.25 * 86400
-    ) / 86400 * 86400  # = steps_per_sec * 6h / 1yr * 86400
-    sim_years_per_day = steps_per_sec * (6 * 3600.0) / (365.25 * 86400.0) * 86400.0
+    # model FLOPs from the compiled program, once per rollout
+    try:
+        cost = rollout.lower(
+            params, state.data, forcing, state.stepper_state
+        ).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    return steps_per_sec, compile_s, flops
 
+
+def _bench_train_step(stepper, batch, n_repeats=5):
+    """CRPS (n_ensemble=2) training step: fwd + bwd + optimizer update
+    (the flagship pretraining recipe, ace-train-config-1-step-pretrain
+    .yaml + this repo's configs/ace2-era5-train.yaml)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ace_tpu.core.config import from_dict
+    from ace_tpu.core.loss import StepLossConfig
+    from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
+    from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
+
+    prognostic, diagnostics, forcings = _names()
+    ts = TrainStepper(
+        stepper,
+        StepperTrainConfig(
+            n_forward_steps=1,
+            n_ensemble=2,
+            loss=from_dict(StepLossConfig, {
+                "type": "EnsembleLoss",
+                "kwargs": {"crps_weight": 0.9,
+                           "energy_score_weight": 0.1},
+            }),
+        ),
+        OptimizationConfig(lr=1e-4, optimizer_type="AdamW",
+                           max_grad_norm=1.0),
+        EMAConfig(),
+    )
+    params, opt_state = ts.init(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(1)
+    all_names = sorted(set(prognostic + diagnostics + forcings))
+    batch_data = {}
+    for k in all_names:
+        arr = jnp.asarray(
+            rng.randn(batch, 2, NLAT, NLON), jnp.float32
+        )
+        if k == "PRESsfc":
+            arr = arr * 100 + 1.0e5
+        if k.startswith("specific_total_water"):
+            arr = jnp.abs(arr) * 1e-3
+        if k == "ocean_fraction":
+            arr = jnp.clip(jnp.abs(arr), 0, 1)
+        batch_data[k] = arr
+    train_step = ts.build_train_step(donate=False)
+
+    def run(params, opt_state):
+        new_params, new_opt, metrics = train_step(
+            params, opt_state, batch_data, jax.random.PRNGKey(2)
+        )
+        return new_params, new_opt, float(metrics["loss"])
+
+    t0 = time.time()
+    params, opt_state, _ = run(params, opt_state)
+    compile_s = time.time() - t0
+    t0 = time.time()
+    for _ in range(n_repeats):
+        params, opt_state, _ = run(params, opt_state)
+    elapsed = time.time() - t0
+    sps = batch * n_repeats / elapsed
+    try:
+        cost = jax.jit(
+            lambda p, o: train_step(p, o, batch_data,
+                                    jax.random.PRNGKey(2))
+        ).lower(params, opt_state).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
+    return sps, elapsed / n_repeats, compile_s, flops
+
+
+def main(smoke: bool = False):
+    import jax
+
+    device = jax.devices()[0]
+    peak = _device_peak_flops(device)
+
+    global NLAT, NLON
+    embed, layers = 512, 8
+    if smoke:  # tiny shapes to validate the bench code path quickly
+        NLAT, NLON, embed, layers = 16, 32, 16, 2
+
+    flagship_builder = {"type": "NoiseConditionedSFNO", "config": {
+        "embed_dim": embed, "noise_embed_dim": 32,
+        "noise_type": "isotropic", "filter_type": "linear",
+        "use_mlp": True, "num_layers": layers, "operator_type": "dhconv",
+        "separable": False, "spectral_layers": 3,
+        "spectral_transform": "sht", "affine_norms": True,
+        "normalize_big_skip": True, "compute_dtype": "bfloat16",
+    }}
+    sfno256_builder = {"type": "SphericalFourierNeuralOperatorNet",
+                       "config": {
+                           "embed_dim": 256, "num_layers": 8,
+                           "operator_type": "dhconv", "scale_factor": 1,
+                           "compute_dtype": "bfloat16",
+                       }}
+
+    n_steps = 20
+    flagship = _stepper(flagship_builder)
+    fl_steps, fl_compile, fl_flops = _bench_rollout(flagship, 1, n_steps)
+    fl_mfu = (
+        round(fl_steps * fl_flops / n_steps / peak, 4)
+        if (peak and fl_flops) else None
+    )
+
+    tr_sps, tr_step_s, tr_compile, tr_flops = _bench_train_step(
+        flagship, batch=2
+    )
+    tr_mfu = (
+        round(tr_flops / tr_step_s / peak, 4)
+        if (peak and tr_flops) else None
+    )
+
+    sfno256 = _stepper(sfno256_builder)
+    s256_steps, s256_compile, s256_flops = _bench_rollout(
+        sfno256, 1, n_steps
+    )
+
+    sim_years_per_day = fl_steps * (6 * 3600.0) / (365.25 * 86400.0) * 86400.0
     print(json.dumps({
-        "metric": "ace2_1deg_rollout_steps_per_sec_per_chip",
-        "value": round(steps_per_sec, 3),
+        "metric": "ace2_era5_flagship_rollout_steps_per_sec_per_chip",
+        "value": round(fl_steps, 3),
         "unit": "steps/s",
         "vs_baseline": None,
         "simulated_years_per_day": round(sim_years_per_day, 1),
-        "compile_time_s": round(compile_time, 1),
-        "device": str(jax.devices()[0]),
-        "config": "SFNO dhconv embed=256 layers=8 grid=180x360 bf16",
+        "compile_time_s": round(fl_compile, 1),
+        "rollout_mfu": fl_mfu,
+        "train_samples_per_sec_per_chip": round(tr_sps, 3),
+        "train_step_seconds": round(tr_step_s, 4),
+        "train_mfu": tr_mfu,
+        "train_compile_time_s": round(tr_compile, 1),
+        "sfno256_rollout_steps_per_sec": round(s256_steps, 3),
+        "device": str(device),
+        "config": ("NoiseConditionedSFNO dhconv embed=512 layers=8 "
+                   "grid=180x360 bf16; train: CRPS n_ensemble=2 batch=2"),
     }))
 
 
 if __name__ == "__main__":
-    main()
+    import sys
+
+    main(smoke="--smoke" in sys.argv)

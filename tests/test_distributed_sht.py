@@ -1,0 +1,241 @@
+"""Distributed SHT: values match the single-device transform on any
+mesh (including uneven lat/lon splits), and the compiled program
+communicates via all-to-all — not full-tensor all-gather/all-reduce.
+
+Reference: torch_harmonics.distributed via
+fme/core/distributed/model_torch_distributed.py:454-465 and the
+uneven-split handling of thd.compute_split_shapes (:200-267).
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ace_tpu.ops.distributed_sht import (
+    DistributedInverseRealSHT,
+    DistributedRealSHT,
+)
+from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+from ace_tpu.parallel.mesh import MeshConfig
+
+
+def _mesh(data, h, w):
+    n = data * h * w
+    return MeshConfig(data, h, w).build(jax.devices()[:n])
+
+
+@pytest.mark.parametrize(
+    "mesh_shape,nlat,nlon",
+    [
+        ((1, 2, 4), 16, 32),
+        ((2, 2, 2), 16, 32),
+        ((1, 2, 2), 18, 36),
+        # uneven: 18 lat over h=4 -> 4.5 rows/shard; 36 lon over w=2
+        ((1, 4, 2), 18, 36),
+        # uneven lon too: 34 over 4
+        ((1, 2, 4), 18, 34),
+    ],
+)
+def test_distributed_sht_matches_single_device(mesh_shape, nlat, nlon):
+    mesh = _mesh(*mesh_shape)
+    batch = 2 * mesh_shape[0]
+    chans = 8
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(batch, nlat, nlon, chans).astype(np.float32)
+
+    sht = RealSHT(nlat, nlon, channels_last=True)
+    isht = InverseRealSHT(nlat, nlon, channels_last=True)
+    ref_r, ref_i = sht.forward_pair(jnp.asarray(x_np))
+    ref_grid = isht.inverse_pair(ref_r, ref_i)
+
+    dsht = DistributedRealSHT(mesh, nlat, nlon)
+    disht = DistributedInverseRealSHT(mesh, nlat, nlon)
+    ph, pw = mesh_shape[1], mesh_shape[2]
+    # uneven dims cannot be device_put with a spatial sharding; place
+    # them batch-sharded and let the transform pad + re-shard (real
+    # model inputs are padded to mesh multiples up front)
+    spatial_spec = P(
+        "data", "h" if nlat % ph == 0 else None,
+        "w" if nlon % pw == 0 else None, None,
+    )
+    with jax.set_mesh(mesh):
+        x = jax.device_put(x_np, NamedSharding(mesh, spatial_spec))
+        cr, ci = dsht(x)
+        grid = disht(cr, ci)
+    got_r = np.asarray(cr)[:, : sht.lmax, : sht.mmax]
+    got_i = np.asarray(ci)[:, : sht.lmax, : sht.mmax]
+    np.testing.assert_allclose(got_r, np.asarray(ref_r), atol=2e-4)
+    np.testing.assert_allclose(got_i, np.asarray(ref_i), atol=2e-4)
+    # padded spectral rows are exactly zero
+    assert np.all(np.asarray(cr)[:, sht.lmax:] == 0.0)
+    assert np.all(np.asarray(cr)[:, :, sht.mmax:] == 0.0)
+    np.testing.assert_allclose(
+        np.asarray(grid), np.asarray(ref_grid), atol=2e-4
+    )
+
+
+def test_distributed_sht_hlo_uses_all_to_all():
+    """The explicit spatial-parallel path must communicate with
+    all-to-all transposes of 1/P-size tensors; the compiled roundtrip
+    contains no all-gather and no all-reduce."""
+    mesh = _mesh(1, 2, 4)
+    nlat, nlon = 16, 32
+    dsht = DistributedRealSHT(mesh, nlat, nlon)
+    disht = DistributedInverseRealSHT(mesh, nlat, nlon)
+
+    def roundtrip(x):
+        cr, ci = dsht(x)
+        return disht(cr, ci)
+
+    with jax.set_mesh(mesh):
+        x = jax.device_put(
+            jnp.zeros((2, nlat, nlon, 8), jnp.float32),
+            NamedSharding(mesh, P("data", "h", "w", None)),
+        )
+        hlo = jax.jit(roundtrip).lower(x).compile().as_text()
+    assert len(re.findall(r"all-to-all", hlo)) >= 8
+    assert "all-gather" not in hlo
+    assert "all-reduce" not in hlo
+
+
+def test_xla_spmd_einsum_sht_communication_pattern():
+    """Document the comm pattern of the *plain* (non-shard_map) SHT
+    einsum under SPMD partitioning: XLA computes lat-partial
+    contractions and all-reduces the spectral tensor — no full-grid
+    all-gather appears. This is acceptable at 1 degree but replicates
+    spectral memory; the shard_map path above is the scaling path."""
+    mesh = _mesh(1, 2, 4)
+    nlat, nlon = 16, 32
+    sht = RealSHT(nlat, nlon, channels_last=True)
+
+    with jax.set_mesh(mesh):
+        x = jax.device_put(
+            jnp.zeros((2, nlat, nlon, 8), jnp.float32),
+            NamedSharding(mesh, P("data", "h", "w", None)),
+        )
+        hlo = (
+            jax.jit(lambda v: sht.forward_pair(v))
+            .lower(x).compile().as_text()
+        )
+    assert "all-gather" not in hlo
+    assert len(re.findall(r"all-reduce", hlo)) >= 1
+
+
+def test_distributed_sht_under_jit_and_grad():
+    """The transform must be differentiable and jittable (it sits inside
+    the SFNO training step)."""
+    mesh = _mesh(1, 2, 2)
+    nlat, nlon = 16, 32
+    dsht = DistributedRealSHT(mesh, nlat, nlon)
+    disht = DistributedInverseRealSHT(mesh, nlat, nlon)
+
+    def loss(x):
+        cr, ci = dsht(x)
+        y = disht(cr, ci)
+        return jnp.mean(y * y)
+
+    rng = np.random.RandomState(1)
+    x_np = rng.randn(2, nlat, nlon, 4).astype(np.float32)
+    with jax.set_mesh(mesh):
+        x = jax.device_put(
+            x_np, NamedSharding(mesh, P("data", "h", "w", None))
+        )
+        g = jax.jit(jax.grad(loss))(x)
+        val = jax.jit(loss)(x)
+
+    # single-device comparison
+    sht = RealSHT(nlat, nlon, channels_last=True)
+    isht = InverseRealSHT(nlat, nlon, channels_last=True)
+
+    def ref_loss(x):
+        cr, ci = sht.forward_pair(x)
+        y = isht.inverse_pair(cr, ci)
+        return jnp.mean(y * y)
+
+    ref_g = jax.grad(ref_loss)(jnp.asarray(x_np))
+    np.testing.assert_allclose(float(val), float(ref_loss(x_np)),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(g), np.asarray(ref_g),
+                               atol=2e-5)
+
+
+def test_sfno_spatial_parallel_matches_single_device():
+    """SFNO forward with the distributed-SHT path (spatial_parallel
+    context) must reproduce the plain single-device forward with the
+    same parameters, and its compiled program must use all-to-all
+    (reference regression model:
+    fme/core/distributed/parallel_tests/test_regression.py)."""
+    from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+    from ace_tpu.parallel.mesh import spatial_parallel
+
+    nlat, nlon, chans = 16, 32, 8
+    kwargs = dict(
+        img_shape=(nlat, nlon), in_chans=chans, out_chans=chans,
+        embed_dim=16, num_layers=2, operator_type="dhconv",
+        scale_factor=1, data_grid="legendre-gauss",
+    )
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(2, nlat, nlon, chans).astype(np.float32)
+
+    model = SphericalFourierNeuralOperatorNet(**kwargs)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+    ref = model.apply(params, jnp.asarray(x_np))
+
+    mesh = _mesh(1, 2, 2)
+    with spatial_parallel(mesh):
+        dist_model = SphericalFourierNeuralOperatorNet(**kwargs)
+        with jax.set_mesh(mesh):
+            x = jax.device_put(
+                x_np, NamedSharding(mesh, P("data", "h", "w", None))
+            )
+            ps = jax.device_put(params, NamedSharding(mesh, P()))
+            fwd = jax.jit(dist_model.apply)
+            got = fwd(ps, x)
+            hlo = fwd.lower(ps, x).compile().as_text()
+    np.testing.assert_allclose(
+        np.asarray(got), np.asarray(ref), atol=5e-4
+    )
+    assert len(re.findall(r"all-to-all", hlo)) >= 8
+
+
+def test_sfno_spatial_parallel_gradients_match():
+    from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
+    from ace_tpu.parallel.mesh import spatial_parallel
+
+    nlat, nlon, chans = 16, 32, 4
+    kwargs = dict(
+        img_shape=(nlat, nlon), in_chans=chans, out_chans=chans,
+        embed_dim=16, num_layers=1, operator_type="dhconv",
+        scale_factor=1, data_grid="legendre-gauss",
+    )
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(2, nlat, nlon, chans).astype(np.float32)
+    model = SphericalFourierNeuralOperatorNet(**kwargs)
+    params = model.init(jax.random.PRNGKey(0), jnp.asarray(x_np))
+
+    def loss(p, model_, x_):
+        return jnp.mean(model_.apply(p, x_) ** 2)
+
+    ref_g = jax.grad(loss)(params, model, jnp.asarray(x_np))
+
+    mesh = _mesh(1, 2, 2)
+    with spatial_parallel(mesh):
+        dist_model = SphericalFourierNeuralOperatorNet(**kwargs)
+        with jax.set_mesh(mesh):
+            x = jax.device_put(
+                x_np, NamedSharding(mesh, P("data", "h", "w", None))
+            )
+            ps = jax.device_put(params, NamedSharding(mesh, P()))
+            got_g = jax.jit(jax.grad(
+                lambda p, x_: loss(p, dist_model, x_)
+            ))(ps, x)
+    ref_leaves = jax.tree_util.tree_leaves(ref_g)
+    got_leaves = jax.tree_util.tree_leaves(got_g)
+    for a, b in zip(ref_leaves, got_leaves):
+        np.testing.assert_allclose(
+            np.asarray(b), np.asarray(a), atol=5e-4, rtol=1e-3
+        )
