@@ -31,20 +31,40 @@ class TriMesh:
 
 
 def _icosahedron() -> TriMesh:
+    """Regular icosahedron with DeepMind GraphCast's vertex ordering,
+    normalization, and orientation (reference: graphcast/utils.py
+    get_icosahedron) — reference GraphCast checkpoints are only
+    transferable if the mesh (and so the node/edge enumeration and
+    geometry) matches exactly."""
     phi = (1.0 + math.sqrt(5.0)) / 2.0
-    verts = np.array([
-        [-1, phi, 0], [1, phi, 0], [-1, -phi, 0], [1, -phi, 0],
-        [0, -1, phi], [0, 1, phi], [0, -1, -phi], [0, 1, -phi],
-        [phi, 0, -1], [phi, 0, 1], [-phi, 0, -1], [-phi, 0, 1],
-    ], dtype=np.float64)
-    verts /= np.linalg.norm(verts, axis=1, keepdims=True)
+    verts = []
+    for c1 in (1.0, -1.0):
+        for c2 in (phi, -phi):
+            verts.append((c1, c2, 0.0))
+            verts.append((0.0, c1, c2))
+            verts.append((c2, 0.0, c1))
+    vertices = np.asarray(verts, dtype=np.float32)
+    vertices /= np.linalg.norm([1.0, phi])
     faces = np.array([
-        [0, 11, 5], [0, 5, 1], [0, 1, 7], [0, 7, 10], [0, 10, 11],
-        [1, 5, 9], [5, 11, 4], [11, 10, 2], [10, 7, 6], [7, 1, 8],
-        [3, 9, 4], [3, 4, 2], [3, 2, 6], [3, 6, 8], [3, 8, 9],
-        [4, 9, 5], [2, 4, 11], [6, 2, 10], [8, 6, 7], [9, 8, 1],
+        (0, 1, 2), (0, 6, 1), (8, 0, 2), (8, 4, 0), (3, 8, 2),
+        (3, 2, 7), (7, 2, 1), (0, 4, 6), (4, 11, 6), (6, 11, 5),
+        (1, 5, 7), (4, 10, 11), (4, 8, 10), (10, 8, 3), (10, 3, 9),
+        (11, 10, 9), (11, 9, 5), (5, 9, 7), (9, 3, 7), (1, 6, 5),
     ], dtype=np.int64)
-    return TriMesh(verts, faces)
+    # rotate to the conventional orientation (a face antipodal to a
+    # vertex along y)
+    angle_between_faces = 2.0 * np.arcsin(phi / np.sqrt(3.0))
+    theta = (np.pi - angle_between_faces) / 2.0
+    rot_y = np.array([
+        [np.cos(theta), 0.0, np.sin(theta)],
+        [0.0, 1.0, 0.0],
+        [-np.sin(theta), 0.0, np.cos(theta)],
+    ])
+    # float32 throughout, like the reference: the vertex rounding decides
+    # closest-face ties in the M2G query, so graph parity (and therefore
+    # checkpoint transfer) requires identical precision
+    vertices = (vertices @ rot_y).astype(np.float32)
+    return TriMesh(vertices, faces)
 
 
 def _subdivide(mesh: TriMesh) -> TriMesh:
@@ -57,10 +77,10 @@ def _subdivide(mesh: TriMesh) -> TriMesh:
     def mid(a: int, b: int) -> int:
         key = (min(a, b), max(a, b))
         if key not in midpoint:
-            v = mesh.vertices[a] + mesh.vertices[b]
+            v = (mesh.vertices[a] + mesh.vertices[b]) / 2.0
             v = v / np.linalg.norm(v)
             midpoint[key] = len(verts)
-            verts.append(v)
+            verts.append(v.astype(np.float32))
         return midpoint[key]
 
     faces = []
@@ -92,15 +112,14 @@ def merge_meshes(meshes: Sequence[TriMesh]) -> TriMesh:
 
 
 def faces_to_edges(faces: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
-    """Bidirectional edges of a triangulation."""
-    senders = np.concatenate(
-        [faces[:, 0], faces[:, 1], faces[:, 2],
-         faces[:, 1], faces[:, 2], faces[:, 0]]
-    )
-    receivers = np.concatenate(
-        [faces[:, 1], faces[:, 2], faces[:, 0],
-         faces[:, 0], faces[:, 1], faces[:, 2]]
-    )
+    """Directed edges of a triangulation: one edge per face side
+    (0->1, 1->2, 2->0). On a closed consistently-oriented surface every
+    edge's reverse comes from the neighboring face, so the result is
+    bidirectional WITHOUT duplicates (reference: graphcast/utils.py
+    faces_to_edges — emitting both directions per face would
+    double-count every message in the segment sums)."""
+    senders = np.concatenate([faces[:, 0], faces[:, 1], faces[:, 2]])
+    receivers = np.concatenate([faces[:, 1], faces[:, 2], faces[:, 0]])
     return senders, receivers
 
 
@@ -115,12 +134,16 @@ def max_edge_distance(mesh: TriMesh) -> float:
 
 
 def latlon_to_xyz(lat_deg, lon_deg):
-    lat = np.deg2rad(lat_deg)
-    lon = np.deg2rad(lon_deg)
+    """Colatitude form, bit-identical to the reference
+    (utils.py:273 _grid_lat_lon_to_coordinates) — last-ulp coordinate
+    differences flip closest-face ties in the M2G query, so graph
+    parity requires the exact same expression."""
+    phi = np.deg2rad(lon_deg)
+    theta = np.deg2rad(90.0 - lat_deg)
     return np.stack([
-        np.cos(lat) * np.cos(lon),
-        np.cos(lat) * np.sin(lon),
-        np.sin(lat),
+        np.cos(phi) * np.sin(theta),
+        np.sin(phi) * np.sin(theta),
+        np.cos(theta),
     ], axis=-1)
 
 
@@ -149,39 +172,65 @@ def radius_query(grid_xyz: np.ndarray, mesh_xyz: np.ndarray,
 
 
 def containing_triangle(grid_xyz: np.ndarray, mesh: TriMesh,
-                        chunk: int = 8192) -> np.ndarray:
-    """Face index of the mesh triangle whose central projection contains
-    each grid point (reference behavior: utils.py
-    in_mesh_triangle_indices). Chooses the face maximizing the minimum
-    barycentric coordinate of the ray intersection.
+                        chunk: int = 2048) -> np.ndarray:
+    """Face index of the mesh triangle CLOSEST to each grid point
+    (reference behavior: utils.py in_mesh_triangle_indices, which uses
+    trimesh.proximity.closest_point). For points on the unit sphere
+    against an inscribed convex triangulation this is the containing
+    triangle of the central projection, except exactly on shared edges,
+    where closest-face tie-breaking (lowest face index) decides —
+    matching the reference is required for checkpoint transfer. Exact
+    per-region point-triangle distance (Ericson, RTC ch. 5.1.5),
+    vectorized [G, F] in grid-point chunks.
     """
-    v0 = mesh.vertices[mesh.faces[:, 0]]
-    v1 = mesh.vertices[mesh.faces[:, 1]]
-    v2 = mesh.vertices[mesh.faces[:, 2]]
-    # face-plane barycentric coordinates of ray intersections, done in
-    # chunks of grid points against all faces
+    # f64 internally, like trimesh (it stores vertices as float64): the
+    # f32 mesh coordinates are widened exactly, then all distance
+    # arithmetic happens at f64 so near-tie argmins match
+    tri = mesh.vertices.astype(np.float64)[mesh.faces]  # [F, 3, 3]
+    a, b, c = tri[None, :, 0], tri[None, :, 1], tri[None, :, 2]
+    ab, ac, bc = b - a, c - a, c - b
+
+    def dot(u, v):
+        return np.einsum("gfc,gfc->gf", u, v)
+
     out = np.zeros(len(grid_xyz), np.int64)
-    n = np.cross(v1 - v0, v2 - v0)  # [F, 3]
-    denom_base = np.einsum("fc,fc->f", n, v0)
     for start in range(0, len(grid_xyz), chunk):
-        g = grid_xyz[start : start + chunk]  # [G, 3]
-        t_denom = g @ n.T  # [G, F] direction . normal
+        p = grid_xyz[start : start + chunk][:, None, :]  # [G, 1, 3]
+        ap, bp, cp = p - a, p - b, p - c
+        d1, d2 = dot(ab, ap), dot(ac, ap)
+        d3, d4 = dot(ab, bp), dot(ac, bp)
+        d5, d6 = dot(ab, cp), dot(ac, cp)
+        va = d3 * d6 - d5 * d4
+        vb = d5 * d2 - d1 * d6
+        vc = d1 * d4 - d3 * d2
         with np.errstate(divide="ignore", invalid="ignore"):
-            t = denom_base[None, :] / t_denom  # scale to plane
-        p = g[:, None, :] * t[..., None]  # [G, F, 3] intersection
-        # barycentric via areas
-        def bary(a, b):
-            return np.einsum(
-                "gfc,fc->gf", np.cross(a - p, b - p), n
-            )
-        w0 = bary(v1[None], v2[None])
-        w1 = bary(v2[None], v0[None])
-        w2 = bary(v0[None], v1[None])
-        total = w0 + w1 + w2
-        with np.errstate(divide="ignore", invalid="ignore"):
-            score = np.minimum(np.minimum(w0, w1), w2) / total
-        score = np.where((t > 0) & np.isfinite(score), score, -np.inf)
-        out[start : start + chunk] = np.argmax(score, axis=1)
+            t_ab = np.nan_to_num(d1 / (d1 - d3))
+            t_ac = np.nan_to_num(d2 / (d2 - d6))
+            t_bc = np.nan_to_num((d4 - d3) / ((d4 - d3) + (d5 - d6)))
+            denom = va + vb + vc
+            v_in = np.nan_to_num(vb / denom)
+            w_in = np.nan_to_num(vc / denom)
+        conds = [
+            (d1 <= 0) & (d2 <= 0),                        # vertex a
+            (d3 >= 0) & (d4 <= d3),                       # vertex b
+            (vc <= 0) & (d1 >= 0) & (d3 <= 0),            # edge ab
+            (d6 >= 0) & (d5 <= d6),                       # vertex c
+            (vb <= 0) & (d2 >= 0) & (d6 <= 0),            # edge ac
+            (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0),  # edge bc
+        ]
+        cands = [
+            a,
+            b,
+            a + t_ab[..., None] * ab,
+            c,
+            a + t_ac[..., None] * ac,
+            b + t_bc[..., None] * bc,
+        ]
+        closest = a + v_in[..., None] * ab + w_in[..., None] * ac
+        for cond, cand in zip(reversed(conds), reversed(cands)):
+            closest = np.where(cond[..., None], cand, closest)
+        d = np.linalg.norm(closest - p, axis=-1)  # [G, F]
+        out[start : start + chunk] = np.argmin(d, axis=1)
     return out
 
 

@@ -470,3 +470,143 @@ def torch_hpx_unet_to_flax(
         )
     params["output_layer"] = basic("decoder.output_layer")
     return {"params": params}
+
+
+def torch_localnet_to_flax(torch_state: Mapping[str, Any],
+                           block_types: list[str],
+                           encoder_layers: int = 1,
+                           use_mlp: bool = True) -> dict:
+    """Map a reference LocalNet torch state_dict
+    (fme/core/models/conditional_sfno/localnet.py:324 LocalNet) to the
+    ace_tpu LocalNet flax param tree (channels-last, LoRADense layers).
+    """
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+
+    def conv1x1(key):
+        return arr(key)[:, :, 0, 0].T  # [out, in, 1, 1] -> [in, out]
+
+    def lora_dense(prefix, bias=True):
+        out = {"base": {"kernel": conv1x1(prefix + ".weight")}}
+        if bias and prefix + ".bias" in torch_state:
+            out["base"]["bias"] = arr(prefix + ".bias")
+        return out
+
+    def cln(prefix):
+        out: dict = {}
+        if prefix + ".norm.weight" in torch_state:
+            out["norm"] = {
+                "weight": arr(prefix + ".norm.weight").reshape(-1),
+                "bias": arr(prefix + ".norm.bias").reshape(-1),
+            }
+        if prefix + ".W_scale_2d.weight" in torch_state:
+            out["w_scale_2d"] = {
+                "kernel": conv1x1(prefix + ".W_scale_2d.weight")
+            }
+            out["w_bias_2d"] = {
+                "kernel": conv1x1(prefix + ".W_bias_2d.weight")
+            }
+        return out
+
+    params: dict = {}
+    # encoder/decoder: Sequential of (LoRAConv2d, act) * layers + final
+    for i in range(encoder_layers):
+        params[f"encoder_{i}"] = lora_dense(f"encoder.{2 * i}")
+        params[f"decoder_{i}"] = lora_dense(f"decoder.{2 * i}")
+    params["encoder_out"] = lora_dense(
+        f"encoder.{2 * encoder_layers}", bias=False
+    )
+    params["decoder_out"] = lora_dense(
+        f"decoder.{2 * encoder_layers}", bias=False
+    )
+    if "pos_embed" in torch_state:
+        params["pos_embed"] = np.moveaxis(arr("pos_embed"), 1, -1)
+    if "norm_big_skip.norm.weight" in torch_state or (
+        "norm_big_skip.W_scale_2d.weight" in torch_state
+    ):
+        params["norm_big_skip"] = cln("norm_big_skip")
+    for i, block_type in enumerate(block_types):
+        pre = f"blocks.{i}."
+        block: dict = {
+            "norm0": cln(pre + "norm0"),
+            "norm1": cln(pre + "norm1"),
+            "inner_skip": lora_dense(pre + "inner_skip"),
+        }
+        if block_type == "disco":
+            # reference DISCO weight [C_out, C_in, K] -> ours [K, C_in,
+            # C_out] (contraction "...jkc,kco->...jo", ops/disco.py)
+            block["filter"] = {"weight": np.transpose(
+                arr(pre + "filter.filter.conv.weight"), (2, 1, 0)
+            )}
+        else:  # conv1x1: Conv1x1Filter wraps a LoRAConv2d at .conv
+            block["filter"] = lora_dense(pre + "filter.filter.conv")
+        if use_mlp:
+            block["mlp"] = {
+                "fc1": {
+                    "kernel": conv1x1(pre + "mlp.fwd.0.weight"),
+                    "bias": arr(pre + "mlp.fwd.0.bias"),
+                },
+                "fc2": {
+                    "kernel": conv1x1(pre + "mlp.fwd.2.weight"),
+                    "bias": arr(pre + "mlp.fwd.2.bias"),
+                },
+            }
+        params[f"block_{i}"] = block
+    return {"params": params}
+
+
+def torch_graphcast_to_flax(torch_state: Mapping[str, Any],
+                            processor_steps: int) -> dict:
+    """Map a reference GraphCast torch state_dict
+    (fme/ace/models/graphcast/main.py:330 + layers.py) to the ace_tpu
+    GraphCast flax param tree. MLPs are Sequential [Linear, act,
+    LayerNorm, Linear] (indices 0/2/3), or [Linear, act, Linear] for the
+    un-normed output head.
+    """
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+
+    def gnn_mlp(prefix, norm=True):
+        out = {"fc0": {"kernel": arr(prefix + ".0.weight").T}}
+        if prefix + ".0.bias" in torch_state:
+            out["fc0"]["bias"] = arr(prefix + ".0.bias")
+        last = 3 if norm else 2
+        if norm:
+            out["norm"] = {
+                "scale": arr(prefix + ".2.weight"),
+                "bias": arr(prefix + ".2.bias"),
+            }
+        out["fc1"] = {"kernel": arr(prefix + f".{last}.weight").T}
+        if prefix + f".{last}.bias" in torch_state:
+            out["fc1"]["bias"] = arr(prefix + f".{last}.bias")
+        return out
+
+    params = {
+        "grid_node_embed": gnn_mlp("encoder.grid_node_embed"),
+        "mesh_node_embed": gnn_mlp("encoder.mesh_node_embed"),
+        "m2m_edge_embed": gnn_mlp("encoder.M2M_edge_embed"),
+        "g2m_edge_embed": gnn_mlp("encoder.G2M_edge_embed"),
+        "m2g_edge_embed": gnn_mlp("encoder.M2G_edge_embed"),
+        "g2m_message": gnn_mlp("encoder.G2M_message"),
+        "g2m_node_update": gnn_mlp("encoder.G2M_node_update"),
+        "grid_update": gnn_mlp("encoder.G_update"),
+        "m2g_message": gnn_mlp("decoder.edge_M2G"),
+        "grid_node_update": gnn_mlp("decoder.node_VG"),
+        "out_head": gnn_mlp("decoder.out_head", norm=False),
+    }
+    for i in range(processor_steps):
+        params[f"m2m_message_{i}"] = gnn_mlp(
+            f"processor.layers.{i}.M2M_message"
+        )
+        params[f"m2m_node_update_{i}"] = gnn_mlp(
+            f"processor.layers.{i}.M2M_node_update"
+        )
+    return {"params": params}

@@ -24,7 +24,9 @@ def test_icosphere_hierarchy():
     # unit vertices, parent prefix preserved
     for m in h:
         np.testing.assert_allclose(
-            np.linalg.norm(m.vertices, axis=1), 1.0, atol=1e-12
+            # vertices are float32 (reference-precision for graph
+            # parity), so unit norms hold to f32 eps only
+            np.linalg.norm(m.vertices, axis=1), 1.0, atol=1e-6
         )
     merged = merge_meshes(h)
     assert len(merged.faces) == 20 + 80 + 320 + 1280

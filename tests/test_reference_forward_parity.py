@@ -345,6 +345,27 @@ def test_100_step_forced_rollout_matches_reference():
     )
 
 
+def _load_ref_pkg(name: str, path: str):
+    """Load a reference package by path under a dotted name (parents
+    get empty placeholder modules so relative imports resolve)."""
+    if name in sys.modules:
+        return sys.modules[name]
+    parts = name.split(".")
+    for i in range(1, len(parts)):
+        pname = ".".join(parts[:i])
+        if pname not in sys.modules:
+            m = types.ModuleType(pname)
+            m.__path__ = []
+            sys.modules[pname] = m
+    spec = importlib.util.spec_from_file_location(
+        name, path + "/__init__.py", submodule_search_locations=[path]
+    )
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules[name] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
 def _install_csfno_stubs():
     """Stubs for the conditional-SFNO package (the ACE2-ERA5 backbone):
     Distributed facade (serving this repo's torch SHT stubs), timers,
@@ -377,6 +398,14 @@ def _install_csfno_stubs():
 
         def get_local_slices(self, shape):
             return slice(None), slice(None)
+
+        def get_disco_conv_s2(self, *args, **kwargs):
+            # the real facade returns the vendored DISCO conv
+            # (fme/core/distributed/non_distributed.py:118)
+            disco = _load_ref_pkg(
+                "fme.core.disco", "/root/reference/fme/core/disco"
+            )
+            return disco.DiscreteContinuousConvS2(*args, **kwargs).float()
 
         def get_seed(self):
             return 0
@@ -835,4 +864,262 @@ def test_forward_matches_reference_land_net():
     )
     np.testing.assert_allclose(
         np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=1e-5
+    )
+
+
+def _load_reference_localnet():
+    """Load the reference LocalNet (fme/core/models/conditional_sfno/
+    localnet.py:324) in the stubbed conditional-sfno package context."""
+    _install_csfno_stubs()
+    base = "/root/reference/fme/core/models/conditional_sfno"
+    full = "fme.core.models.conditional_sfno.localnet"
+    if full in sys.modules:
+        return sys.modules[full]
+    spec = importlib.util.spec_from_file_location(
+        full, base + "/localnet.py"
+    )
+    localnet = importlib.util.module_from_spec(spec)
+    sys.modules[full] = localnet
+    spec.loader.exec_module(localnet)
+    return localnet
+
+
+@pytest.mark.parametrize("noise_dim", [0, 4])
+def test_forward_matches_reference_localnet(noise_dim):
+    """LocalNet parity (VERDICT r1 gap): mixed disco + conv1x1 blocks,
+    conditional layer norms (affine + noise conditioning), inner/outer
+    skips, MLPs, pos embed, normalized big skip — reference torch code
+    with shared weights, zero noise driving the deterministic path."""
+    import torch
+
+    from ace_tpu.models.localnet import LocalNet
+    from ace_tpu.utils.torch_convert import torch_localnet_to_flax
+
+    localnet = _load_reference_localnet()
+    layers = sys.modules["fme.core.models.conditional_sfno.layers"]
+
+    block_types = ["disco", "conv1x1"]
+    torch.manual_seed(0)
+    cfg = localnet.LocalNetConfig(
+        embed_dim=16,
+        block_types=block_types,
+        kernel_shape=(3, 3),
+        basis_type="piecewise linear",
+        use_mlp=True,
+        affine_norms=True,
+        normalize_big_skip=True,
+        pos_embed=True,
+    )
+    ctx_cfg = layers.ContextConfig(
+        embed_dim_scalar=0, embed_dim_noise=noise_dim,
+        embed_dim_labels=0, embed_dim_pos=0,
+    )
+    ref = localnet.get_lat_lon_localnet(
+        params=cfg, in_chans=3, out_chans=3, img_shape=(16, 32),
+        data_grid="equiangular", context_config=ctx_cfg,
+    ).eval()
+    # randomize the zero-initialized conditioning weights so the mapping
+    # is exercised even though zero noise nulls their contribution
+    with torch.no_grad():
+        for name, p in ref.named_parameters():
+            if "W_scale_2d" in name or "W_bias_2d" in name:
+                p.normal_(0.0, 0.02)
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, 16, 32).astype(np.float32)
+    ctx = layers.Context(
+        embedding_scalar=None, embedding_pos=None, labels=None,
+        noise=torch.zeros(2, noise_dim, 16, 32) if noise_dim else None,
+    )
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x), ctx).numpy()
+
+    params = torch_localnet_to_flax(
+        ref.state_dict(), block_types=block_types
+    )
+    net = LocalNet(
+        img_shape=(16, 32), in_chans=3, out_chans=3, embed_dim=16,
+        block_types=block_types, basis_type="piecewise linear",
+        noise_embed_dim=noise_dim, use_mlp=True, affine_norms=True,
+        normalize_big_skip=True, pos_embed=True, data_grid="equiangular",
+    )
+    x_cl = jnp.asarray(np.moveaxis(x, 1, -1))
+    y_mine = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params), x_cl
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref, atol=2e-4
+    )
+
+
+def _closest_point_on_mesh(mesh, points):
+    """Exact closest point on a triangle mesh (Ericson's per-region
+    point-triangle algorithm, vectorized [P, F]) — stands in for
+    trimesh.proximity.closest_point so the reference GraphCast's
+    in_mesh_triangle_indices (utils.py:347) runs without trimesh/rtree.
+    Returns (closest_points, distances, face_indices)."""
+    p = np.asarray(points, np.float64)[:, None, :]  # [P, 1, 3]
+    tri = np.asarray(mesh.vertices, np.float64)[np.asarray(mesh.faces)]
+    a, b_, c = tri[None, :, 0], tri[None, :, 1], tri[None, :, 2]
+    ab, ac, ap = b_ - a, c - a, p - a
+
+    def dot(u, v):
+        return np.einsum("pfc,pfc->pf", u, v)
+
+    d1, d2 = dot(ab, ap), dot(ac, ap)
+    bp = p - b_
+    d3, d4 = dot(ab, bp), dot(ac, bp)
+    cp = p - c
+    d5, d6 = dot(ab, cp), dot(ac, cp)
+    va = d3 * d6 - d5 * d4
+    vb = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+    with np.errstate(divide="ignore", invalid="ignore"):
+        t_ab = np.nan_to_num(d1 / (d1 - d3))
+        t_ac = np.nan_to_num(d2 / (d2 - d6))
+        t_bc = np.nan_to_num((d4 - d3) / ((d4 - d3) + (d5 - d6)))
+        denom = va + vb + vc
+        v_in = np.nan_to_num(vb / denom)
+        w_in = np.nan_to_num(vc / denom)
+    conds = [
+        (d1 <= 0) & (d2 <= 0),                        # vertex a
+        (d3 >= 0) & (d4 <= d3),                       # vertex b
+        (vc <= 0) & (d1 >= 0) & (d3 <= 0),            # edge ab
+        (d6 >= 0) & (d5 <= d6),                       # vertex c
+        (vb <= 0) & (d2 >= 0) & (d6 <= 0),            # edge ac
+        (va <= 0) & (d4 - d3 >= 0) & (d5 - d6 >= 0),  # edge bc
+    ]
+    cands = [
+        a,
+        b_,
+        a + t_ab[..., None] * ab,
+        c,
+        a + t_ac[..., None] * ac,
+        b_ + t_bc[..., None] * (c - b_),
+    ]
+    closest = a + v_in[..., None] * ab + w_in[..., None] * ac  # interior
+    for cond, cand in zip(reversed(conds), reversed(cands)):
+        closest = np.where(cond[..., None], cand, closest)
+    d = np.linalg.norm(closest - p, axis=-1)  # [P, F]
+    face = np.argmin(d, axis=1)
+    pidx = np.arange(len(face))
+    return closest[pidx, face], d[pidx, face], face
+
+
+def _load_reference_graphcast():
+    """Load the reference GraphCast (fme/ace/models/graphcast/main.py)
+    with trimesh/rtree satisfied by an exact closest-point stub."""
+    import importlib.machinery
+
+    full = "fme.ace.models.graphcast.main"
+    if full in sys.modules:
+        return sys.modules[full]
+    for name in ("trimesh", "rtree"):
+        if name not in sys.modules:
+            m = types.ModuleType(name)
+            m.__spec__ = importlib.machinery.ModuleSpec(name, None)
+            sys.modules[name] = m
+    tm = sys.modules["trimesh"]
+    if not hasattr(tm, "Trimesh"):
+        class _Trimesh:
+            def __init__(self, vertices, faces):
+                self.vertices = np.asarray(vertices, np.float64)
+                self.faces = np.asarray(faces, np.int64)
+
+        prox = types.ModuleType("trimesh.proximity")
+        prox.__spec__ = importlib.machinery.ModuleSpec(
+            "trimesh.proximity", None
+        )
+        prox.closest_point = _closest_point_on_mesh
+        tm.Trimesh = _Trimesh
+        tm.proximity = prox
+        sys.modules["trimesh.proximity"] = prox
+    if "fme.core.dataset_info" not in sys.modules:
+        for pname in ("fme", "fme.core"):
+            if pname not in sys.modules:
+                m = types.ModuleType(pname)
+                m.__path__ = []
+                sys.modules[pname] = m
+        dsi = types.ModuleType("fme.core.dataset_info")
+        dsi.DatasetInfo = type("DatasetInfo", (), {})
+        sys.modules["fme.core.dataset_info"] = dsi
+    base = "/root/reference/fme/ace/models/graphcast"
+    _load_ref_pkg("fme.ace.models.graphcast", base)
+    spec = importlib.util.spec_from_file_location(full, base + "/main.py")
+    main = importlib.util.module_from_spec(spec)
+    sys.modules[full] = main
+    spec.loader.exec_module(main)
+    return main
+
+
+def test_forward_matches_reference_graphcast():
+    """GraphCast parity (VERDICT r1 gap): DeepMind icosphere hierarchy,
+    radius G2M / merged-mesh M2M / containing-triangle M2G graphs, and
+    the full encoder/processor/decoder forward against the reference
+    torch code (fme/ace/models/graphcast/main.py:330) with shared
+    weights."""
+    import torch
+
+    from ace_tpu.models.graphcast import GraphCast, build_graphs
+    from ace_tpu.utils.torch_convert import torch_graphcast_to_flax
+
+    main = _load_reference_graphcast()
+
+    H, W = 8, 16
+    lat1d = np.linspace(-90.0, 90.0, H + 2)[1:-1]
+    lon1d = np.arange(W) * (360.0 / W)
+    lat2d, lon2d = np.meshgrid(lat1d, lon1d, indexing="ij")
+
+    class _Coords:
+        meshgrid = (torch.as_tensor(lat2d), torch.as_tensor(lon2d))
+
+    class _DSInfo:
+        img_shape = (H, W)
+        horizontal_coordinates = _Coords()
+
+    torch.manual_seed(0)
+    ref = main.GraphCast(
+        input_channels=3,
+        output_channels=2,
+        dataset_info=_DSInfo(),
+        latent_dimension=16,
+        meshes=2,
+        M0=0,
+        radius_fraction=0.6,
+        processor_steps=2,
+    ).eval()
+
+    rng = np.random.RandomState(0)
+    x = rng.randn(2, 3, H, W).astype(np.float32)
+    with torch.no_grad():
+        y_ref = ref(torch.as_tensor(x)).numpy()
+
+    # graph connectivity parity: identical edge sets for all 3 graphs
+    g = build_graphs(lat2d, lon2d, meshes=2, M0=0, radius_fraction=0.6)
+
+    def pairs(s, r):
+        return set(zip(np.asarray(s).tolist(), np.asarray(r).tolist()))
+
+    assert pairs(g.g2m_senders, g.g2m_receivers) == pairs(
+        ref.G2M_senders.numpy(), ref.G2M_receivers.numpy()
+    )
+    assert pairs(g.m2m_senders, g.m2m_receivers) == pairs(
+        ref.M2M_senders.numpy(), ref.M2M_receivers.numpy()
+    )
+    assert pairs(g.m2g_senders, g.m2g_receivers) == pairs(
+        ref.M2G_senders.numpy(), ref.M2G_receivers.numpy()
+    )
+
+    params = torch_graphcast_to_flax(ref.state_dict(), processor_steps=2)
+    net = GraphCast(
+        img_shape=(H, W), in_chans=3, out_chans=2,
+        lat2d=lat2d, lon2d=lon2d,
+        latent_dimension=16, meshes=2, M0=0,
+        radius_fraction=0.6, processor_steps=2,
+    )
+    x_cl = jnp.asarray(np.moveaxis(x, 1, -1))
+    y_mine = net.apply(jax.tree_util.tree_map(jnp.asarray, params), x_cl)
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(y_mine), -1, 1), y_ref,
+        atol=1e-4, rtol=1e-4,
     )
