@@ -610,3 +610,136 @@ def torch_graphcast_to_flax(torch_state: Mapping[str, Any],
             f"processor.layers.{i}.M2M_node_update"
         )
     return {"params": params}
+
+
+def torch_fcn3_to_flax(torch_state: Mapping[str, Any],
+                       n_atmo_channels: int,
+                       n_atmo_groups: int,
+                       n_surf_channels: int,
+                       n_aux_channels: int,
+                       atmo_embed_dim: int,
+                       surf_embed_dim: int,
+                       aux_embed_dim: int,
+                       num_layers: int,
+                       n_atmo_diagnostic_channels: int = 0,
+                       n_surf_diagnostic_channels: int = 0,
+                       encoder_mlp: bool = False,
+                       use_mlp: bool = True,
+                       layer_scale: bool = True) -> dict:
+    """Map a reference FourCastNet3 torch state_dict
+    (fme/ace/models/makani_fcn3/models/networks/fourcastnet3.py:423
+    AtmoSphericNeuralOperatorNet) to the ace_tpu FourCastNet3 flax param
+    tree (channels-last, grouped-DISCO [K, G, Cin/G, Cout/G] weights).
+    """
+    import math
+
+    def arr(key):
+        v = torch_state[key]
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+
+    def carr(key):
+        v = torch_state[key]
+        t = v.detach().cpu() if hasattr(v, "detach") else v
+        return np.asarray(t.resolve_conj().numpy()
+                          if hasattr(t, "resolve_conj") else t)
+
+    def conv1x1(key):
+        return arr(key)[:, :, 0, 0].T  # [out, in, 1, 1] -> [in, out]
+
+    def disco_weight(prefix, groups, with_bias):
+        # torch [out, in/g, K] (g-major out) -> ours [K, g, in/g, out/g]
+        w = arr(prefix + ".weight")
+        out_c, in_g, k = w.shape
+        w = w.reshape(groups, out_c // groups, in_g, k)
+        d = {"weight": np.transpose(w, (3, 0, 2, 1))}
+        if with_bias and prefix + ".bias" in torch_state:
+            d["bias"] = arr(prefix + ".bias")
+        return d
+
+    def enc_dec_mlp(prefix, width):
+        # EncoderDecoder(num_layers=1): Sequential [Conv2d(bias),
+        # act, Conv2d(no bias)] (makani_fcn3 common/layers.py:87);
+        # our MLP's fc2 always carries a bias param -> zeros
+        return {
+            "fc1": {"kernel": conv1x1(prefix + ".fwd.0.weight"),
+                    "bias": arr(prefix + ".fwd.0.bias")},
+            "fc2": {"kernel": conv1x1(prefix + ".fwd.2.weight"),
+                    "bias": np.zeros((width,), np.float32)},
+        }
+
+    def block_mlp(prefix):
+        # MLP: Sequential(fc1, act, drop, fc2, drop)
+        # (common/layers.py:148)
+        return {
+            "fc1": {"kernel": conv1x1(prefix + ".fwd.0.weight"),
+                    "bias": arr(prefix + ".fwd.0.bias")},
+            "fc2": {"kernel": conv1x1(prefix + ".fwd.3.weight"),
+                    "bias": arr(prefix + ".fwd.3.bias")},
+        }
+
+    ca_in = n_atmo_channels - n_atmo_diagnostic_channels
+    cs_in = n_surf_channels - n_surf_diagnostic_channels
+
+    def coder(name, groups, out_chans, with_bias=True):
+        d = {"conv": disco_weight(name + ".conv", groups, with_bias)}
+        if encoder_mlp:
+            d["mlp"] = enc_dec_mlp(name + ".mlp", out_chans)
+        return d
+
+    params: dict = {
+        "atmo_encoder": coder(
+            "atmo_encoder", math.gcd(ca_in, atmo_embed_dim),
+            atmo_embed_dim,
+        ),
+        "atmo_decoder": coder(
+            "atmo_decoder", math.gcd(n_atmo_channels, atmo_embed_dim),
+            n_atmo_channels, with_bias=False,
+        ),
+    }
+    # decoder MLP acts on the embedding (input width), not the output
+    if encoder_mlp:
+        params["atmo_decoder"]["mlp"] = enc_dec_mlp(
+            "atmo_decoder.mlp", atmo_embed_dim
+        )
+    if n_surf_channels > 0:
+        params["surf_encoder"] = coder(
+            "surf_encoder", math.gcd(cs_in, surf_embed_dim),
+            surf_embed_dim,
+        )
+        params["surf_decoder"] = coder(
+            "surf_decoder", math.gcd(n_surf_channels, surf_embed_dim),
+            n_surf_channels, with_bias=False,
+        )
+        if encoder_mlp:
+            params["surf_decoder"]["mlp"] = enc_dec_mlp(
+                "surf_decoder.mlp", surf_embed_dim
+            )
+    if n_aux_channels > 0:
+        params["aux_encoder"] = coder(
+            "aux_encoder", math.gcd(n_aux_channels, aux_embed_dim),
+            aux_embed_dim,
+        )
+
+    for i in range(num_layers):
+        pre = f"blocks.{i}."
+        block: dict = {}
+        if pre + "global_conv.weight" in torch_state:
+            # complex [1, in, out, lmax] -> real [in, out, lmax, 2]
+            w = carr(pre + "global_conv.weight")[0]
+            block["global_conv"] = {
+                "weight": np.stack([w.real, w.imag], axis=-1),
+            }
+        else:
+            block["local_conv"] = disco_weight(
+                pre + "local_conv", 1, with_bias=False
+            )
+        if use_mlp:
+            block["mlp"] = block_mlp(pre + "mlp")
+        if layer_scale:
+            block["layer_scale"] = arr(
+                pre + "layer_scale.weight"
+            )[:, 0, 0, 0]
+        params[f"block_{i}"] = block
+    return {"params": params}

