@@ -207,6 +207,11 @@ class OptimizationConfig:
     # checkpoint while keeping this config's hyperparameters and a fresh
     # LR schedule (reference: optimization.py:314)
     resume_optimizer_ckpt_path: str | None = None
+    # storage dtype for the Adam first moment (e.g. "bfloat16"): halves
+    # that buffer's HBM so large models fit a 16 GB chip; the update
+    # math still runs in f32 (optax mu_dtype semantics). None keeps the
+    # reference behavior (f32 moments).
+    first_moment_dtype: str | None = None
 
     def __post_init__(self):
         if self.optimizer_type == "FusedAdam":
@@ -239,15 +244,18 @@ class OptimizationConfig:
         b1, b2 = kw.pop("betas", (0.9, 0.999))
         eps = kw.pop("eps", 1e-8)
         weight_decay = kw.pop("weight_decay", None)
+        mu_dtype = self.first_moment_dtype
         if self.optimizer_type in ("Adam", "FusedAdam"):
-            opt = optax.adam(schedule, b1=b1, b2=b2, eps=eps)
+            opt = optax.adam(
+                schedule, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype
+            )
             if weight_decay:
                 opt = optax.chain(
                     optax.add_decayed_weights(weight_decay), opt
                 )
         elif self.optimizer_type == "AdamW":
             opt = optax.adamw(
-                schedule, b1=b1, b2=b2, eps=eps,
+                schedule, b1=b1, b2=b2, eps=eps, mu_dtype=mu_dtype,
                 weight_decay=weight_decay if weight_decay is not None else 0.01,
             )
         else:

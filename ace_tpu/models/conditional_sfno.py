@@ -269,6 +269,8 @@ class NoiseConditionedSFNO(nn.Module):
     n_labels: int = 0
     label_embed_dim: int = 0
     data_grid: str = "legendre-gauss"
+    # >= 1: per-block activation rematerialization (see __call__)
+    checkpointing: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -374,12 +376,22 @@ class NoiseConditionedSFNO(nn.Module):
             )
             h = h + pe.astype(h.dtype)
 
+        # checkpointing >= 1: rematerialize each block in the backward
+        # pass (the reference's makani `checkpointing` levels,
+        # makani/sfnonet.py `checkpointing` arg). Param paths are
+        # unchanged, so checkpoints are interchangeable either way. On a
+        # 16 GB v5e this is what lets the flagship (embed 512, 8 layers)
+        # train step fit: the backward holds one block's activations at
+        # a time instead of all eight.
+        block_cls = ConditionalFNOBlock
+        if self.checkpointing >= 1:
+            block_cls = nn.remat(ConditionalFNOBlock, static_argnums=(3,))
         for i in range(self.num_layers):
             is_local = (
                 self.local_blocks is not None and i in self.local_blocks
             )
             first, last = i == 0, i == self.num_layers - 1
-            h = ConditionalFNOBlock(
+            h = block_cls(
                 forward_transform=self.trans_down if first else self.trans,
                 inverse_transform=(
                     self.itrans_up if last else self.itrans
@@ -400,7 +412,7 @@ class NoiseConditionedSFNO(nn.Module):
                 lora_rank=self.lora_rank,
                 dtype=self.dtype,
                 name=f"block_{i}",
-            )(h, noise, deterministic=deterministic)
+            )(h, noise, deterministic)
 
         if self.big_skip:
             h = jnp.concatenate([h, residual.astype(h.dtype)], axis=-1)

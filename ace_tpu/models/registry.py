@@ -110,6 +110,7 @@ class SphericalFourierNeuralOperatorBuilder(ModuleConfig):
             drop_rate=self.drop_rate,
             drop_path_rate=self.drop_path_rate,
             data_grid=self.data_grid,
+            checkpointing=self.checkpointing,
             dtype=jnp.dtype(self.compute_dtype),
         )
 
@@ -170,6 +171,7 @@ class SFNO_V0_1_0(ModuleConfig):
             factorization=self.factorization,
             rank=self.rank,
             data_grid=self.data_grid,
+            checkpointing=self.checkpointing,
             dtype=jnp.dtype(self.compute_dtype),
         )
 
@@ -334,6 +336,7 @@ class NoiseConditionedSFNOBuilder(ModuleConfig):
             n_labels=len(dataset_info.all_labels),
             label_embed_dim=self.label_embed_dim,
             data_grid=self.data_grid,
+            checkpointing=self.checkpointing,
             dtype=jnp.dtype(self.compute_dtype),
         )
 

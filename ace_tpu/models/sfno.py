@@ -451,6 +451,8 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
     drop_rate: float = 0.0
     drop_path_rate: float = 0.0
     data_grid: str = "legendre-gauss"
+    # >= 1: per-block activation rematerialization (see __call__)
+    checkpointing: int = 0
     dtype: jnp.dtype = jnp.float32
 
     def setup(self):
@@ -617,12 +619,20 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             h = nn.Dropout(self.drop_rate, deterministic=deterministic)(h)
 
         dpr = np.linspace(0, self.drop_path_rate, self.num_layers)
+        # checkpointing >= 1: per-block activation rematerialization
+        # (reference: makani/sfnonet.py `checkpointing` levels). Param
+        # paths are unchanged — a pure memory/speed trade.
+        block_cls = FourierNeuralOperatorBlock
+        if self.checkpointing >= 1:
+            block_cls = nn.remat(
+                FourierNeuralOperatorBlock, static_argnums=(2,)
+            )
         # build blocks once so repeat_layers shares their weights
         # (reference: makani/sfnonet.py:526)
         blocks = []
         for i in range(self.num_layers):
             first, last = i == 0, i == self.num_layers - 1
-            blocks.append(FourierNeuralOperatorBlock(
+            blocks.append(block_cls(
                 forward_transform=self.trans_down if first else self.trans,
                 inverse_transform=self.itrans_up if last else self.itrans,
                 embed_dim=self.embed_dim,
@@ -643,7 +653,7 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             ))
         for _ in range(self.repeat_layers):
             for blk in blocks:
-                h = blk(h, deterministic=deterministic)
+                h = blk(h, deterministic)
 
         if self.big_skip:
             h = jnp.concatenate([h, residual.astype(h.dtype)], axis=-1)

@@ -312,7 +312,17 @@ class TrainStepper:
         per_step_parts = []
         for fn, lo, hi in segments:
             xs_seg = jax.tree_util.tree_map(lambda x: x[lo:hi], xs_all)
-            carry, ps = jax.lax.scan(fn, carry, xs_seg)
+            if hi - lo == 1:
+                # unroll single-step segments: a length-1 lax.scan
+                # lowers to a while loop whose backward body forces a
+                # fresh copy of every captured weight (measured: 8 x
+                # 360 MB spectral-filter copies on the flagship), which
+                # is pure HBM waste for the common 1-step pretraining
+                x0 = jax.tree_util.tree_map(lambda x: x[0], xs_seg)
+                carry, y = fn(carry, x0)
+                ps = y[None]
+            else:
+                carry, ps = jax.lax.scan(fn, carry, xs_seg)
             per_step_parts.append(ps)
         (_, _, _, total) = carry
         per_step = (

@@ -201,8 +201,10 @@ def convert_reference_checkpoint(path: str, output_path: str):
                 "bk": np.asarray(vc["bk"]).tolist(),
             },
         }
-    if "timestep" in ds_state:
-        info_state["timestep_seconds"] = float(ds_state["timestep"])
+    if ds_state.get("timestep") is not None:
+        # reference encode_timestep stores MICROSECONDS
+        # (fme/core/dataset/utils.py:261)
+        info_state["timestep_seconds"] = float(ds_state["timestep"]) / 1e6
     dataset_info = DatasetInfo.from_state(info_state)
 
     module_state = stepper_state["step"]["module"]

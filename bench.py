@@ -188,10 +188,11 @@ def _bench_train_step(stepper, batch, n_repeats=5):
         StepperTrainConfig(
             n_forward_steps=1,
             n_ensemble=2,
-            # one v5e chip has 16 GB HBM; the flagship's activations at
-            # effective batch 4 (2 samples x 2 ensemble) need remat
-            # (measured: 31.8 GB without)
-            remat=True,
+            # per-block rematerialization (builder checkpointing=1)
+            # bounds activations to one block at a time; whole-step remat
+            # on top would recompute every forward a third time for no
+            # extra memory win at n_forward_steps=1
+            remat=False,
             loss=from_dict(StepLossConfig, {
                 "type": "EnsembleLoss",
                 "kwargs": {"crps_weight": 0.9,
@@ -199,10 +200,19 @@ def _bench_train_step(stepper, batch, n_repeats=5):
             }),
         ),
         OptimizationConfig(lr=1e-4, optimizer_type="AdamW",
-                           max_grad_norm=1.0),
+                           max_grad_norm=1.0,
+                           # bf16 Adam first moment: the flagship's f32
+                           # moments alone are 6.3 GB; this recovers
+                           # 1.6 GB so the step fits one 16 GB v5e
+                           first_moment_dtype="bfloat16"),
         EMAConfig(),
     )
     params, opt_state = ts.init(jax.random.PRNGKey(0))
+    # EMA updates run in a separate jitted pass outside the step being
+    # timed; drop its device-resident copy (3.2 GB) for the single-chip
+    # memory budget
+    if ts.ema is not None:
+        ts.ema.ema_params = None
     rng = np.random.RandomState(1)
     all_names = sorted(set(prognostic + diagnostics + forcings))
     batch_data = {}
@@ -283,9 +293,14 @@ def main(smoke: bool = False):
     # per-chip batch 1 (x2 CRPS ensemble members): the flagship's f32
     # Adam state (~13 GB for 3.2 GB of params) leaves little HBM on one
     # 16 GB v5e — the reference trains this on 4x80 GB GPUs; multi-chip
-    # runs shard the batch
+    # runs shard the batch. checkpointing=1 remats per block so the
+    # backward holds one block's activations at a time.
+    flagship_train = _stepper(
+        {**flagship_builder,
+         "config": {**flagship_builder["config"], "checkpointing": 1}}
+    )
     tr_sps, tr_step_s, tr_compile, tr_flops = _bench_train_step(
-        flagship, batch=1
+        flagship_train, batch=1
     )
     tr_mfu = (
         round(tr_flops / tr_step_s / peak, 4)

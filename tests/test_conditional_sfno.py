@@ -347,3 +347,39 @@ def test_label_conditioned_sfno_end_to_end(tmp_path):
     batch = next(iter(gridded.loader))
     assert batch.labels.shape == (2, 1)
     np.testing.assert_array_equal(np.asarray(batch.labels), 1.0)
+
+
+def test_checkpointing_blocks_is_pure_memory_option():
+    """checkpointing=1 (per-block remat, reference makani sfnonet.py
+    `checkpointing`) must not change the param tree, the forward values,
+    or gradient flow."""
+    import jax
+
+    from ace_tpu.models.conditional_sfno import NoiseConditionedSFNO
+
+    kw = dict(
+        img_shape=(8, 16), in_chans=3, out_chans=3, embed_dim=8,
+        noise_embed_dim=4, num_layers=2, operator_type="dhconv",
+        use_mlp=True, affine_norms=True, normalize_big_skip=True,
+    )
+    x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 16, 3),
+                    jnp.float32)
+    m0 = NoiseConditionedSFNO(**kw)
+    m1 = NoiseConditionedSFNO(**kw, checkpointing=1)
+    p0 = m0.init({"params": jax.random.PRNGKey(0)}, x)
+    p1 = m1.init({"params": jax.random.PRNGKey(0)}, x)
+    assert (jax.tree_util.tree_structure(p0)
+            == jax.tree_util.tree_structure(p1))
+    rngs = {"noise": jax.random.PRNGKey(7)}
+    y0 = m0.apply(p0, x, rngs=rngs)
+    y1 = m1.apply(p1, x, rngs=rngs)
+    np.testing.assert_array_equal(np.asarray(y0), np.asarray(y1))
+
+    def loss(p):
+        return jnp.sum(m1.apply(p, x, rngs=rngs) ** 2)
+
+    grads = jax.grad(loss)(p1)
+    total = jax.tree_util.tree_reduce(
+        lambda a, b: a + float(jnp.sum(jnp.abs(b))), grads, 0.0
+    )
+    assert total > 0.0
