@@ -84,6 +84,17 @@ class AtmosphereCorrectorConfig:
     total_energy_budget_correction: EnergyBudgetConfig | None = None
     keep_gradient_through_clamps: bool = False
     clip_frozen_precipitation: bool = False
+    # train-mode steps skip the corrector for this many initial epochs;
+    # eval-mode steps always apply it (reference:
+    # fme/core/corrector/registry.py:29 CorrectorConfigABC)
+    corrector_disabled_epochs: int = 0
+
+    def __post_init__(self):
+        if self.corrector_disabled_epochs < 0:
+            raise ValueError(
+                "corrector_disabled_epochs must be non-negative, got "
+                f"{self.corrector_disabled_epochs}"
+            )
 
     def build(self, gridded_operations, vertical_coordinate, timestep):
         return AtmosphereCorrector(

@@ -172,6 +172,15 @@ class IceCorrectorConfig:
     """(reference: ice.py:234 IceCorrectorConfig)."""
 
     budget_correction: IceBudgetCorrectionConfig | None = None
+    # see AtmosphereCorrectorConfig.corrector_disabled_epochs
+    corrector_disabled_epochs: int = 0
+
+    def __post_init__(self):
+        if self.corrector_disabled_epochs < 0:
+            raise ValueError(
+                "corrector_disabled_epochs must be non-negative, got "
+                f"{self.corrector_disabled_epochs}"
+            )
 
     @property
     def is_noop(self) -> bool:

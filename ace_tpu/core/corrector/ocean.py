@@ -191,6 +191,15 @@ class OceanCorrectorConfig:
     ocean_heat_content_correction: OceanHeatContentBudgetConfig | None = None
     force_positive_names: list[str] = dataclasses.field(default_factory=list)
     keep_gradient_through_clamps: bool = False
+    # see AtmosphereCorrectorConfig.corrector_disabled_epochs
+    corrector_disabled_epochs: int = 0
+
+    def __post_init__(self):
+        if self.corrector_disabled_epochs < 0:
+            raise ValueError(
+                "corrector_disabled_epochs must be non-negative, got "
+                f"{self.corrector_disabled_epochs}"
+            )
 
     @property
     def is_noop(self) -> bool:

@@ -37,6 +37,11 @@ class StepArgs:
     # One-hot dataset labels [batch, n_labels] for conditional models
     # (reference: fme/core/step/args.py labels)
     labels: jax.Array | None = None
+    # skip the post-step corrector for this call: set by the train loop
+    # during the first ``corrector_disabled_epochs`` epochs (reference:
+    # fme/core/corrector/registry.py EpochScheduledCorrector; eval-mode
+    # steps always apply the corrector)
+    corrector_disabled: bool = False
 
 
 @dataclasses.dataclass

@@ -124,6 +124,11 @@ def step_with_adjustments(
 
     stepper_state = dict(args.stepper_state)
     diagnostics: TensorDict = {}
+    if corrector is not None and args.corrector_disabled:
+        # epoch-scheduled disabling (reference: corrector/registry.py:56
+        # EpochScheduledCorrector): train-mode steps skip the corrector
+        # during the first corrector_disabled_epochs epochs
+        corrector = None
     if corrector is not None:
         result = corrector(
             input_data, output, next_step_input_data,

@@ -11,7 +11,7 @@ dataset info. The built module's contract:
 
 import abc
 import dataclasses
-from typing import Any
+from typing import Any, ClassVar
 
 import flax.linen as nn
 import jax.numpy as jnp
@@ -33,8 +33,42 @@ class ModuleConfig(abc.ABC):
     ) -> nn.Module: ...
 
 
+# builders that support label conditioning (reference:
+# fme/core/registry/module.py:61 CONDITIONAL_BUILDERS)
+CONDITIONAL_BUILDERS = (
+    "NoiseConditionedSFNO",
+    "LocalNet",
+    "SwinTransformer",
+    "NoiseConditionedSwinTransformer",
+)
+
+
+@dataclasses.dataclass
 class ModuleSelector(Selector):
-    _registry: Registry = Registry()
+    """Module builder selection (reference: fme/core/registry/module.py:119
+    ModuleSelector).
+
+    conditional: condition predictions on batch labels. When False
+        (default) the model ignores dataset labels entirely; when True the
+        dataset must define labels and the built module receives them
+        (reference module.py:194-199).
+    allow_missing_variables: the data pipeline may produce variable
+        presence masks for incomplete datasets instead of erroring
+        (reference module.py:139; threaded into DataRequirements).
+    """
+
+    conditional: bool = False
+    allow_missing_variables: bool = False
+
+    _registry: ClassVar[Registry] = Registry()
+
+    def __post_init__(self):
+        if self.conditional and self.type not in CONDITIONAL_BUILDERS:
+            raise ValueError(
+                "Conditional predictions require a conditional builder, "
+                f"got {self.type} (available: {CONDITIONAL_BUILDERS})"
+            )
+        super().__post_init__()
 
     @classmethod
     def get_registry(cls) -> Registry:
@@ -44,7 +78,19 @@ class ModuleSelector(Selector):
     def register(cls, name: str):
         return cls._registry.register(name)
 
+    def get_state(self) -> dict:
+        state = super().get_state()
+        state["conditional"] = self.conditional
+        state["allow_missing_variables"] = self.allow_missing_variables
+        return state
+
     def build(self, n_in_channels, n_out_channels, dataset_info) -> nn.Module:
+        if self.conditional and len(dataset_info.all_labels) == 0:
+            raise ValueError("Conditional predictions require labels")
+        if not self.conditional and dataset_info.all_labels:
+            # unconditional models ignore dataset labels (the reference
+            # only passes a LabelEncoding when conditional=True)
+            dataset_info = dataclasses.replace(dataset_info, all_labels=())
         return self.instance.build(n_in_channels, n_out_channels, dataset_info)
 
 

@@ -195,9 +195,20 @@ class TrainStepper:
 
     # ----- pure functions -----
 
+    @property
+    def corrector_disabled_epochs(self) -> int:
+        """Initial epochs during which train-mode steps skip the corrector
+        (reference: fme/core/corrector/registry.py:29)."""
+        cfg = getattr(self.stepper.step.config, "corrector", None)
+        if cfg is None:
+            return 0
+        inst = getattr(cfg, "instance", cfg)  # unwrap CorrectorSelector
+        return int(getattr(inst, "corrector_disabled_epochs", 0))
+
     def loss_fn(self, params, batch: TensorMapping, rng: jax.Array,
                 n_steps: int | None = None, labels=None,
-                deterministic: bool = False):
+                deterministic: bool = False,
+                corrector_disabled: bool = False):
         """Rollout loss over n_steps (defaults to the schedule maximum).
 
         batch: dict of [B, n_forward+1, ...spatial] containing all input,
@@ -259,6 +270,7 @@ class TrainStepper:
                     rng=sub,
                     deterministic=deterministic,
                     labels=labels,
+                    corrector_disabled=corrector_disabled,
                 ),
             )
             # static output masking applies during training exactly as in
@@ -352,10 +364,11 @@ class TrainStepper:
         """
 
         def train_step(params, opt_state, batch, rng, n_steps=None,
-                       labels=None):
+                       labels=None, corrector_disabled=False):
             (loss, metrics), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True
-            )(params, batch, rng, n_steps, labels)
+            )(params, batch, rng, n_steps, labels,
+              False, corrector_disabled)
             updates, new_opt_state = self.optimization.tx.update(
                 grads, opt_state, params
             )
@@ -365,11 +378,13 @@ class TrainStepper:
             metrics["grad_norm"] = optax.global_norm(grads)
             return new_params, new_opt_state, metrics
 
-        # n_steps is static: one cached executable per distinct length
+        # n_steps and corrector_disabled are static: one cached
+        # executable per distinct (length, disabled) pair — at most one
+        # extra compile when the disabled-epochs threshold crosses
         return jax.jit(
             train_step,
             donate_argnums=(0, 1) if donate else (),
-            static_argnums=(4,),
+            static_argnums=(4, 6),
         )
 
     def build_valid_step(self):

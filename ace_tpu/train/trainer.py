@@ -552,6 +552,7 @@ class Trainer:
             self.params, self.opt_state, metrics = self._train_step(
                 self.params, self.opt_state, batch.data, self._next_rng(),
                 n_steps, batch.labels,
+                epoch < self.train_stepper.corrector_disabled_epochs,
             )
             self.train_stepper.optimization._count += 1
             if self._copy_weights is not None:
