@@ -52,6 +52,115 @@ class UNetConfig:
 
 
 @dataclasses.dataclass
+class SongUNetV2Config:
+    """SongUNet v2 backbone options (reference:
+    fme/downscaling/modules/diffusion_registry.py:102
+    UNetDiffusionSongv2)."""
+
+    model_channels: int = 128
+    channel_mult: list[int] = dataclasses.field(
+        default_factory=lambda: [1, 2, 2, 2]
+    )
+    channel_mult_emb: int = 4
+    num_blocks: int = 4
+    attn_resolutions: list[int] = dataclasses.field(
+        default_factory=lambda: [16]
+    )
+    dropout: float = 0.10
+    label_dropout: float = 0.0
+    embedding_type: str = "positional"
+    channel_mult_noise: int = 1
+    encoder_type: str = "standard"
+    decoder_type: str = "standard"
+    resample_filter: list[int] = dataclasses.field(
+        default_factory=lambda: [1, 1]
+    )
+    act: str = "silu"
+    # accepted for reference-config compatibility; the XLA GroupNorm is
+    # always channels-last-fused, so there is nothing to toggle
+    use_apex_gn: bool = True
+    bottleneck_attention: bool = True
+    # >= 1: per-block activation rematerialization
+    checkpointing: int = 0
+    compute_dtype: str = "float32"
+
+    def __post_init__(self):
+        if self.act != "silu":
+            raise ValueError("only act='silu' is supported")
+
+
+@dataclasses.dataclass
+class DiffusionModuleSelector:
+    """{type, config} backbone selection (reference:
+    fme/downscaling/modules/diffusion_registry.py:170
+    DiffusionModuleRegistrySelector). Types: "unet_diffusion_song_v2"
+    (SongUNetV2Config) and "unet" (the compact UNetConfig)."""
+
+    type: str
+    config: dict = dataclasses.field(default_factory=dict)
+    expects_interpolated_input: bool | None = None
+
+    def __post_init__(self):
+        from ace_tpu.core.config import from_dict
+
+        if self.type == "unet_diffusion_song_v2":
+            self.instance = from_dict(SongUNetV2Config, self.config)
+        elif self.type == "unet":
+            self.instance = from_dict(UNetConfig, self.config)
+        else:
+            raise ValueError(
+                f"unknown diffusion module type {self.type!r}; known: "
+                "['unet', 'unet_diffusion_song_v2']"
+            )
+        if self.expects_interpolated_input is None:
+            # both supported backbones run at the (interpolated) fine
+            # resolution, matching the reference's EXPECTS_INTERPOLATED
+            self.expects_interpolated_input = True
+
+
+def _build_net(module_cfg, out_channels: int, cond_channels: int,
+               fine_shape: tuple[int, int]):
+    """Build the raw denoiser network from either the legacy compact
+    UNetConfig or a DiffusionModuleSelector."""
+    cfg = getattr(module_cfg, "instance", module_cfg)
+    if isinstance(cfg, SongUNetV2Config):
+        from ace_tpu.downscaling.song_unet import SongUNetV2
+
+        return SongUNetV2(
+            img_resolution=min(fine_shape),
+            # latents + conditioning, the reference's
+            # n_in_channels_conditioned (diffusion_registry.py:131)
+            in_channels=out_channels + cond_channels,
+            out_channels=out_channels,
+            model_channels=cfg.model_channels,
+            channel_mult=tuple(cfg.channel_mult),
+            channel_mult_emb=cfg.channel_mult_emb,
+            num_blocks=cfg.num_blocks,
+            attn_resolutions=tuple(cfg.attn_resolutions),
+            dropout=cfg.dropout,
+            label_dropout=cfg.label_dropout,
+            embedding_type=cfg.embedding_type,
+            channel_mult_noise=cfg.channel_mult_noise,
+            encoder_type=cfg.encoder_type,
+            decoder_type=cfg.decoder_type,
+            resample_filter=tuple(cfg.resample_filter),
+            bottleneck_attention=cfg.bottleneck_attention,
+            checkpointing=cfg.checkpointing,
+            dtype=jnp.dtype(cfg.compute_dtype),
+        )
+    return DiffusionUNet(
+        out_channels=out_channels,
+        base_channels=cfg.base_channels,
+        channel_mults=tuple(cfg.channel_mults),
+        num_res_blocks=cfg.num_res_blocks,
+        attn_levels=tuple(cfg.attn_levels),
+        bottleneck_attention=cfg.bottleneck_attention,
+        num_heads=cfg.num_heads,
+        dtype=jnp.dtype(cfg.compute_dtype),
+    )
+
+
+@dataclasses.dataclass
 class LossWeightsConfig:
     """(reference: fme/downscaling/models.py:81 LossWeightsConfig).
 
@@ -73,7 +182,12 @@ class DiffusionModelConfig:
     in_names: list[str]
     out_names: list[str]
     normalization: PairedNormalizationConfig
-    module: UNetConfig = dataclasses.field(default_factory=UNetConfig)
+    # legacy compact-UNet fields directly, or a {type, config} selector
+    # (reference: DiffusionModuleRegistrySelector) choosing
+    # "unet_diffusion_song_v2" or "unet"
+    module: UNetConfig | DiffusionModuleSelector = dataclasses.field(
+        default_factory=UNetConfig
+    )
     downscale_factor: int = 1
     sigma_min: float = 0.002
     sigma_max: float = 80.0
@@ -129,15 +243,17 @@ class DiffusionModel:
         self.fine_normalizer: StandardNormalizer = (
             config.normalization.fine.build(config.out_names)
         )
-        self.net = DiffusionUNet(
+        nlat, nlon = dataset_info.img_shape
+        f = config.downscale_factor
+        n_static = (
+            self.static_inputs.shape[-1]
+            if config.use_fine_topography else 0
+        )
+        self.net = _build_net(
+            config.module,
             out_channels=len(config.out_names),
-            base_channels=config.module.base_channels,
-            channel_mults=tuple(config.module.channel_mults),
-            num_res_blocks=config.module.num_res_blocks,
-            attn_levels=tuple(config.module.attn_levels),
-            bottleneck_attention=config.module.bottleneck_attention,
-            num_heads=config.module.num_heads,
-            dtype=jnp.dtype(config.module.compute_dtype),
+            cond_channels=len(config.in_names) + n_static,
+            fine_shape=(nlat * f, nlon * f),
         )
         self.params: Any = None
         self._noise_dist = (
@@ -175,8 +291,17 @@ class DiffusionModel:
         self.params = jax.jit(self.net.init)(rng, x, cond, sigma)
         return self.params
 
-    def _denoiser(self, params):
+    def _denoiser(self, params, dropout_rng=None):
         def raw(x, cond, c_noise):
+            if dropout_rng is not None and getattr(
+                self.net, "dropout", 0.0
+            ):
+                # train-mode dropout (SongUNetV2; reference trains the
+                # Song backbone with dropout=0.10 by default)
+                return self.net.apply(
+                    params, x, cond, c_noise, False,
+                    rngs={"dropout": dropout_rng},
+                )
             return self.net.apply(params, x, cond, c_noise)
 
         return edm_precondition(raw, sigma_data=self.config.sigma_data)
@@ -253,8 +378,10 @@ class DiffusionModel:
                 lw.output_channels.get(n, 1.0)
                 for n in self.config.out_names
             ])
+        rng, dropout_rng = jax.random.split(rng)
         return edm_loss(
-            self._denoiser(params), rng, target, cond,
+            self._denoiser(params, dropout_rng=dropout_rng), rng, target,
+            cond,
             noise_distribution=self._noise_dist,
             sigma_data=self.config.sigma_data,
             loss_weight_exponent=lw.noise_weight_exponent,

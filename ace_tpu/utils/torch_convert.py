@@ -745,3 +745,84 @@ def torch_fcn3_to_flax(torch_state: Mapping[str, Any],
             )[:, 0, 0, 0]
         params[f"block_{i}"] = block
     return {"params": params}
+
+
+def torch_songunet_v2_to_flax(torch_state: Mapping[str, Any]) -> dict:
+    """Map a reference SongUNetv2 state_dict (reference:
+    fme/downscaling/modules/physicsnemo_unets_v2/unets.py:88) to the
+    ace_tpu SongUNetV2 flax param tree.
+
+    Routing is shape-driven: 4-D tensors are conv weights
+    ([O, I, kh, kw] -> HWIO), 2-D are linear weights ([O, I] -> [I, O]),
+    1-D are norm/bias vectors. ``resample_filter`` buffers are constants
+    on the flax side and skipped.
+    """
+
+    def arr(v):
+        return np.asarray(
+            v.detach().cpu().numpy() if hasattr(v, "detach") else v
+        )
+
+    params: dict = {}
+
+    def put(path: list[str], value):
+        node = params
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = value
+
+    for key, v in torch_state.items():
+        if key.endswith("resample_filter"):
+            continue
+        val = arr(v)
+        parts = key.split(".")
+        if parts[0] in ("enc", "dec"):
+            # "enc.8x8_block0.conv0.weight" -> enc_8x8_block0 / ...
+            head = f"{parts[0]}_{parts[1]}"
+            rest = parts[2:]
+            if "aux_residual" in parts[1]:
+                # fused-resample conv: bare nn.Conv + separate bias param
+                if rest == ["weight"]:
+                    put([f"{head}_conv", "kernel"],
+                        val.transpose(2, 3, 1, 0))
+                elif rest == ["bias"]:
+                    put([f"{head}_bias"], val)
+                else:
+                    raise KeyError(f"unmapped SongUNetv2 key {key}")
+                continue
+            path = [head]
+            # submodule chain (norm0, conv0, affine, attn.qkv, ...)
+            for sub in rest[:-1]:
+                path.append(sub)
+            leaf = rest[-1]
+            if val.ndim == 4:
+                put(path + ["conv", "kernel"], val.transpose(2, 3, 1, 0))
+            elif val.ndim == 2:
+                put(path + ["linear", "kernel"], val.transpose(1, 0))
+            elif leaf == "weight":
+                put(path + ["weight"], val)
+            elif leaf == "bias":
+                # conv bias vs norm bias: conv submodules wrap nn.Conv
+                if path[-1].startswith(("conv", "skip", "qkv", "proj")) \
+                        or path[-1].endswith(("_conv", "aux_skip")):
+                    put(path + ["conv", "bias"], val)
+                elif path[-1] in ("affine",) or path[-1].startswith("map"):
+                    put(path + ["linear", "bias"], val)
+                elif path[-1].endswith("aux_norm") or "norm" in path[-1]:
+                    put(path + ["bias"], val)
+                else:
+                    put(path + ["bias"], val)
+            else:
+                raise KeyError(f"unmapped SongUNetv2 key {key}")
+        elif parts[0] == "spatial_emb":
+            put(["spatial_emb"], np.moveaxis(val, 1, -1))
+        elif parts[0] == "map_noise" and parts[-1] == "freqs":
+            put(["map_noise", "freqs"], val)
+        elif parts[0].startswith("map_"):
+            if val.ndim == 2:
+                put([parts[0], "linear", "kernel"], val.transpose(1, 0))
+            else:
+                put([parts[0], "linear", "bias"], val)
+        else:
+            raise KeyError(f"unmapped SongUNetv2 key {key}")
+    return {"params": params}

@@ -159,15 +159,29 @@ def _bench_rollout(stepper, batch, n_steps, n_repeats=3):
         float(rollout(params, state.data, forcing, state.stepper_state))
     elapsed = time.time() - t0
     steps_per_sec = n_steps * n_repeats / elapsed
-    # model FLOPs from the compiled program, once per rollout
+    # model FLOPs PER STEP from a 1-step program: cost_analysis of the
+    # n-step rollout counts the lax.scan body once, so dividing the
+    # 20-step program's flops by 20 understates per-step work ~20x
     try:
-        cost = rollout.lower(
-            params, state.data, forcing, state.stepper_state
+        ic1, forcing1 = _synthetic(
+            batch, 1, forcing_names=stepper.forcing_window_names
+        )
+        state1 = stepper.get_initial_state(PrognosticState(data=ic1))
+
+        @jax.jit
+        def one_step(params, ic_data, forcing, st):
+            outputs, _, final = stepper.predict_fn(
+                params, ic_data, forcing, st, jax.random.PRNGKey(0)
+            )
+            return jnp.mean(outputs["PRESsfc"][:, -1])
+
+        cost = one_step.lower(
+            params, state1.data, forcing1, state1.stepper_state
         ).compile().cost_analysis()
-        flops = float(cost.get("flops", 0.0)) or None
+        flops_per_step = float(cost.get("flops", 0.0)) or None
     except Exception:
-        flops = None
-    return steps_per_sec, compile_s, flops
+        flops_per_step = None
+    return steps_per_sec, compile_s, flops_per_step
 
 
 def _bench_train_step(stepper, batch, n_repeats=5):
@@ -229,25 +243,31 @@ def _bench_train_step(stepper, batch, n_repeats=5):
         batch_data[k] = arr
     # donate=True: old params/opt buffers are reused for the update,
     # halving optimizer-state HBM (760M params x f32 x {p, mu, nu} would
-    # otherwise be double-buffered across the step boundary)
+    # otherwise be double-buffered across the step boundary). AOT
+    # lower/compile once and execute the compiled object directly so
+    # exactly ONE executable exists (the jit-cache path would build a
+    # second one for cost_analysis, and on a 16 GB chip the flagship has
+    # no headroom for duplicated program allocations).
     train_step = ts.build_train_step(donate=True)
-
-    def run(params, opt_state):
-        new_params, new_opt, metrics = train_step(
-            params, opt_state, batch_data, jax.random.PRNGKey(2)
-        )
-        return new_params, new_opt, float(metrics["loss"])
-
+    key = jax.random.PRNGKey(2)
+    t0 = time.time()
+    compiled = train_step.lower(
+        params, opt_state, batch_data, key
+    ).compile()
+    compile_s = time.time() - t0
     try:
-        cost = train_step.lower(
-            params, opt_state, batch_data, jax.random.PRNGKey(2)
-        ).compile().cost_analysis()
+        cost = compiled.cost_analysis()
         flops = float(cost.get("flops", 0.0)) or None
     except Exception:
         flops = None
-    t0 = time.time()
-    params, opt_state, _ = run(params, opt_state)
-    compile_s = time.time() - t0
+
+    def run(params, opt_state):
+        new_params, new_opt, metrics = compiled(
+            params, opt_state, batch_data, key
+        )
+        return new_params, new_opt, float(metrics["loss"])
+
+    params, opt_state, _ = run(params, opt_state)  # warm-up execution
     t0 = time.time()
     for _ in range(n_repeats):
         params, opt_state, _ = run(params, opt_state)
@@ -283,18 +303,16 @@ def main(smoke: bool = False):
                        }}
 
     n_steps = 20
-    flagship = _stepper(flagship_builder)
-    fl_steps, fl_compile, fl_flops = _bench_rollout(flagship, 1, n_steps)
-    fl_mfu = (
-        round(fl_steps * fl_flops / n_steps / peak, 4)
-        if (peak and fl_flops) else None
-    )
 
-    # per-chip batch 1 (x2 CRPS ensemble members): the flagship's f32
-    # Adam state (~13 GB for 3.2 GB of params) leaves little HBM on one
-    # 16 GB v5e — the reference trains this on 4x80 GB GPUs; multi-chip
-    # runs shard the batch. checkpointing=1 remats per block so the
-    # backward holds one block's activations at a time.
+    # train bench FIRST, with nothing else resident: the flagship train
+    # step peaks at ~14.7 GB of 15.5 GB usable HBM (args 8.0 + temps 6.4
+    # + code 0.3, memory_analysis), so executables/constants left over
+    # from a prior rollout phase would push it over. checkpointing=1
+    # remats per block so the backward holds one block's activations at
+    # a time; batch 1 x2 CRPS ensemble members (the reference trains
+    # this on 4x80 GB GPUs; multi-chip runs shard the batch).
+    import gc
+
     flagship_train = _stepper(
         {**flagship_builder,
          "config": {**flagship_builder["config"], "checkpointing": 1}}
@@ -305,6 +323,15 @@ def main(smoke: bool = False):
     tr_mfu = (
         round(tr_flops / tr_step_s / peak, 4)
         if (peak and tr_flops) else None
+    )
+    del flagship_train
+    gc.collect()
+
+    flagship = _stepper(flagship_builder)
+    fl_steps, fl_compile, fl_flops = _bench_rollout(flagship, 1, n_steps)
+    fl_mfu = (
+        round(fl_steps * fl_flops / peak, 4)
+        if (peak and fl_flops) else None
     )
 
     sfno256 = _stepper(sfno256_builder)
