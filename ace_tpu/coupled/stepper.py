@@ -3,37 +3,125 @@
 CoupledStepperConfig).
 
 The atmosphere takes ``n_inner_steps`` fast steps per slow ocean step
-(n_inner = ocean_timestep / atmosphere_timestep). Exchange per outer step:
-- the ocean's SST (renamed to the atmosphere's surface-temperature name) is
-  held constant as atmosphere forcing during the inner steps, applied by
-  the atmosphere step's own SST prescriber;
+(n_inner = ocean_timestep / atmosphere_timestep). Exchange per outer step
+(reference :1150 get_prediction_generator):
+- every ocean output the atmosphere needs (the SST — renamed to the
+  atmosphere's surface-temperature name — plus any other ocean
+  prognostics appearing among the atmosphere's inputs) is held constant
+  as atmosphere forcing during the inner steps; the ocean's current SST
+  is also prescribed onto the atmosphere's initial condition at the top
+  of EVERY outer step (reference :986 _prescribe_ic_sst);
 - atmosphere outputs required by the ocean (surface fluxes) are
-  time-averaged over the inner window and fed as ocean forcing;
+  time-averaged over the inner window and fed as next-step ocean forcing;
 - exogenous forcings shared by both components are read from the
-  atmosphere's forcing stream and time-averaged for the ocean.
+  atmosphere's forcing stream and time-averaged for the ocean;
+- optionally (ocean_fraction_prediction) the atmosphere's ocean fraction
+  is computed at runtime from the ocean-predicted sea-ice fraction and
+  the land fraction instead of being read from data (reference :86
+  CoupledOceanFractionConfig).
 
 The full coupled rollout is one jitted function (inner rollout is the
 atmosphere stepper's scan; the outer loop unrolls at trace time).
 """
 
 import dataclasses
+import datetime
 from typing import Any
 
 import jax
 import jax.numpy as jnp
 
 from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.ocean_data import OCEAN_FIELD_NAME_PREFIXES
 from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.stepper.stepper import PrognosticState, Stepper, StepperConfig
 
 
+def _parse_timedelta(value: str) -> datetime.timedelta:
+    """ISO 8601 / pandas duration string -> timedelta
+    (reference: coupled/stepper.py:291 pd.Timedelta)."""
+    import pandas as pd
+
+    return pd.Timedelta(value).to_pytimedelta()
+
+
 @dataclasses.dataclass
 class CoupledComponentConfig:
-    """One coupled component (reference: coupled/stepper.py component
-    configs hold a StepperConfig each).
+    """One coupled component (reference: coupled/stepper.py:70
+    ComponentConfig).
+
+    timedelta: ISO 8601 duration of this component's step (e.g. "PT6H",
+        "1D"). Optional here: when omitted it is taken from the
+        component's dataset; when given it is validated against the
+        dataset at get_stepper time.
     """
 
     stepper: StepperConfig
+    timedelta: str | None = None
+
+
+@dataclasses.dataclass
+class CoupledOceanFractionConfig:
+    """Compute the atmosphere's ocean fraction at runtime from the
+    ocean-predicted sea-ice fraction and the (atmosphere-data) land
+    fraction (reference: coupled/stepper.py:86)."""
+
+    sea_ice_fraction_name: str
+    land_fraction_name: str
+    sea_ice_fraction_name_in_atmosphere: str | None = None
+
+    def __post_init__(self):
+        self._canonical_sea_ice_fraction_name()
+
+    def _canonical_sea_ice_fraction_name(self) -> str:
+        name = self.sea_ice_fraction_name
+        if name in OCEAN_FIELD_NAME_PREFIXES["sea_ice_fraction"]:
+            return "sea_ice_fraction"
+        if name in OCEAN_FIELD_NAME_PREFIXES["ocean_sea_ice_fraction"]:
+            return "ocean_sea_ice_fraction"
+        raise ValueError(
+            f"CoupledOceanFractionConfig expected {name} to be registered "
+            "in OCEAN_FIELD_NAME_PREFIXES as a sea ice fraction."
+        )
+
+    def validate_ocean_prognostic_names(self, prognostic_names):
+        if self.sea_ice_fraction_name not in prognostic_names:
+            raise ValueError(
+                f"CoupledOceanFractionConfig expected "
+                f"{self.sea_ice_fraction_name} to be a prognostic variable "
+                "of the ocean model, but it is not."
+            )
+
+    def validate_atmosphere_forcing_names(self, forcing_names):
+        if self.land_fraction_name not in forcing_names:
+            raise ValueError(
+                f"CoupledOceanFractionConfig expected "
+                f"{self.land_fraction_name} to be an ML forcing of the "
+                "atmosphere model, but it is not."
+            )
+
+    def filter_atmosphere_forcing_names(
+        self, unfiltered_names, ocean_fraction_name: str
+    ) -> list[str]:
+        """Remove ocean fraction and (atmosphere-side) sea-ice fraction
+        from atmosphere forcing names: both are computed at runtime
+        (reference :143)."""
+        sea_ice_name = (
+            self.sea_ice_fraction_name_in_atmosphere
+            or self.sea_ice_fraction_name
+        )
+        return [
+            n for n in unfiltered_names
+            if n not in (ocean_fraction_name, sea_ice_name)
+        ]
+
+    def compute(self, sea_ice_fraction, land_fraction):
+        """(sea_ice_fraction, land_fraction) -> (sea_ice, ocean_fraction)
+        (reference :171 build_ocean_data + OceanData.ocean_fraction:
+        ocean = 1 - land - sea_ice, clipped at 0)."""
+        sea_ice = jnp.nan_to_num(sea_ice_fraction)
+        ocean = jnp.clip(1.0 - land_fraction - sea_ice, min=0)
+        return sea_ice, ocean
 
 
 @dataclasses.dataclass
@@ -49,12 +137,24 @@ class CoupledStepperConfig:
     atmosphere: CoupledComponentConfig
     ocean: CoupledComponentConfig
     sst_name: str = "sst"
+    ocean_fraction_prediction: CoupledOceanFractionConfig | None = None
 
     def get_stepper(
         self,
         atmosphere_info: DatasetInfo,
         ocean_info: DatasetInfo,
     ) -> "CoupledStepper":
+        for cfg, info, label in (
+            (self.atmosphere, atmosphere_info, "atmosphere"),
+            (self.ocean, ocean_info, "ocean"),
+        ):
+            if cfg.timedelta is not None and info.timestep is not None:
+                configured = _parse_timedelta(cfg.timedelta)
+                if configured != info.timestep:
+                    raise ValueError(
+                        f"{label} config timedelta {cfg.timedelta} does "
+                        f"not match the dataset timestep {info.timestep}"
+                    )
         atmos = self.atmosphere.stepper.get_stepper(atmosphere_info)
         ocean = self.ocean.stepper.get_stepper(ocean_info)
         return CoupledStepper(self, ocean=ocean, atmosphere=atmos)
@@ -66,14 +166,13 @@ class CoupledStepper:
         self._config = config
         self.ocean = ocean
         self.atmosphere = atmosphere
-        if self.sst_name not in ocean.out_names:
+        self._validate()
+        a_dt = self._component_timestep(config.atmosphere, atmosphere)
+        o_dt = self._component_timestep(config.ocean, ocean)
+        if a_dt > o_dt:
             raise ValueError(
-                f"{self.sst_name} not in the ocean's output names"
+                "Atmosphere timedelta must not be larger than ocean's."
             )
-        a_dt = atmosphere.dataset_info.timestep
-        o_dt = ocean.dataset_info.timestep
-        if a_dt is None or o_dt is None:
-            raise ValueError("both components need a dataset timestep")
         ratio = o_dt.total_seconds() / a_dt.total_seconds()
         if ratio != int(ratio) or ratio < 1:
             raise ValueError(
@@ -81,6 +180,83 @@ class CoupledStepper:
                 f"atmosphere timestep {a_dt}"
             )
         self._n_inner = int(ratio)
+
+    @staticmethod
+    def _component_timestep(cfg: CoupledComponentConfig,
+                            stepper: Stepper) -> datetime.timedelta:
+        if cfg.timedelta is not None:
+            return _parse_timedelta(cfg.timedelta)
+        dt = stepper.dataset_info.timestep
+        if dt is None:
+            raise ValueError(
+                "coupled components need a timestep (from the component "
+                "config timedelta or the dataset)"
+            )
+        return dt
+
+    def _validate(self):
+        """Component compatibility rules
+        (reference: coupled/stepper.py:524 _validate_component_configs)."""
+        config = self._config
+        ocean_cfg = self.atmosphere.step.config.ocean
+        if ocean_cfg is None:
+            raise ValueError(
+                "The atmosphere stepper 'ocean' config is missing but must "
+                "be set for coupled emulation."
+            )
+        if ocean_cfg.is_slab:
+            raise ValueError(
+                "The atmosphere stepper 'ocean' config cannot use 'slab' "
+                "for coupled emulation."
+            )
+        duplicates = set(self.ocean.out_names) & set(
+            self.atmosphere.out_names
+        )
+        if duplicates:
+            raise ValueError(
+                "Output variable names of CoupledStepper components cannot "
+                f"overlap. Found the following duplicated names: "
+                f"{sorted(duplicates)}"
+            )
+        # ocean diagnostics cannot force the atmosphere: only ocean
+        # prognostics persist across the coupled window
+        ocean_diags_as_forcings = sorted(
+            (self._atmosphere_input_only & set(self.ocean.out_names))
+            - set(self.ocean.step.input_names)
+        )
+        if ocean_diags_as_forcings:
+            raise ValueError(
+                "CoupledStepper only supports ocean prognostic variables "
+                "as atmosphere forcings, but the following ocean diagnostic "
+                "variables are inputs to the atmosphere: "
+                f"{ocean_diags_as_forcings}."
+            )
+        # atmosphere-supplied ocean forcings are window averages aligned
+        # to the END of the ocean step, so they must be declared
+        # next-step forcings on the ocean side
+        missing_next_step = sorted(
+            set(self._atmosphere_to_ocean_forcing_names)
+            - set(self.ocean.step.next_step_forcing_names)
+        )
+        if missing_next_step:
+            raise ValueError(
+                "The following variables which are atmosphere component "
+                "outputs and ocean component inputs were not found among "
+                f"the ocean's next_step_forcing_names: {missing_next_step}."
+            )
+        if config.sst_name not in self.ocean.out_names:
+            raise ValueError(
+                f"The variable {config.sst_name} is not in the ocean's "
+                "output names but is required for coupling with the "
+                "atmosphere."
+            )
+        if config.ocean_fraction_prediction is not None:
+            config.ocean_fraction_prediction.validate_ocean_prognostic_names(
+                self.ocean.prognostic_names
+            )
+            config.ocean_fraction_prediction.validate_atmosphere_forcing_names(
+                self._atmosphere_input_only
+            )
 
     @property
     def config(self) -> CoupledStepperConfig:
@@ -97,46 +273,117 @@ class CoupledStepper:
     @property
     def surface_temperature_name(self) -> str:
         """Atmosphere-side SST name (from its ocean/prescriber config)."""
-        ocean_cfg = self.atmosphere.step.config.ocean
-        if ocean_cfg is None:
-            raise ValueError(
-                "coupled atmosphere stepper requires an ocean (SST "
-                "prescription) config"
-            )
-        return ocean_cfg.surface_temperature_name
+        return self.atmosphere.step.config.ocean.surface_temperature_name
+
+    @property
+    def ocean_fraction_name(self) -> str:
+        return self.atmosphere.step.config.ocean.ocean_fraction_name
+
+    @property
+    def _atmosphere_input_only(self) -> set[str]:
+        return (
+            set(self.atmosphere.step.input_names)
+            - set(self.atmosphere.out_names)
+        )
+
+    @property
+    def _ocean_input_only(self) -> set[str]:
+        return set(self.ocean.step.input_names) - set(self.ocean.out_names)
 
     @property
     def _ocean_to_atmosphere_forcing_names(self) -> list[str]:
-        return [self.sst_name]
+        """All ocean outputs the atmosphere needs, plus the SST (and the
+        ocean-side sea-ice fraction when ocean fraction is predicted)
+        (reference :337)."""
+        names = self._atmosphere_input_only & set(self.ocean.out_names)
+        names.add(self.sst_name)
+        ofrac = self._config.ocean_fraction_prediction
+        if ofrac is not None:
+            names.add(ofrac.sea_ice_fraction_name)
+        return sorted(names)
 
     @property
     def _atmosphere_to_ocean_forcing_names(self) -> list[str]:
-        """Ocean forcings produced by the atmosphere (e.g. surface fluxes)."""
-        ocean_inputs = set(self.ocean.forcing_window_names)
-        return sorted(ocean_inputs & set(self.atmosphere.out_names))
+        """Ocean forcings produced by the atmosphere (e.g. surface fluxes)
+        (reference :324)."""
+        return sorted(self._ocean_input_only & set(self.atmosphere.out_names))
+
+    @property
+    def _ocean_forcing_exogenous_names(self) -> list[str]:
+        return sorted(
+            self._ocean_input_only - set(self.atmosphere.out_names)
+        )
+
+    @property
+    def _atmosphere_forcing_exogenous_names(self) -> list[str]:
+        names = sorted(self._atmosphere_input_only - set(self.ocean.out_names))
+        ofrac = self._config.ocean_fraction_prediction
+        if ofrac is not None:
+            names = ofrac.filter_atmosphere_forcing_names(
+                names, self.ocean_fraction_name
+            )
+        return names
 
     @property
     def _shared_forcing_exogenous_names(self) -> list[str]:
-        """Exogenous forcings shared by both (read from atmosphere data)."""
-        ocean_inputs = set(self.ocean.forcing_window_names)
-        atmos_forcings = set(self.atmosphere.forcing_window_names)
-        return sorted(ocean_inputs & atmos_forcings)
+        """Exogenous forcings shared by both (read from atmosphere data)
+        (reference :319)."""
+        return sorted(
+            set(self._ocean_forcing_exogenous_names)
+            & set(self._atmosphere_forcing_exogenous_names)
+        )
 
     @property
     def atmosphere_forcing_window_names(self) -> list[str]:
-        """Names required from the atmosphere forcing dataset."""
-        supplied_by_ocean = {self.surface_temperature_name}
+        """Names required from the atmosphere forcing dataset
+        (reference :455: exogenous + prescribed prognostics; ocean-supplied
+        fields come from the ocean state, not the dataset)."""
+        prescribed = getattr(
+            self.atmosphere.step.config, "prescribed_prognostic_names", []
+        )
         return sorted(
-            set(self.atmosphere.forcing_window_names) - supplied_by_ocean
+            set(self._atmosphere_forcing_exogenous_names) | set(prescribed)
         )
 
     @property
     def ocean_forcing_window_names(self) -> list[str]:
-        """Names required from the ocean forcing dataset."""
-        supplied = set(self._atmosphere_to_ocean_forcing_names) | set(
-            self._shared_forcing_exogenous_names
+        """Names required from the ocean forcing dataset (reference :475)."""
+        prescribed = getattr(
+            self.ocean.step.config, "prescribed_prognostic_names", []
         )
-        return sorted(set(self.ocean.forcing_window_names) - supplied)
+        return sorted(
+            (set(self._ocean_forcing_exogenous_names)
+             - set(self._shared_forcing_exogenous_names))
+            | set(prescribed)
+        )
+
+    @property
+    def all_atmosphere_names(self) -> list[str]:
+        """Atmosphere dataset requirements (reference :344)."""
+        names = (
+            set(self.atmosphere.step.input_names)
+            | set(self.atmosphere.out_names)
+        ) - set(self.ocean.out_names)
+        ofrac = self._config.ocean_fraction_prediction
+        if ofrac is not None:
+            names = set(ofrac.filter_atmosphere_forcing_names(
+                names, self.ocean_fraction_name
+            ))
+        return sorted(names)
+
+    @property
+    def all_ocean_names(self) -> list[str]:
+        """Ocean dataset requirements; shared forcings read from the
+        atmosphere data are excluded (reference :358)."""
+        names = (
+            set(self.ocean.step.input_names) | set(self.ocean.out_names)
+        ) - set(self.all_atmosphere_names)
+        ofrac = self._config.ocean_fraction_prediction
+        if ofrac is not None:
+            # kept on the atmosphere side; land fraction needed to derive
+            # ocean fraction comes from atmosphere data
+            names -= {ofrac.land_fraction_name}
+        return sorted(names)
 
     def init_params(self, rng: jax.Array):
         k1, k2 = jax.random.split(rng)
@@ -151,6 +398,48 @@ class CoupledStepper:
             "atmosphere": self.atmosphere.params,
             "ocean": self.ocean.params,
         }
+
+    def _mask_ocean_fields(self, fields: TensorDict) -> TensorDict:
+        """Zero ocean-invalid points of ocean-supplied forcings using the
+        ocean dataset masks (reference :1050-1056)."""
+        provider = self.ocean.dataset_info.mask_provider
+        if provider is None:
+            return fields
+        out = dict(fields)
+        for name, tensor in fields.items():
+            mask = provider.get_mask_for(name)
+            if mask is not None:
+                out[name] = jnp.where(jnp.asarray(mask) != 0, tensor, 0.0)
+        return out
+
+    def _forcings_from_ocean(
+        self,
+        ocean_state_data: TensorMapping,
+        atmosphere_forcing_window: TensorMapping,
+        n_inner: int,
+    ) -> TensorDict:
+        """Constant-over-window atmosphere forcings taken from the ocean
+        state (reference :1090 _get_atmosphere_forcings)."""
+        sst_atmos_name = self.surface_temperature_name
+        fields: TensorDict = {}
+        for k in self._ocean_to_atmosphere_forcing_names:
+            name = sst_atmos_name if k == self.sst_name else k
+            v = ocean_state_data[k]  # [B, 1, ...]
+            fields[name] = jnp.broadcast_to(
+                v, (v.shape[0], n_inner + 1, *v.shape[2:])
+            )
+        ofrac_cfg = self._config.ocean_fraction_prediction
+        if ofrac_cfg is not None:
+            sea_ice_atmos_name = (
+                ofrac_cfg.sea_ice_fraction_name_in_atmosphere
+                or ofrac_cfg.sea_ice_fraction_name
+            )
+            sea_ice = fields.pop(ofrac_cfg.sea_ice_fraction_name)
+            land = atmosphere_forcing_window[ofrac_cfg.land_fraction_name]
+            sea_ice, ocean_frac = ofrac_cfg.compute(sea_ice, land)
+            fields[sea_ice_atmos_name] = sea_ice
+            fields[self.ocean_fraction_name] = ocean_frac
+        return self._mask_ocean_fields(fields)
 
     def predict(
         self,
@@ -194,39 +483,18 @@ class CoupledStepper:
             initial_condition.ocean_data
         )
         sst_atmos_name = self.surface_temperature_name
-        # prescribe the ocean's IC SST onto the atmosphere IC over the
-        # ocean mask so the very first inner step is driven by the
-        # coupled state, not the atmosphere dataset's surface temperature
-        # (reference fme/coupled/stepper.py:986 _prescribe_ic_sst)
+        ofrac_name = self.ocean_fraction_name
         ocean_cfg = self.atmosphere.step.config.ocean
-        ofrac_name = ocean_cfg.ocean_fraction_name
-        if (
-            sst_atmos_name in atmos_state.data
-            and ofrac_name in atmosphere_forcing
-        ):
-            from ace_tpu.core.ocean import Prescriber
 
-            prescriber = Prescriber(
-                prescribed_name=sst_atmos_name,
-                mask_name=ofrac_name,
-                mask_value=1,
-                interpolate=ocean_cfg.interpolate,
-            )
-            ic_ts = atmos_state.data[sst_atmos_name]
-            n_ic = ic_ts.shape[1]
-            sst_ic = jnp.broadcast_to(
-                ocean_state.data[self.sst_name][:, :1],
-                ic_ts.shape,
-            )
-            blended = prescriber(
-                {ofrac_name: atmosphere_forcing[ofrac_name][:, :n_ic]},
-                {sst_atmos_name: ic_ts},
-                {sst_atmos_name: sst_ic},
-            )[sst_atmos_name]
-            atmos_state = dataclasses.replace(
-                atmos_state,
-                data={**atmos_state.data, sst_atmos_name: blended},
-            )
+        from ace_tpu.core.ocean import Prescriber
+
+        prescriber = Prescriber(
+            prescribed_name=sst_atmos_name,
+            mask_name=ofrac_name,
+            mask_value=1,
+            interpolate=ocean_cfg.interpolate,
+        )
+
         atmos_outputs: list[TensorDict] = []
         ocean_outputs: list[TensorDict] = []
         for i_outer in range(n_outer):
@@ -237,11 +505,28 @@ class CoupledStepper:
                 for k, v in atmosphere_forcing.items()
                 if k in self.atmosphere_forcing_window_names
             }
-            # ocean SST (IC of this outer step), constant over inner steps
-            sst = ocean_state.data[self.sst_name]  # [B, 1, ...]
-            atmos_window[sst_atmos_name] = jnp.broadcast_to(
-                sst, (sst.shape[0], n_inner + 1, *sst.shape[2:])
-            )
+            # the ocean state (IC of this outer step) supplies the SST —
+            # renamed — and every other ocean output the atmosphere
+            # needs, constant over the inner steps
+            atmos_window.update(self._forcings_from_ocean(
+                ocean_state.data, atmos_window, n_inner
+            ))
+            # prescribe the current ocean SST onto the atmosphere IC over
+            # the ocean mask at the top of EVERY outer step, so the first
+            # inner step's input carries this outer step's coupled SST
+            # (reference :986 _prescribe_ic_sst, called per outer step)
+            if sst_atmos_name in atmos_state.data:
+                ic_ts = atmos_state.data[sst_atmos_name]
+                n_ic = ic_ts.shape[1]
+                blended = prescriber(
+                    {ofrac_name: atmos_window[ofrac_name][:, :n_ic]},
+                    {sst_atmos_name: ic_ts},
+                    {sst_atmos_name: atmos_window[sst_atmos_name][:, :n_ic]},
+                )[sst_atmos_name]
+                atmos_state = dataclasses.replace(
+                    atmos_state,
+                    data={**atmos_state.data, sst_atmos_name: blended},
+                )
             a_out, atmos_state = self.atmosphere.predict(
                 atmos_state, atmos_window, rng=k_a
             )
@@ -264,7 +549,7 @@ class CoupledStepper:
                 )
                 ocean_window[k] = jnp.concatenate([avg, avg], axis=1)
             o_out, ocean_state = self.ocean.predict(
-                ocean_state, ocean_window, rng=k_o
+                ocean_state, ocean_window, rng=k_o, n_forward=1
             )
             ocean_outputs.append(o_out)
 

@@ -85,16 +85,13 @@ class CoupledTrainer:
         )
         n_inner = self.coupled.n_inner_steps
         n_outer = config.n_coupled_steps
-        atmos_names = sorted(
-            set(self.coupled.atmosphere.step.input_names)
-            | set(self.coupled.atmosphere.step.output_names)
-        )
-        ocean_names = sorted(
-            (set(self.coupled.ocean.step.input_names)
-             | set(self.coupled.ocean.step.output_names))
-            - set(self.coupled._atmosphere_to_ocean_forcing_names)
-            - set(self.coupled._shared_forcing_exogenous_names)
-        )
+        # name partition mirrors the reference's data requirements
+        # (coupled/stepper.py:344 _all_atmosphere_names /
+        # :358 _all_ocean_names): ocean-supplied fields are dropped from
+        # the atmosphere side, shared forcings are read from the
+        # atmosphere data only
+        atmos_names = self.coupled.all_atmosphere_names
+        ocean_names = self.coupled.all_ocean_names
         self.atmos_window = WindowDataset(
             atmos_ds,
             DataRequirements(atmos_names, n_outer * n_inner + 1),

@@ -22,13 +22,14 @@ def test_coupled_train_entry(tmp_path):
         tmp_path / "ocean", ocean_names, n_time=5, timestep_seconds=43200,
     )
 
-    def step_cfg(in_names, out_names, with_ocean, data):
+    def step_cfg(in_names, out_names, with_ocean, data, next_step_forcing_names=None):
         cfg = {
             "type": "single_module",
             "config": {
                 "builder": {"type": "Linear", "config": {}},
                 "in_names": in_names,
                 "out_names": out_names,
+                "next_step_forcing_names": next_step_forcing_names or [],
                 "normalization": {"network": {
                     "global_means_path": str(data.mean_path),
                     "global_stds_path": str(data.std_path),
@@ -61,6 +62,7 @@ def test_coupled_train_entry(tmp_path):
             )}},
             "ocean": {"stepper": {"step": step_cfg(
                 ["sst", "flux"], ["sst"], False, ocean,
+                next_step_forcing_names=["flux"],
             )}},
         },
     }
