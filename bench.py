@@ -340,11 +340,18 @@ def main(smoke: bool = False):
     )
 
     sim_years_per_day = fl_steps * (6 * 3600.0) / (365.25 * 86400.0) * 86400.0
+    # continuity anchor: round 1 measured the SFNO-256 rollout at 49.293
+    # steps/s on this same chip (BENCH_r01.json); the headline metric is
+    # now the flagship config, so the baseline ratio tracks the shared
+    # SFNO-256 measurement
+    vs_baseline = (
+        round(s256_steps / 49.293, 4) if not smoke else None
+    )
     print(json.dumps({
         "metric": "ace2_era5_flagship_rollout_steps_per_sec_per_chip",
         "value": round(fl_steps, 3),
         "unit": "steps/s",
-        "vs_baseline": None,
+        "vs_baseline": vs_baseline,
         "simulated_years_per_day": round(sim_years_per_day, 1),
         "compile_time_s": round(fl_compile, 1),
         "rollout_mfu": fl_mfu,
