@@ -166,6 +166,20 @@ class StepSelector(Selector):
     def get_step(self, dataset_info: DatasetInfo) -> StepABC:
         return self.instance.get_step(dataset_info)
 
+    @property
+    def allow_missing_variables(self) -> bool:
+        """Whether the data pipeline may emit presence masks for missing
+        variables (reference: fme/core/step/step.py:234, delegating to
+        the step config's builder; True if ANY builder allows it)."""
+        cfg = self.instance
+        for field in ("builder", "radiation_builder", "secondary_builder"):
+            builder = getattr(cfg, field, None)
+            if builder is not None and getattr(
+                builder, "allow_missing_variables", False
+            ):
+                return True
+        return False
+
     def __getattr__(self, name):
         # delegate name-set properties to the wrapped config
         return getattr(self.instance, name)

@@ -43,6 +43,10 @@ class BatchData:
     # one-hot dataset labels [batch, n_labels] (reference:
     # fme/core/labels.py BatchLabels); None when no labels configured
     labels: Any = None
+    # per-variable [batch] presence masks for variables some samples are
+    # missing (NaN-filled placeholders in ``data``); None = all present
+    # (reference: batch_data.py:81 _collate_with_masking)
+    data_mask: TensorDict | None = None
 
     @property
     def n_timesteps(self) -> int:
@@ -59,7 +63,12 @@ class BatchData:
             data = {k: sharding.put(v) for k, v in self.data.items()}
         else:
             data = {k: jax.device_put(v, sharding) for k, v in self.data.items()}
-        return BatchData(data=data, time=self.time, labels=self.labels)
+        mask = self.data_mask
+        if mask is not None:
+            mask = {k: jax.device_put(v) for k, v in mask.items()}
+        return BatchData(
+            data=data, time=self.time, labels=self.labels, data_mask=mask
+        )
 
     def get_start(self, prognostic_names, n_ic_timesteps: int):
         from ace_tpu.stepper.stepper import PrognosticState
@@ -94,24 +103,56 @@ class PairedData:
 class WindowDataset:
     """Maps sample index -> contiguous time window
     (reference: XarrayDataset sample semantics, xarray.py:534).
+
+    Samples are ``(data, time, missing)`` where ``missing`` is a
+    frozenset of requested variables absent from the dataset; with
+    ``requirements.allow_missing_variables`` those arrive NaN-filled
+    (reference: batch_data.py:88 NaN-filled placeholders), otherwise a
+    missing variable raises at read time.
     """
 
     def __init__(self, dataset: XarrayDataset, requirements: DataRequirements):
         self.dataset = dataset
         self.names = requirements.names
         self.n_timesteps = requirements.n_timesteps
+        self.allow_missing = requirements.allow_missing_variables
+        if self.allow_missing:
+            available = set(dataset.names)
+            self._present = [n for n in self.names if n in available]
+            self._missing = frozenset(
+                n for n in self.names if n not in available
+            )
+        else:
+            self._present = list(self.names)
+            self._missing = frozenset()
 
     def __len__(self) -> int:
         if hasattr(self.dataset, "n_windows"):
             return self.dataset.n_windows(self.n_timesteps)
         return max(0, self.dataset.n_times - self.n_timesteps + 1)
 
-    def __getitem__(self, idx: int) -> tuple[dict, TimeCoord]:
+    def _fill_missing(self, data: dict) -> dict:
+        if self._missing:
+            if data:
+                shape = next(iter(data.values())).shape
+            else:
+                shape = (
+                    self.n_timesteps,
+                    *self.dataset.dataset_info.img_shape,
+                )
+            for name in self._missing:
+                data[name] = np.full(shape, np.nan, np.float32)
+        return data
+
+    def __getitem__(self, idx: int) -> tuple[dict, TimeCoord, frozenset]:
         if hasattr(self.dataset, "window_start"):
             # concat datasets enumerate valid (non-boundary-spanning)
             # windows per segment
             idx = self.dataset.window_start(idx, self.n_timesteps)
-        return self.dataset.get_window(idx, self.n_timesteps, self.names)
+        data, time = self.dataset.get_window(
+            idx, self.n_timesteps, self._present
+        )
+        return self._fill_missing(dict(data)), time, self._missing
 
     @property
     def dataset_info(self) -> DatasetInfo:
@@ -134,13 +175,14 @@ class StridedWindowDataset(WindowDataset):
         n = self.dataset.n_times - self.n_timesteps + 1
         return max(0, (n + self.stride - 1) // self.stride)
 
-    def __getitem__(self, idx: int) -> tuple[dict, TimeCoord]:
-        return self.dataset.get_window(
-            idx * self.stride, self.n_timesteps, self.names
+    def __getitem__(self, idx: int) -> tuple[dict, TimeCoord, frozenset]:
+        data, time = self.dataset.get_window(
+            idx * self.stride, self.n_timesteps, self._present
         )
+        return self._fill_missing(dict(data)), time, self._missing
 
 
-def _collate(samples: list[tuple[dict, TimeCoord]]) -> BatchData:
+def _collate(samples: list[tuple]) -> BatchData:
     names = samples[0][0].keys()
     data = {
         k: np.stack([s[0][k] for s in samples], axis=0) for k in names
@@ -149,7 +191,19 @@ def _collate(samples: list[tuple[dict, TimeCoord]]) -> BatchData:
         np.stack([s[1].values for s in samples], axis=0),
         samples[0][1].calendar,
     )
-    return BatchData(data=data, time=time)
+    # per-variable [batch] presence masks, only for variables missing in
+    # at least one sample (reference: batch_data.py:109)
+    data_mask = None
+    missing_sets = [s[2] if len(s) > 2 else frozenset() for s in samples]
+    if any(missing_sets):
+        ever_missing = frozenset().union(*missing_sets)
+        data_mask = {
+            name: np.asarray(
+                [name not in m for m in missing_sets], np.float32
+            )
+            for name in ever_missing
+        }
+    return BatchData(data=data, time=time, data_mask=data_mask)
 
 
 def _dataset_labels(dataset) -> list:
@@ -262,7 +316,8 @@ class DataLoader:
             )
         else:
             labels = jnp.asarray(onehot)
-        return BatchData(data=batch.data, time=batch.time, labels=labels)
+        return BatchData(data=batch.data, time=batch.time, labels=labels,
+                         data_mask=batch.data_mask)
 
     def iter_batches(self, start_batch: int = 0) -> Iterator[BatchData]:
         from ace_tpu.parallel.distributed import BatchPlacement
@@ -312,6 +367,7 @@ class DataLoader:
                                 data=self.modifier(dict(batch.data)),
                                 time=batch.time,
                                 labels=batch.labels,
+                                data_mask=batch.data_mask,
                             )
                         if not put(batch):
                             return
@@ -376,6 +432,7 @@ class SlidingWindowLoader:
             data={k: v[:, sl] for k, v in batch.data.items()},
             time=TimeCoord(batch.time.values[:, sl], batch.time.calendar),
             labels=batch.labels,
+            data_mask=batch.data_mask,
         )
 
     def __iter__(self) -> Iterator[BatchData]:

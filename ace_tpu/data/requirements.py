@@ -9,6 +9,11 @@ import dataclasses
 class DataRequirements:
     names: list[str]
     n_timesteps: int
+    # the loader may omit variables absent from the dataset, emitting
+    # NaN-filled placeholders plus per-variable presence masks
+    # (reference: fme/ace/requirements.py:45); False = missing variables
+    # raise
+    allow_missing_variables: bool = False
 
 
 @dataclasses.dataclass

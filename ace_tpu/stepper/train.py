@@ -208,7 +208,8 @@ class TrainStepper:
     def loss_fn(self, params, batch: TensorMapping, rng: jax.Array,
                 n_steps: int | None = None, labels=None,
                 deterministic: bool = False,
-                corrector_disabled: bool = False):
+                corrector_disabled: bool = False,
+                data_mask: TensorMapping | None = None):
         """Rollout loss over n_steps (defaults to the schedule maximum).
 
         batch: dict of [B, n_forward+1, ...spatial] containing all input,
@@ -237,6 +238,12 @@ class TrainStepper:
 
         if labels is not None:
             labels = expand_ens(labels)
+        # presence masks: [B] per variable; the step sees the
+        # ensemble-folded batch, the loss the original batch axis
+        # (reference: single_module.py train_on_batch data_mask)
+        step_mask = None
+        if data_mask is not None:
+            step_mask = {k: expand_ens(v) for k, v in data_mask.items()}
         state0 = {
             k: expand_ens(batch[k][:, 0]) for k in prognostic_names
         }
@@ -271,6 +278,7 @@ class TrainStepper:
                     deterministic=deterministic,
                     labels=labels,
                     corrector_disabled=corrector_disabled,
+                    data_mask=step_mask,
                 ),
             )
             # static output masking applies during training exactly as in
@@ -288,7 +296,8 @@ class TrainStepper:
                 tgt_l = {k: v[:, None] for k, v in target_t.items()}
             else:
                 gen_l, tgt_l = gen, target_t
-            step_loss = self.step_loss(gen_l, tgt_l, idx)
+            step_loss = self.step_loss(gen_l, tgt_l, idx,
+                                       data_mask=data_mask)
             new_state = {k: masked[k] for k in prognostic_names}
             if cfg.optimize_last_step_only:
                 # all-but-the-last step run without gradient: detaching
@@ -364,11 +373,12 @@ class TrainStepper:
         """
 
         def train_step(params, opt_state, batch, rng, n_steps=None,
-                       labels=None, corrector_disabled=False):
+                       labels=None, corrector_disabled=False,
+                       data_mask=None):
             (loss, metrics), grads = jax.value_and_grad(
                 self.loss_fn, has_aux=True
             )(params, batch, rng, n_steps, labels,
-              False, corrector_disabled)
+              False, corrector_disabled, data_mask)
             updates, new_opt_state = self.optimization.tx.update(
                 grads, opt_state, params
             )
@@ -388,9 +398,11 @@ class TrainStepper:
         )
 
     def build_valid_step(self):
-        def valid_step(params, batch, rng, n_steps=None, labels=None):
+        def valid_step(params, batch, rng, n_steps=None, labels=None,
+                       data_mask=None):
             _, metrics = self.loss_fn(
-                params, batch, rng, n_steps, labels, deterministic=True
+                params, batch, rng, n_steps, labels, deterministic=True,
+                data_mask=data_mask,
             )
             return metrics
 

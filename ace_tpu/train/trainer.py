@@ -198,6 +198,7 @@ class TrainConfig:
                 | set(self.stepper.step.output_names)
             ),
             n_timesteps=self.n_forward_steps + 1,
+            allow_missing_variables=self.stepper.step.allow_missing_variables,
         )
         if self.mesh is not None:
             mesh = self.mesh.build()
@@ -553,6 +554,7 @@ class Trainer:
                 self.params, self.opt_state, batch.data, self._next_rng(),
                 n_steps, batch.labels,
                 epoch < self.train_stepper.corrector_disabled_epochs,
+                batch.data_mask,
             )
             self.train_stepper.optimization._count += 1
             if self._copy_weights is not None:
@@ -591,7 +593,7 @@ class Trainer:
                     break
                 m = self._valid_step(
                     params, batch.data, self._next_rng(), None,
-                    batch.labels,
+                    batch.labels, batch.data_mask,
                 )
                 losses.append(float(m["loss"]))
             if losses:
@@ -625,7 +627,8 @@ class Trainer:
         forcing_names = stepper.forcing_window_names
         for batch in self.valid_data:
             metrics = self._valid_step(
-                params, batch.data, self._next_rng(), None, batch.labels
+                params, batch.data, self._next_rng(), None, batch.labels,
+                batch.data_mask,
             )
             count += 1
             for k, v in metrics.items():

@@ -428,7 +428,7 @@ def test_concat_windows_never_span_segments(tmp_path):
     # valid windows: (5-3+1) + (7-3+1) = 8 (no boundary spanners)
     assert len(window) == 8
     for i in range(len(window)):
-        _, t = window[i]
+        _, t, _ = window[i]
         # contiguous 6-hourly steps within one segment
         np.testing.assert_array_equal(
             np.diff(t.values), 6 * 3600 * 10**6

@@ -229,7 +229,7 @@ def test_compute_dataset_output_loads_in_training_loader(tmp_path):
             n_timesteps=2,
         ),
     )
-    sample, time = window[0]
+    sample, time, _ = window[0]
     assert sample["PRESsfc"].shape == (2, NY, NX)
     assert not np.isnan(sample["air_temperature_0"]).any()
 
