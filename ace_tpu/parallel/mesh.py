@@ -123,3 +123,51 @@ def get_spatial_mesh() -> Mesh | None:
     if int(mesh.shape[H_AXIS]) * int(mesh.shape[W_AXIS]) == 1:
         return None
     return mesh
+
+
+def parameter_spec(shape, mesh: Mesh, axis: str = DATA_AXIS,
+                   min_elements: int = 1 << 16) -> P:
+    """FSDP-style sharding spec for one parameter/optimizer-state leaf:
+    shard the largest dimension divisible by the mesh axis size over
+    ``axis``; replicate leaves that are small or have no divisible
+    dimension. The TPU-native analog of ZeRO-3 weight sharding — XLA
+    inserts the all-gather where a layer consumes the weight and the
+    reduce-scatter in the gradient, riding ICI (scaling-book recipe;
+    the reference's torch DDP replicates instead, so this strictly
+    lowers per-chip HBM vs the reference at equal world size)."""
+    n = int(mesh.shape[axis])
+    if n <= 1:
+        return P()
+    size = 1
+    for d in shape:
+        size *= int(d)
+    if size < min_elements:
+        return P()
+    best = None
+    for i, d in enumerate(shape):
+        if int(d) % n == 0 and (best is None or int(d) > int(shape[best])):
+            best = i
+    if best is None:
+        return P()
+    spec = [None] * len(shape)
+    spec[best] = axis
+    return P(*spec)
+
+
+def shard_parameters(tree, mesh: Mesh, axis: str = DATA_AXIS,
+                     min_elements: int = 1 << 16):
+    """Place a parameter (or optimizer-state) pytree with FSDP-style
+    sharding over ``axis`` (see ``parameter_spec``). Scalars and
+    non-array leaves pass through untouched."""
+
+    def put(leaf):
+        if not hasattr(leaf, "shape") or leaf.ndim == 0:
+            return leaf
+        return jax.device_put(
+            leaf,
+            NamedSharding(
+                mesh, parameter_spec(leaf.shape, mesh, axis, min_elements)
+            ),
+        )
+
+    return jax.tree_util.tree_map(put, tree)

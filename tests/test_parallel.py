@@ -255,3 +255,80 @@ def test_swin_forward_mesh_invariance(mesh_shape):
     reference = _swin_forward(None)
     result = _swin_forward(mesh_shape)
     np.testing.assert_allclose(result, reference, atol=2e-4)
+
+
+def test_fsdp_sharded_train_step_matches_replicated():
+    """FSDP-style parameter + optimizer-state sharding (ZeRO-3 analog,
+    parallel/mesh.py shard_parameters) changes only placement: one full
+    train step from identical initial state produces the same updated
+    parameters as the replicated layout."""
+    from ace_tpu.core.loss import StepLossConfig
+    from ace_tpu.core.optimization import OptimizationConfig
+    from ace_tpu.parallel.mesh import parameter_spec, shard_parameters
+    from ace_tpu.stepper.train import StepperTrainConfig, TrainStepper
+    from tests.test_step_stepper import _selector
+
+    def make_ts():
+        stepper = StepperConfig(step=_selector()).get_stepper(
+            _dataset_info()
+        )
+        return TrainStepper(
+            stepper,
+            StepperTrainConfig(
+                loss=StepLossConfig(type="AreaWeightedMSE"),
+                n_forward_steps=1,
+            ),
+            OptimizationConfig(lr=1e-3, max_grad_norm=1.0),
+        )
+
+    rng = np.random.RandomState(5)
+    batch_np = {
+        k: rng.randn(8, 2, NLAT, NLON).astype(np.float32)
+        for k in ["prog", "forcing_var", "diag"]
+    }
+    key = jax.random.PRNGKey(6)
+
+    mesh = MeshConfig(2, 2, 2).build()
+    results = {}
+    with jax.set_mesh(mesh):
+        for mode in ("replicated", "fsdp"):
+            ts = make_ts()
+            params, opt_state = ts.init(jax.random.PRNGKey(7))
+            if mode == "fsdp":
+                params = shard_parameters(
+                    params, mesh, min_elements=1
+                )
+                opt_state = shard_parameters(
+                    opt_state, mesh, min_elements=1
+                )
+                # at least one leaf actually sharded over the data axis
+                specs = [
+                    parameter_spec(x.shape, mesh, min_elements=1)
+                    for x in jax.tree_util.tree_leaves(params)
+                    if hasattr(x, "shape") and x.ndim > 0
+                ]
+                assert any("data" in str(s) for s in specs)
+            else:
+                params = jax.device_put(params, NamedSharding(mesh, P()))
+                opt_state = jax.device_put(
+                    opt_state, NamedSharding(mesh, P())
+                )
+            batch = {
+                k: jax.device_put(
+                    jnp.asarray(v), NamedSharding(mesh, batch_spec(4))
+                )
+                for k, v in batch_np.items()
+            }
+            step = ts.build_train_step(donate=False)
+            new_params, _, metrics = step(params, opt_state, batch, key)
+            results[mode] = (
+                jax.tree_util.tree_map(np.asarray, new_params),
+                float(metrics["loss"]),
+            )
+    assert np.isclose(results["replicated"][1], results["fsdp"][1],
+                      rtol=1e-5)
+    for a, b in zip(
+        jax.tree_util.tree_leaves(results["replicated"][0]),
+        jax.tree_util.tree_leaves(results["fsdp"][0]),
+    ):
+        np.testing.assert_allclose(a, b, atol=1e-5)
