@@ -15,6 +15,7 @@ from ace_tpu.core.timing import GlobalTimer
 from ace_tpu.data.inference import InferenceDataLoaderConfig
 from ace_tpu.inference.data_writer import DataWriterConfig
 from ace_tpu.inference.loop import run_inference
+from ace_tpu.parallel.mesh import MeshConfig
 from ace_tpu.stepper.checkpoint import load_stepper
 from ace_tpu.stepper.insolation import DerivedForcingsConfig
 from ace_tpu.stepper.stepper import PrognosticState, StepperOverrideConfig
@@ -41,6 +42,9 @@ class EvaluatorConfig:
         default_factory=DerivedForcingsConfig
     )
     stepper_override: StepperOverrideConfig | None = None
+    # (data, h, w) device mesh for sharded evaluation (see
+    # ace_tpu/inference/inference.py InferenceConfig.mesh)
+    mesh: MeshConfig | None = None
 
     def __post_init__(self):
         self.data_writer.validate_time_coarsen(
@@ -49,10 +53,35 @@ class EvaluatorConfig:
 
 
 def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
+    import contextlib
+
+    from ace_tpu.parallel import distributed as dist
+    from ace_tpu.parallel.mesh import spatial_parallel
+
     config.logging.configure(config.experiment_dir)
+    with contextlib.ExitStack() as stack:
+        if config.mesh is not None:
+            mesh = config.mesh.build()
+            placement = dist.BatchPlacement(mesh)
+            stack.enter_context(jax.set_mesh(mesh))
+            stack.enter_context(spatial_parallel(mesh))
+        else:
+            placement = None
+        return _run_evaluator_impl(config, placement)
+
+
+def _run_evaluator_impl(config: EvaluatorConfig, placement) -> dict:
+    import numpy as np
+
+    from ace_tpu.parallel import distributed as dist
+
     stepper = load_stepper(
         config.checkpoint_path, override=config.stepper_override
     )
+    if placement is not None:
+        stepper.params = jax.tree_util.tree_map(
+            placement.put_replicated, stepper.params
+        )
     deriver = config.derived_forcings.build(stepper.dataset_info)
     forcing_names = [
         n for n in stepper.forcing_window_names
@@ -66,14 +95,29 @@ def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
     )
     stepper.dataset_info.assert_compatible_with(data.dataset_info)
     ic_batch = data.initial_condition(stepper.prognostic_names)
-    ic = PrognosticState(
-        data={k: jax.device_put(v) for k, v in ic_batch.data.items()}
-    )
+    if placement is not None:
+        ic = PrognosticState(
+            data={
+                k: placement.put_global(np.asarray(v))
+                for k, v in ic_batch.data.items()
+            }
+        )
+    else:
+        ic = PrognosticState(
+            data={k: jax.device_put(v) for k, v in ic_batch.data.items()}
+        )
     info = data.dataset_info
+    multiproc = placement is not None and placement.multiprocess
+    root = dist.is_root() if multiproc else True
     aggregator = config.aggregator.build(
         info, n_timesteps=config.n_forward_steps
     )
-    writer = config.data_writer.build(config.experiment_dir, info)
+    if root:
+        writer = config.data_writer.build(config.experiment_dir, info)
+    else:
+        from ace_tpu.inference.data_writer import NullDataWriter
+
+        writer = NullDataWriter()
     # target variables available in the dataset
     target_names = [
         n for n in stepper.out_names if n in data.dataset.names
@@ -81,14 +125,16 @@ def run_evaluator_from_config(config: EvaluatorConfig) -> dict:
     summary = run_inference(
         stepper, ic, data, writer=writer, aggregator=aggregator,
         target_names=target_names, forcing_deriver=deriver,
+        placement=placement,
     )
     summary["logs"] = aggregator.get_logs()
-    aggregator.flush_diagnostics(
-        os.path.join(config.experiment_dir, "diagnostics")
-    )
-    aggregator.flush_images(
-        os.path.join(config.experiment_dir, "plots")
-    )
+    if root:
+        aggregator.flush_diagnostics(
+            os.path.join(config.experiment_dir, "diagnostics")
+        )
+        aggregator.flush_images(
+            os.path.join(config.experiment_dir, "plots")
+        )
     writer.close()
     GlobalTimer.get_instance().log_durations()
     return summary

@@ -24,6 +24,7 @@ from ace_tpu.data.inference import (
     TimestampList,
 )
 from ace_tpu.inference.data_writer import DataWriterConfig, save_restart
+from ace_tpu.parallel.mesh import MeshConfig
 from ace_tpu.inference.loop import run_inference
 from ace_tpu.stepper.checkpoint import load_stepper
 from ace_tpu.stepper.stepper import StepperOverrideConfig
@@ -55,6 +56,12 @@ class InferenceConfig:
     # dataset (used by segmented inference; reference: inference.py:514)
     initial_condition_path: str | None = None
     stepper_override: StepperOverrideConfig | None = None
+    # (data, h, w) device mesh: ICs sharded over "data", the lat/lon grid
+    # decomposed over (h, w) with the explicit all-to-all distributed SHT
+    # inside spectral models (reference: inference runs under Distributed
+    # with per-rank batch scatter, fme/ace/data_loading/
+    # gridded_data.py:76-80). None = single-device placement.
+    mesh: MeshConfig | None = None
 
     def __post_init__(self):
         self.data_writer.validate_time_coarsen(
@@ -77,10 +84,36 @@ def load_restart_initial_condition(path: str, names: list[str]):
 
 
 def run_inference_from_config(config: InferenceConfig) -> dict:
+    import contextlib
+
+    from ace_tpu.parallel import distributed as dist
+    from ace_tpu.parallel.mesh import spatial_parallel
+
     config.logging.configure(config.experiment_dir)
+    with contextlib.ExitStack() as stack:
+        if config.mesh is not None:
+            mesh = config.mesh.build()
+            placement = dist.BatchPlacement(mesh)
+            stack.enter_context(jax.set_mesh(mesh))
+            # h*w > 1 switches spectral models to the all-to-all
+            # distributed SHT (ops/sht.py build_sht dispatch)
+            stack.enter_context(spatial_parallel(mesh))
+        else:
+            placement = None
+        return _run_inference_impl(config, placement)
+
+
+def _run_inference_impl(config: InferenceConfig, placement) -> dict:
     stepper = load_stepper(
         config.checkpoint_path, override=config.stepper_override
     )
+    if placement is not None:
+        # replicate weights over the mesh (FSDP-style sharding buys
+        # nothing at inference: there is no optimizer state and the
+        # all-gathers would repeat every window)
+        stepper.params = jax.tree_util.tree_map(
+            placement.put_replicated, stepper.params
+        )
     deriver = config.derived_forcings.build(stepper.dataset_info)
     forcing_names = [
         n for n in stepper.forcing_window_names
@@ -103,37 +136,63 @@ def run_inference_from_config(config: InferenceConfig) -> dict:
         ic_data = forcing_data.initial_condition(
             stepper.prognostic_names
         ).data
-    ic = PrognosticState(
-        data={k: jax.device_put(v) for k, v in ic_data.items()}
-    )
+    if placement is not None:
+        ic = PrognosticState(
+            data={
+                k: placement.put_global(np.asarray(v))
+                for k, v in ic_data.items()
+            }
+        )
+    else:
+        ic = PrognosticState(
+            data={k: jax.device_put(v) for k, v in ic_data.items()}
+        )
     info = forcing_data.dataset_info
+    multiproc = placement is not None and placement.multiprocess
+    from ace_tpu.parallel import distributed as dist
+
+    root = dist.is_root() if multiproc else True
     aggregator = config.aggregator.build(
         info, n_timesteps=config.n_forward_steps
     )
-    writer = config.data_writer.build(config.experiment_dir, info)
+    # multi-process: only the root writes files (outputs are gathered to
+    # every host by placement.fetch; reference gates writers per rank,
+    # fme/ace/inference/data_writer/raw.py:96)
+    if root:
+        writer = config.data_writer.build(config.experiment_dir, info)
+    else:
+        from ace_tpu.inference.data_writer import NullDataWriter
+
+        writer = NullDataWriter()
     summary = run_inference(
         stepper, ic, forcing_data, writer=writer, aggregator=aggregator,
-        forcing_deriver=deriver,
+        forcing_deriver=deriver, placement=placement,
     )
     logs = aggregator.get_logs()
-    aggregator.flush_diagnostics(
-        os.path.join(config.experiment_dir, "diagnostics")
-    )
-    aggregator.flush_images(
-        os.path.join(config.experiment_dir, "plots")
-    )
+    if root:
+        aggregator.flush_diagnostics(
+            os.path.join(config.experiment_dir, "diagnostics")
+        )
+        aggregator.flush_images(
+            os.path.join(config.experiment_dir, "plots")
+        )
     final_state: PrognosticState = summary["final_state"]
+    final_np = (
+        placement.fetch(final_state.data)
+        if multiproc else jax.device_get(final_state.data)
+    )
     last_time = forcing_data.dataset.all_time[
         [s + config.n_forward_steps for s in forcing_data._starts]
     ]
     from ace_tpu.data.time import TimeCoord
 
-    save_restart(
-        os.path.join(config.experiment_dir, "restart.nc"),
-        {k: np.asarray(v) for k, v in final_state.data.items()},
-        TimeCoord(last_time.values[:, None], last_time.calendar),
-        info,
-    )
+    if root:
+        save_restart(
+            os.path.join(config.experiment_dir, "restart.nc"),
+            {k: np.asarray(v) for k, v in final_np.items()},
+            TimeCoord(last_time.values[:, None], last_time.calendar),
+            info,
+        )
     writer.close()
     GlobalTimer.get_instance().log_durations()
     summary["logs"] = logs

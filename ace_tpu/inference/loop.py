@@ -29,12 +29,18 @@ def run_inference(
     compute_derived_variables: bool = True,
     target_names: list[str] | None = None,
     forcing_deriver=None,
+    placement=None,
 ) -> dict:
     """Run an autoregressive rollout over streaming forcing windows.
 
     When ``target_names`` is given, reference data at matching times is
     read from the forcing dataset and passed to the aggregator (paired
     evaluation; reference: fme/ace/inference/evaluator.py).
+
+    ``placement`` (a BatchPlacement over a (data, h, w) mesh) shards each
+    forcing window over the mesh before prediction and gathers outputs
+    to the host for writers/aggregators — the reference's per-rank batch
+    scatter + root gather (fme/ace/data_loading/gridded_data.py:76-80).
     """
     timer = GlobalTimer.get_instance()
     info = stepper.dataset_info
@@ -52,17 +58,32 @@ def run_inference(
             window_time = window.time
             if forcing_deriver is not None:
                 forcing_np = forcing_deriver(window_time, dict(forcing_np))
+            # host copy survives for derived variables/targets (global
+            # device arrays are not addressable per-process under a
+            # multi-process mesh)
+            forcing_host = {
+                k_: np.asarray(v) for k_, v in forcing_np.items()
+            }
+            if placement is not None:
+                forcing_np = {
+                    k_: placement.put_global(v)
+                    for k_, v in forcing_host.items()
+                }
         with timer.context("forward_prediction"):
             rng, sub = jax.random.split(rng)
             outputs, state = stepper.predict(state, forcing_np, rng=sub)
             jax.block_until_ready(outputs)
+        if placement is not None and placement.multiprocess:
+            # gather to host numpy once so writers and aggregators see
+            # full global arrays on the root process
+            with timer.context("data_writer"):
+                outputs = placement.fetch(outputs)
         with timer.context("compute_derived_variables"):
             if compute_derived_variables and vc is not None:
                 outputs = compute_derived_quantities(
                     outputs, vc, info.timestep,
                     forcing_data={
-                        k_: np.asarray(v)[:, 1:]
-                        for k_, v in forcing_np.items()
+                        k_: v[:, 1:] for k_, v in forcing_host.items()
                     },
                 )
         out_time = TimeCoord(
@@ -88,8 +109,8 @@ def run_inference(
                         target = compute_derived_quantities(
                             target, vc, info.timestep,
                             forcing_data={
-                                k_: np.asarray(v)[:, 1:]
-                                for k_, v in forcing_np.items()
+                                k_: v[:, 1:]
+                                for k_, v in forcing_host.items()
                             },
                         )
                 aggregator.record_batch(outputs, target, time=out_time)

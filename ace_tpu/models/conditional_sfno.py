@@ -22,7 +22,7 @@ import numpy as np
 
 from ace_tpu.models.layers import MLP, trunc_normal_init
 from ace_tpu.models.sfno import _ACTIVATIONS, SpectralConvS2
-from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+from ace_tpu.ops.sht import build_isht, build_sht
 
 
 class ChannelLayerNorm(nn.Module):
@@ -293,14 +293,17 @@ class NoiseConditionedSFNO(nn.Module):
         nlat, nlon = self.img_shape
         modes_lat = int(nlat * self.hard_thresholding_fraction)
         modes_lon = int((nlon // 2 + 1) * self.hard_thresholding_fraction)
+        # build_sht/build_isht dispatch to the explicit all-to-all
+        # distributed SHT when a spatial mesh is active (reference: thd
+        # swap at model_torch_distributed.py:454-465 covers this model)
         kw = dict(lmax=modes_lat, mmax=modes_lon, channels_last=True)
-        self.trans_down = RealSHT(nlat, nlon, grid=self.data_grid, **kw)
-        self.itrans_up = InverseRealSHT(nlat, nlon, grid=self.data_grid, **kw)
+        self.trans_down = build_sht(nlat, nlon, grid=self.data_grid, **kw)
+        self.itrans_up = build_isht(nlat, nlon, grid=self.data_grid, **kw)
         # internal blocks transform on the legendre-gauss grid; only the
         # first forward and last inverse touch the data grid (reference:
         # conditional_sfno/sfnonet.py:464-473)
-        self.trans = RealSHT(nlat, nlon, grid="legendre-gauss", **kw)
-        self.itrans = InverseRealSHT(
+        self.trans = build_sht(nlat, nlon, grid="legendre-gauss", **kw)
+        self.itrans = build_isht(
             nlat, nlon, grid="legendre-gauss", **kw
         )
         self._lmax, self._mmax = modes_lat, modes_lon

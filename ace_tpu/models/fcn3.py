@@ -27,7 +27,7 @@ from ace_tpu.models.localnet import compute_cutoff_radius
 from ace_tpu.models.sfno import _ACTIVATIONS, SpectralConvS2
 from ace_tpu.ops.disco import DiscoConvS2
 from ace_tpu.ops.resample import ResampleS2
-from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+from ace_tpu.ops.sht import build_isht, build_sht
 
 
 class GroupedDiscoConv(nn.Module):
@@ -151,10 +151,13 @@ class DiscoDecoder(nn.Module):
 
     def setup(self):
         if self.upsample_sht:
-            self._sht = RealSHT(
+            # dispatches to the all-to-all distributed SHT under a
+            # spatial mesh (reference: makani_fcn3/mpu/layers.py carries
+            # its own distributed layers; here one factory covers all)
+            self._sht = build_sht(
                 *self.inp_shape, grid=self.grid_in, channels_last=True
             )
-            self._isht = InverseRealSHT(
+            self._isht = build_isht(
                 *self.out_shape, lmax=self._sht.lmax, mmax=self._sht.mmax,
                 grid=self.grid_out, channels_last=True,
             )
@@ -306,11 +309,11 @@ class FourCastNet3(nn.Module):
             mmax = int(
                 (self.w // 2 + 1) * self.hard_thresholding_fraction
             )
-        self.sht = RealSHT(
+        self.sht = build_sht(
             self.h, self.w, lmax=lmax, mmax=mmax,
             grid=self.sht_grid_type, channels_last=True,
         )
-        self.isht = InverseRealSHT(
+        self.isht = build_isht(
             self.h, self.w, lmax=lmax, mmax=mmax,
             grid=self.sht_grid_type, channels_last=True,
         )

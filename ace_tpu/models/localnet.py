@@ -19,7 +19,7 @@ from ace_tpu.models.conditional_sfno import ConditionalLayerNorm
 from ace_tpu.models.layers import MLP, trunc_normal_init
 from ace_tpu.models.sfno import _ACTIVATIONS
 from ace_tpu.ops.disco import DiscoConvS2
-from ace_tpu.ops.sht import InverseRealSHT
+from ace_tpu.ops.sht import build_isht
 
 
 def compute_cutoff_radius(nlat: int, kernel_shape, basis_type: str) -> float:
@@ -237,7 +237,9 @@ class LocalNet(nn.Module):
     def setup(self):
         if self.noise_type == "isotropic":
             nlat, nlon = self.img_shape
-            self._isht = InverseRealSHT(
+            # dispatches to the all-to-all distributed iSHT under a
+            # spatial mesh (see ops/sht.py build_isht)
+            self._isht = build_isht(
                 nlat, nlon, grid=self.data_grid, channels_last=True
             )
 

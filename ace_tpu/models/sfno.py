@@ -33,7 +33,7 @@ from ace_tpu.models.layers import (
     exact_gelu,
     trunc_normal_init,
 )
-from ace_tpu.ops.sht import InverseRealSHT, RealSHT
+
 
 _ACTIVATIONS = {
     # exact (erf) gelu to match torch.nn.GELU's default; bf16 activations
@@ -477,64 +477,38 @@ class SphericalFourierNeuralOperatorNet(nn.Module):
             self.trans = RealFFT2(self.h, self.w, **kw)
             self.itrans = InverseRealFFT2(self.h, self.w, **kw)
         elif self.spectral_transform == "sht":
-            from ace_tpu.parallel.mesh import get_spatial_mesh
+            # build_sht/build_isht dispatch to the explicit all-to-all
+            # distributed SHT when a spatial mesh is active (reference:
+            # thd swap at model_torch_distributed.py:454-465)
+            from ace_tpu.ops.sht import build_isht, build_sht
 
-            mesh = get_spatial_mesh()
-            if mesh is not None:
-                # spatial model parallelism: explicit all-to-all SHT
-                # (reference: thd.DistributedRealSHT swapped in by
-                # model_torch_distributed.py:454-465)
-                from ace_tpu.ops.distributed_sht import (
-                    DistributedInverseRealSHT,
-                    DistributedRealSHT,
-                )
-
-                self.trans_down = DistributedRealSHT(
-                    mesh, nlat, nlon, grid=self.data_grid,
-                    lmax=kw["lmax"], mmax=kw["mmax"],
-                    precision=kw["precision"],
-                )
-                self.itrans_up = DistributedInverseRealSHT(
-                    mesh, nlat, nlon, grid=self.data_grid,
-                    lmax=kw["lmax"], mmax=kw["mmax"],
-                    precision=kw["precision"],
-                )
-                self.trans = DistributedRealSHT(
-                    mesh, self.h, self.w, grid="legendre-gauss",
-                    lmax=kw["lmax"], mmax=kw["mmax"],
-                    precision=kw["precision"],
-                )
-                self.itrans = DistributedInverseRealSHT(
-                    mesh, self.h, self.w, grid="legendre-gauss",
-                    lmax=kw["lmax"], mmax=kw["mmax"],
-                    precision=kw["precision"],
-                )
-            else:
-                self.trans_down = RealSHT(
-                    nlat, nlon, grid=self.data_grid, **kw
-                )
-                self.itrans_up = InverseRealSHT(
-                    nlat, nlon, grid=self.data_grid, **kw
-                )
-                self.trans = RealSHT(
-                    self.h, self.w, grid="legendre-gauss", **kw
-                )
-                self.itrans = InverseRealSHT(
-                    self.h, self.w, grid="legendre-gauss", **kw
-                )
+            self.trans_down = build_sht(
+                nlat, nlon, grid=self.data_grid, **kw
+            )
+            self.itrans_up = build_isht(
+                nlat, nlon, grid=self.data_grid, **kw
+            )
+            self.trans = build_sht(
+                self.h, self.w, grid="legendre-gauss", **kw
+            )
+            self.itrans = build_isht(
+                self.h, self.w, grid="legendre-gauss", **kw
+            )
         else:
             raise ValueError(
                 f"unknown spectral_transform {self.spectral_transform!r}"
             )
 
         if self.residual_filter_factor > 1:
+            from ace_tpu.ops.sht import build_isht, build_sht
+
             mlr = int(nlat // self.residual_filter_factor)
             mmr = int(nlon // self.residual_filter_factor // 2 + 1)
-            self.residual_filter_down = RealSHT(
+            self.residual_filter_down = build_sht(
                 nlat, nlon, lmax=mlr, mmax=mmr, grid=self.data_grid,
                 channels_last=True,
             )
-            self.residual_filter_up = InverseRealSHT(
+            self.residual_filter_up = build_isht(
                 nlat, nlon, lmax=mlr, mmax=mmr, grid=self.data_grid,
                 channels_last=True,
             )

@@ -133,7 +133,9 @@ class DistributedRealSHT:
             out_specs=(spec, spec),
         )
 
-    def __call__(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+    def forward_pair(self, x: jax.Array) -> tuple[jax.Array, jax.Array]:
+        """Forward SHT returning (real, imag) float32 arrays — the
+        no-complex hot path (see ace_tpu/models/sfno.py use_pair)."""
         b, k0, j0, c0 = x.shape
         cpad = _pad_to(c0, self.ph * self.pw)
         pads = (
@@ -154,9 +156,10 @@ class DistributedRealSHT:
             ci = ci[..., :c0]
         return cr, ci
 
-    # pair-API alias so SpectralConvS2's no-complex hot path applies
-    # (see ace_tpu/models/sfno.py use_pair)
-    forward_pair = __call__
+    def __call__(self, x: jax.Array) -> jax.Array:
+        """Complex-API parity with ops.sht.RealSHT (coefficient rows
+        beyond (lmax, mmax) are zero-padding to the mesh multiple)."""
+        return jax.lax.complex(*self.forward_pair(x))
 
 
 class DistributedInverseRealSHT:
@@ -237,7 +240,10 @@ class DistributedInverseRealSHT:
             out_specs=spec,
         )
 
-    def __call__(self, cr: jax.Array, ci: jax.Array) -> jax.Array:
+    def inverse_pair(self, cr: jax.Array, ci: jax.Array) -> jax.Array:
+        """Inverse SHT from (real, imag) float32 coefficient arrays —
+        the no-complex hot path (see ace_tpu/models/sfno.py use_pair).
+        Inputs smaller than (l_padded, m_padded) are zero-padded."""
         b, l0, m0, c0 = cr.shape
         cpad = _pad_to(c0, self.ph * self.pw)
         pads = (
@@ -262,5 +268,6 @@ class DistributedInverseRealSHT:
             out = out[:, : self.nlat, : self.nlon, :c0]
         return out
 
-    # pair-API alias (see ace_tpu/models/sfno.py use_pair)
-    inverse_pair = __call__
+    def __call__(self, c: jax.Array) -> jax.Array:
+        """Complex-API parity with ops.sht.InverseRealSHT."""
+        return self.inverse_pair(jnp.real(c), jnp.imag(c))

@@ -393,3 +393,59 @@ class InverseRealSHT:
         out = out + jnp.einsum(dft_eq, xi, self._is, precision=prec,
                                preferred_element_type=jnp.float32)
         return out
+
+
+def build_sht(nlat, nlon, lmax=None, mmax=None, grid="legendre-gauss",
+              norm="ortho", csphase=True, channels_last=False,
+              precision=jax.lax.Precision.HIGH, parity_split=None):
+    """Auto-dispatching forward-SHT constructor.
+
+    When a spatial (h*w > 1) mesh is active (declared via
+    ``ace_tpu.parallel.mesh.spatial_parallel``) and the layout is
+    channels-last, returns the explicit all-to-all
+    ``DistributedRealSHT`` — the reference swaps thd.DistributedRealSHT
+    into EVERY spectral model under its spatial backend
+    (fme/core/distributed/model_torch_distributed.py:454-465); this
+    factory is the single place that swap happens here. Otherwise
+    returns the single-device ``RealSHT``.
+    """
+    if channels_last:
+        from ace_tpu.parallel.mesh import get_spatial_mesh
+
+        mesh = get_spatial_mesh()
+        if mesh is not None:
+            from ace_tpu.ops.distributed_sht import DistributedRealSHT
+
+            return DistributedRealSHT(
+                mesh, nlat, nlon, lmax=lmax, mmax=mmax, grid=grid,
+                norm=norm, csphase=csphase, precision=precision,
+            )
+    return RealSHT(
+        nlat, nlon, lmax=lmax, mmax=mmax, grid=grid, norm=norm,
+        csphase=csphase, channels_last=channels_last,
+        precision=precision, parity_split=parity_split,
+    )
+
+
+def build_isht(nlat, nlon, lmax=None, mmax=None, grid="legendre-gauss",
+               norm="ortho", csphase=True, channels_last=False,
+               precision=jax.lax.Precision.HIGH, parity_split=None):
+    """Auto-dispatching inverse-SHT constructor (see ``build_sht``)."""
+    if channels_last:
+        from ace_tpu.parallel.mesh import get_spatial_mesh
+
+        mesh = get_spatial_mesh()
+        if mesh is not None:
+            from ace_tpu.ops.distributed_sht import (
+                DistributedInverseRealSHT,
+            )
+
+            return DistributedInverseRealSHT(
+                mesh, nlat, nlon, lmax=lmax, mmax=mmax, grid=grid,
+                norm=norm, csphase=csphase, precision=precision,
+            )
+    return InverseRealSHT(
+        nlat, nlon, lmax=lmax, mmax=mmax, grid=grid, norm=norm,
+        csphase=csphase, channels_last=channels_last,
+        precision=precision, parity_split=parity_split,
+    )

@@ -213,3 +213,36 @@ class BatchPlacement:
         return jax.make_array_from_process_local_data(
             sharding, v, v.shape
         )
+
+    def put_global(self, v, spec=None):
+        """Host array holding the FULL global batch -> global jax.Array.
+
+        Unlike ``put`` (which expects each process to hold only its own
+        rows), this takes the complete batch on every process — the
+        inference forcing path, where every process reads the same
+        forcing windows (reference: each rank's InferenceDataset reads
+        full windows, fme/ace/data_loading/inference.py:203) — and
+        slices the local rows here.
+        """
+        if not self.multiprocess:
+            from jax.sharding import NamedSharding
+
+            from ace_tpu.parallel.mesh import batch_spec
+
+            if spec is None:
+                spec = batch_spec(np.asarray(v).ndim)
+            return jax.device_put(v, NamedSharding(self.mesh, spec))
+        v = np.asarray(v)
+        return self.put(v[self.local_rows(v.shape[0])], spec=spec)
+
+    def fetch(self, tree):
+        """Global jax.Array pytree -> host numpy pytree (full global
+        arrays on every process). Single-process this is a plain
+        device_get; multi-process it all-gathers across hosts (the
+        reference's gather for writers/aggregators,
+        fme/core/distributed/distributed.py gather_global)."""
+        if not self.multiprocess:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        return multihost_utils.process_allgather(tree, tiled=True)

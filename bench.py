@@ -276,10 +276,45 @@ def _bench_train_step(stepper, batch, n_repeats=5):
     return sps, elapsed / n_repeats, compile_s, flops
 
 
-def main(smoke: bool = False):
+def _get_device_with_retry(max_tries: int = 5):
+    """jax.devices() with backoff retries on transient backend-init
+    failures (round-2 failure mode: the remote-TPU tunnel raised
+    UNAVAILABLE at startup and the whole bench died with no JSON).
+    Clears the cached failed backend between attempts; as a last resort
+    re-execs this script once in a fresh process."""
+    import os
+    import sys
+
     import jax
 
-    device = jax.devices()[0]
+    delay = 10.0
+    last_err = None
+    for attempt in range(max_tries):
+        try:
+            return jax.devices()[0]
+        except Exception as e:  # noqa: BLE001 — any init error is retryable
+            last_err = e
+            print(
+                f"bench: backend init failed (attempt {attempt + 1}/"
+                f"{max_tries}): {e}; retrying in {delay:.0f}s",
+                file=sys.stderr,
+            )
+            time.sleep(delay)
+            delay = min(delay * 2, 120.0)
+            try:
+                jax.extend.backend.clear_backends()
+            except Exception:
+                pass
+    if os.environ.get("ACE_BENCH_REEXEC") != "1":
+        # a fresh process clears any unserviceable cached client state
+        os.environ["ACE_BENCH_REEXEC"] = "1"
+        print("bench: re-executing in a fresh process", file=sys.stderr)
+        os.execv(sys.executable, [sys.executable] + sys.argv)
+    raise last_err
+
+
+def main(smoke: bool = False):
+    device = _get_device_with_retry()
     peak = _device_peak_flops(device)
 
     global NLAT, NLON
@@ -312,58 +347,81 @@ def main(smoke: bool = False):
     # a time; batch 1 x2 CRPS ensemble members (the reference trains
     # this on 4x80 GB GPUs; multi-chip runs shard the batch).
     import gc
+    import sys
+    import traceback
 
-    flagship_train = _stepper(
-        {**flagship_builder,
-         "config": {**flagship_builder["config"], "checkpointing": 1}}
-    )
-    tr_sps, tr_step_s, tr_compile, tr_flops = _bench_train_step(
-        flagship_train, batch=1
-    )
-    tr_mfu = (
-        round(tr_flops / tr_step_s / peak, 4)
-        if (peak and tr_flops) else None
-    )
-    del flagship_train
-    gc.collect()
-
-    flagship = _stepper(flagship_builder)
-    fl_steps, fl_compile, fl_flops = _bench_rollout(flagship, 1, n_steps)
-    fl_mfu = (
-        round(fl_steps * fl_flops / peak, 4)
-        if (peak and fl_flops) else None
-    )
-
-    sfno256 = _stepper(sfno256_builder)
-    s256_steps, s256_compile, s256_flops = _bench_rollout(
-        sfno256, 1, n_steps
-    )
-
-    sim_years_per_day = fl_steps * (6 * 3600.0) / (365.25 * 86400.0) * 86400.0
-    # continuity anchor: round 1 measured the SFNO-256 rollout at 49.293
-    # steps/s on this same chip (BENCH_r01.json); the headline metric is
-    # now the flagship config, so the baseline ratio tracks the shared
-    # SFNO-256 measurement
-    vs_baseline = (
-        round(s256_steps / 49.293, 4) if not smoke else None
-    )
-    print(json.dumps({
+    # every phase is independently fenced so one phase's crash cannot
+    # zero the whole round's measurement (round-2 lesson); whatever
+    # succeeded is emitted in the single JSON line, with per-phase
+    # errors recorded
+    result: dict = {
         "metric": "ace2_era5_flagship_rollout_steps_per_sec_per_chip",
-        "value": round(fl_steps, 3),
+        "value": None,
         "unit": "steps/s",
-        "vs_baseline": vs_baseline,
-        "simulated_years_per_day": round(sim_years_per_day, 1),
-        "compile_time_s": round(fl_compile, 1),
-        "rollout_mfu": fl_mfu,
-        "train_samples_per_sec_per_chip": round(tr_sps, 3),
-        "train_step_seconds": round(tr_step_s, 4),
-        "train_mfu": tr_mfu,
-        "train_compile_time_s": round(tr_compile, 1),
-        "sfno256_rollout_steps_per_sec": round(s256_steps, 3),
+        "vs_baseline": None,
         "device": str(device),
         "config": ("NoiseConditionedSFNO dhconv embed=512 layers=8 "
                    "grid=180x360 bf16; train: CRPS n_ensemble=2 batch=1"),
-    }))
+    }
+    errors: dict = {}
+
+    def phase(name, fn):
+        try:
+            fn()
+        except Exception:
+            errors[name] = traceback.format_exc(limit=3)
+            print(f"bench: phase {name!r} failed:\n{errors[name]}",
+                  file=sys.stderr)
+        gc.collect()
+
+    def train_phase():
+        flagship_train = _stepper(
+            {**flagship_builder,
+             "config": {**flagship_builder["config"], "checkpointing": 1}}
+        )
+        tr_sps, tr_step_s, tr_compile, tr_flops = _bench_train_step(
+            flagship_train, batch=1
+        )
+        result["train_samples_per_sec_per_chip"] = round(tr_sps, 3)
+        result["train_step_seconds"] = round(tr_step_s, 4)
+        result["train_mfu"] = (
+            round(tr_flops / tr_step_s / peak, 4)
+            if (peak and tr_flops) else None
+        )
+        result["train_compile_time_s"] = round(tr_compile, 1)
+
+    def rollout_phase():
+        flagship = _stepper(flagship_builder)
+        fl_steps, fl_compile, fl_flops = _bench_rollout(
+            flagship, 1, n_steps
+        )
+        result["value"] = round(fl_steps, 3)
+        result["compile_time_s"] = round(fl_compile, 1)
+        result["rollout_mfu"] = (
+            round(fl_steps * fl_flops / peak, 4)
+            if (peak and fl_flops) else None
+        )
+        result["simulated_years_per_day"] = round(
+            fl_steps * (6 * 3600.0) / (365.25 * 86400.0) * 86400.0, 1
+        )
+
+    def sfno256_phase():
+        sfno256 = _stepper(sfno256_builder)
+        s256_steps, _, _ = _bench_rollout(sfno256, 1, n_steps)
+        result["sfno256_rollout_steps_per_sec"] = round(s256_steps, 3)
+        # continuity anchor: round 1 measured the SFNO-256 rollout at
+        # 49.293 steps/s on this same chip (BENCH_r01.json); the
+        # headline metric is now the flagship config, so the baseline
+        # ratio tracks the shared SFNO-256 measurement
+        if not smoke:
+            result["vs_baseline"] = round(s256_steps / 49.293, 4)
+
+    phase("train", train_phase)
+    phase("rollout", rollout_phase)
+    phase("sfno256", sfno256_phase)
+    if errors:
+        result["errors"] = {k: v.splitlines()[-1] for k, v in errors.items()}
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

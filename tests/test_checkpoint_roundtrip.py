@@ -14,6 +14,7 @@ and the torch->flax parameter mapping.
 """
 
 import datetime
+import os
 import subprocess
 import sys
 
@@ -157,14 +158,25 @@ def test_roundtrip_rollout_parity(reference_checkpoint, tmp_path):
         )
 
 
+@pytest.mark.slow
 def test_convert_cli(reference_checkpoint, tmp_path):
     """The converter CLI itself runs and writes a loadable checkpoint."""
     tar_path, _ = reference_checkpoint
     out_path = str(tmp_path / "cli_converted.msgpack")
+    # pin the subprocess to CPU: the default platform is the remote-TPU
+    # tunnel, whose backend init alone can exceed the test timeout
+    env = {
+        **os.environ,
+        "JAX_PLATFORMS": "cpu",
+        "PYTHONPATH": "/root/repo"
+        + os.pathsep
+        + os.environ.get("PYTHONPATH", ""),
+    }
     res = subprocess.run(
         [sys.executable, "scripts/convert_torch_checkpoint.py",
          tar_path, out_path],
-        capture_output=True, text=True, cwd="/root/repo", timeout=600,
+        capture_output=True, text=True, cwd="/root/repo", timeout=240,
+        env=env,
     )
     assert res.returncode == 0, res.stderr[-2000:]
 

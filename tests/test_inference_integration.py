@@ -247,3 +247,81 @@ def test_dataset_comparison(tmp_path):
     assert any(
         k.startswith("time_mean/rmse") for k in result["logs"]
     )
+
+
+def test_inference_entry_mesh_matches_single_device(trained, tmp_path):
+    """The inference CLI on a (2, 2, 2) virtual mesh (data-parallel ICs +
+    spatial lat/lon decomposition with the all-to-all distributed SHT)
+    reproduces the single-device rollout (reference: inference under
+    Distributed with per-rank batch scatter,
+    fme/ace/data_loading/gridded_data.py:76-80)."""
+    tmp_trained, data, ckpt = trained
+    from ace_tpu.data.store import open_file_dataset
+    from ace_tpu.inference.inference import main
+
+    results = {}
+    for tag, mesh in (("single", None),
+                      ("mesh", {"data_parallel": 2, "h": 2, "w": 2})):
+        out_dir = str(tmp_path / f"inf_{tag}")
+        config = {
+            "experiment_dir": out_dir,
+            "checkpoint_path": ckpt,
+            "n_forward_steps": N_FORWARD,
+            "forward_steps_in_memory": 2,
+            "logging": {"log_to_screen": False, "log_to_file": False},
+            "forcing_loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0, 1]},
+            },
+        }
+        if mesh is not None:
+            config["mesh"] = mesh
+        config_path = tmp_path / f"inf_{tag}.yaml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(config, f)
+        summary = main([str(config_path)])
+        assert summary["total_steps"] == N_FORWARD * 2
+        ds = open_file_dataset(
+            os.path.join(out_dir, "autoregressive_predictions.nc")
+        )
+        results[tag] = ds["prog_a"].read(())
+    np.testing.assert_allclose(
+        results["mesh"], results["single"], atol=5e-4
+    )
+
+
+def test_evaluator_entry_mesh(trained, tmp_path):
+    """Evaluator CLI under a (1, 2, 2) spatial mesh produces the same
+    paired metrics as single-device."""
+    tmp_trained, data, ckpt = trained
+    from ace_tpu.inference.evaluator import main
+
+    logs = {}
+    for tag, mesh in (("single", None), ("mesh", {"h": 2, "w": 2})):
+        out_dir = str(tmp_path / f"eval_{tag}")
+        config = {
+            "experiment_dir": out_dir,
+            "checkpoint_path": ckpt,
+            "n_forward_steps": 4,
+            "forward_steps_in_memory": 2,
+            "logging": {"log_to_screen": False, "log_to_file": False},
+            "loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0, 1]},
+            },
+        }
+        if mesh is not None:
+            config["mesh"] = mesh
+        config_path = tmp_path / f"eval_{tag}.yaml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(config, f)
+        summary = main([str(config_path)])
+        logs[tag] = summary["logs"]
+    for key, v in logs["single"].items():
+        if not isinstance(v, (int, float, np.floating)):
+            continue
+        got = logs["mesh"].get(key)
+        if got is None or not np.isfinite(v):
+            continue
+        np.testing.assert_allclose(got, v, rtol=1e-3, atol=1e-4,
+                                   err_msg=key)
