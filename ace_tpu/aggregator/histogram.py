@@ -177,12 +177,18 @@ class GlobalMeanAnnualAggregator:
     MIN_COMPLETE_YEAR_DAYS = 350.0
 
     def __init__(self, ops: GriddedOperations,
-                 timestep_seconds: float | None = None):
+                 timestep_seconds: float | None = None,
+                 monthly_reference: "dict[str, dict[int, float]] | None"
+                 = None):
         self._ops = ops
         self._timestep_seconds = timestep_seconds
         self._sums: dict[str, dict[int, float]] = {}
         self._counts: dict[str, dict[int, int]] = {}
         self._target_sums: dict[str, dict[int, float]] = {}
+        # per-variable {year: reference annual global mean} from an
+        # offline monthly-means dataset (reference: annual.py:285
+        # process_monthly_reference -> get_r2 at :128-142)
+        self._reference = monthly_reference or {}
 
     def record_batch(self, gen: TensorMapping, time: TimeCoord,
                      target=None):
@@ -270,4 +276,37 @@ class GlobalMeanAnnualAggregator:
                         logs[f"{label}/rmse/{name}"] = float(
                             np.sqrt(np.mean(np.square(diffs)))
                         )
+                ref = self._reference.get(name)
+                if ref:
+                    gen_means = {
+                        y: sums[y] / self._counts[name][y] for y in years
+                    }
+                    r2 = _get_r2(gen_means, ref)
+                    if r2 is not None:
+                        logs[f"{label}/r2/{name}_gen"] = r2
+                    tsums = self._target_sums.get(name)
+                    if tsums:
+                        t_means = {
+                            y: tsums[y] / self._counts[name][y]
+                            for y in years if y in tsums
+                        }
+                        r2_t = _get_r2(t_means, ref)
+                        if r2_t is not None:
+                            logs[f"{label}/r2/{name}_target"] = r2_t
         return logs
+
+
+def _get_r2(series: dict[int, float],
+            reference: dict[int, float]) -> float | None:
+    """R2 of an annual series vs the reference series over shared years
+    (reference: fme/ace/aggregator/inference/annual.py get_r2)."""
+    years = sorted(set(series) & set(reference))
+    if len(years) < 2:
+        return None
+    pred = np.asarray([series[y] for y in years], dtype=np.float64)
+    ref = np.asarray([reference[y] for y in years], dtype=np.float64)
+    ss_ref = np.sum((ref - ref.mean()) ** 2)
+    ss_res = np.sum((ref - pred) ** 2)
+    if ss_ref == 0.0:
+        return None
+    return float(1.0 - ss_res / ss_ref)

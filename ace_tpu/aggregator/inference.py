@@ -20,15 +20,88 @@ from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.ops.sht import RealSHT
 
 
+def load_time_mean_reference(path: str) -> dict[str, np.ndarray]:
+    """Load a time-mean reference netCDF into per-variable [lat, lon]
+    maps (reference: fme/ace/aggregator/inference/main.py:114-118 +
+    time_mean.py reference_means). Leading singleton/sample dims are
+    averaged out."""
+    from ace_tpu.data.store import open_file_dataset
+
+    ds = open_file_dataset(path)
+    out = {}
+    for name in ds.keys():
+        if name in ("lat", "lon", "latitude", "longitude", "time",
+                    "valid_time", "counts", "init_time"):
+            continue
+        arr = np.asarray(ds[name].read(()), dtype=np.float32)
+        while arr.ndim > 2:
+            arr = arr.mean(axis=0)
+        if arr.ndim == 2:
+            out[name] = arr
+    return out
+
+
+def load_monthly_reference(
+    path: str, ops: GriddedOperations
+) -> dict[str, dict[int, float]]:
+    """Load a monthly-means reference netCDF ([sample, month, lat, lon]
+    variables + ``counts`` + cftime ``valid_time``) and coarsen to
+    per-variable {year: annual global mean} (sample-averaged), matching
+    the reference's process_monthly_reference
+    (fme/ace/aggregator/inference/annual.py:285-309)."""
+    from ace_tpu.data.store import open_file_dataset
+
+    ds = open_file_dataset(path)
+    time = ds.read_time("valid_time")
+    years = time.components()["year"]
+    counts = np.asarray(ds["counts"].read(()), dtype=np.float64)
+    # broadcast to [sample, month]
+    if years.ndim == 1:
+        years = years[None]
+    if counts.ndim == 1:
+        counts = np.broadcast_to(counts[None], years.shape)
+    out: dict[str, dict[int, float]] = {}
+    for name in ds.keys():
+        if name in ("lat", "lon", "latitude", "longitude", "time",
+                    "valid_time", "counts", "init_time"):
+            continue
+        arr = np.asarray(ds[name].read(()), dtype=np.float32)
+        if arr.ndim < 3:
+            continue
+        if arr.ndim == 3:  # no sample dim
+            arr = arr[None]
+        gm = np.asarray(
+            ops.area_weighted_mean(jnp.asarray(arr), name=name)
+        )  # [sample, month]
+        per_year: dict[int, float] = {}
+        for year in np.unique(years):
+            mask = years == year
+            # count-weighted annual mean per sample, then sample mean
+            # (all samples share one time axis, as the reference asserts)
+            num = np.sum(gm * counts * mask, axis=1)
+            den = np.sum(counts * mask, axis=1)
+            valid = den > 0
+            if valid.any():
+                per_year[int(year)] = float(
+                    np.mean(num[valid] / den[valid])
+                )
+        out[name] = per_year
+    return out
+
+
 class TimeMeanAggregator:
     """Running time-mean maps of gen and target; final bias/RMSE of the
-    time-mean (reference: inference/time_mean.py).
+    time-mean, and bias/RMSE vs an offline reference time-mean dataset
+    when one is configured (reference: inference/time_mean.py
+    ref_bias/ref_rmse at :190-205).
     """
 
-    def __init__(self, ops: GriddedOperations):
+    def __init__(self, ops: GriddedOperations,
+                 reference_means: dict[str, np.ndarray] | None = None):
         self._ops = ops
         self._gen_sum: TensorDict = {}
         self._target_sum: TensorDict = {}
+        self._reference_means = reference_means or {}
         self._n = 0
 
     def record_batch(self, gen: TensorMapping, target: TensorMapping | None):
@@ -65,6 +138,18 @@ class TimeMeanAggregator:
                         target_mean, gen_mean, name=k
                     ))
                 )
+            if k in self._reference_means:
+                ref = jnp.asarray(self._reference_means[k])[None]
+                logs[f"{label}/ref_rmse/{k}"] = float(
+                    jnp.mean(self._ops.area_weighted_rmse(
+                        ref, gen_mean, name=k
+                    ))
+                )
+                logs[f"{label}/ref_bias/{k}"] = float(
+                    jnp.mean(self._ops.area_weighted_mean_bias(
+                        ref, gen_mean, name=k
+                    ))
+                )
         return logs
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
@@ -77,7 +162,192 @@ class TimeMeanAggregator:
                 out[f"bias_map-{k}"] = np.asarray(jnp.mean(
                     (self._gen_sum[k] - self._target_sum[k]) / self._n, axis=0
                 ))
+            if k in self._reference_means:
+                out[f"ref_bias_map-{k}"] = (
+                    np.asarray(jnp.mean(self._gen_sum[k] / self._n, axis=0))
+                    - self._reference_means[k]
+                )
         return out
+
+
+@dataclasses.dataclass
+class StepMeanEntry:
+    """Log per-variable mean metrics at one rollout step (reference:
+    fme/ace/aggregator/inference/main.py:365 StepMeanEntry; the default
+    mirrors the reference's step-20 entry)."""
+
+    step: int
+    name: str | None = None
+
+    def get_name(self) -> str:
+        return self.name or f"mean_step_{self.step}"
+
+
+class StepMeanSeriesAggregator:
+    """Per-forward-step series of area-weighted RMSE / bias / global
+    means over the whole rollout, with selected steps logged as scalars
+    (reference: fme/ace/aggregator/inference/reduced.py:221
+    MeanAggregator + main.py:443 step-mean entries). With a normalizer,
+    metrics run on normalized fields (the reference's mean_norm target,
+    main.py:239)."""
+
+    def __init__(self, ops: GriddedOperations, n_timesteps: int,
+                 entries: "list[StepMeanEntry] | None" = None,
+                 normalizer=None):
+        self._ops = ops
+        self._n_timesteps = n_timesteps
+        self._entries = [
+            e for e in (entries or []) if e.step <= n_timesteps
+        ]
+        for e in entries or []:
+            if e.step > n_timesteps:
+                logging.warning(
+                    "log_step_means entry step=%d exceeds "
+                    "n_forward_steps=%d; skipping it", e.step, n_timesteps
+                )
+        self._normalizer = normalizer
+        self._rmse: dict[str, np.ndarray] = {}
+        self._bias: dict[str, np.ndarray] = {}
+        self._gen_mean: dict[str, np.ndarray] = {}
+        self._counts: dict[str, np.ndarray] = {}
+
+    def _series(self, store: dict, name: str) -> np.ndarray:
+        if name not in store:
+            store[name] = np.zeros(self._n_timesteps, np.float64)
+        return store[name]
+
+    def record_batch(self, gen: TensorMapping,
+                     target: TensorMapping | None, i_time_start: int):
+        if self._normalizer is not None:
+            # only variables with stats belong in a normalized series
+            names = self._normalizer.names
+            gen = self._normalizer.normalize(
+                {k: v for k, v in gen.items() if k in names}
+            )
+            if target is not None:
+                target = self._normalizer.normalize(
+                    {k: v for k, v in target.items() if k in names}
+                )
+        for k, v in gen.items():
+            n_time = v.shape[1]
+            sl = slice(i_time_start, i_time_start + n_time)
+            gm = np.asarray(jnp.mean(
+                self._ops.area_weighted_mean(v, name=k), axis=0
+            ))
+            self._series(self._gen_mean, k)[sl] += gm
+            self._series(self._counts, k)[sl] += 1
+            if target is not None and k in target:
+                t = target[k]
+                self._series(self._rmse, k)[sl] += np.asarray(jnp.mean(
+                    self._ops.area_weighted_rmse(t, v, name=k), axis=0
+                ))
+                self._series(self._bias, k)[sl] += np.asarray(jnp.mean(
+                    self._ops.area_weighted_mean_bias(t, v, name=k),
+                    axis=0,
+                ))
+
+    def get_logs(self, label: str = "mean_step") -> dict[str, float]:
+        logs: dict[str, float] = {}
+        for entry in self._entries:
+            idx = entry.step - 1
+            name = entry.get_name()
+            for k, counts in self._counts.items():
+                if counts[idx] == 0:
+                    continue
+                n = counts[idx]
+                logs[f"{name}/weighted_mean_gen/{k}"] = float(
+                    self._gen_mean[k][idx] / n
+                )
+                if k in self._rmse:
+                    logs[f"{name}/weighted_rmse/{k}"] = float(
+                        self._rmse[k][idx] / n
+                    )
+                    logs[f"{name}/weighted_bias/{k}"] = float(
+                        self._bias[k][idx] / n
+                    )
+        return logs
+
+    def get_diagnostics(self) -> dict[str, np.ndarray]:
+        out = {}
+        for k, counts in self._counts.items():
+            n = np.where(counts == 0, 1, counts)
+            out[f"weighted_mean_gen_series-{k}"] = self._gen_mean[k] / n
+            if k in self._rmse:
+                out[f"weighted_rmse_series-{k}"] = self._rmse[k] / n
+                out[f"weighted_bias_series-{k}"] = self._bias[k] / n
+        return out
+
+
+class InferenceEnsembleAggregator:
+    """Ensemble spread/skill/CRPS over rollout time when inference runs
+    N ensemble members per initial condition (reference:
+    fme/ace/aggregator/inference/main.py:102,343 n_ensemble_per_ic +
+    one_step/ensemble.py spread-skill machinery).
+
+    Batches arrive member-major: [n_ic * n_ensemble, time, ...] with the
+    members of one IC contiguous (np.repeat layout).
+    """
+
+    def __init__(self, ops: GriddedOperations, n_ensemble: int):
+        self._ops = ops
+        self._n_ens = n_ensemble
+        self._crps: dict[str, float] = {}
+        self._spread_sq: dict[str, float] = {}
+        self._skill_sq: dict[str, float] = {}
+        self._n: dict[str, int] = {}
+
+    def record_batch(self, gen: TensorMapping,
+                     target: TensorMapping | None):
+        from ace_tpu.core.loss import get_crps
+
+        e = self._n_ens
+        for k, v in gen.items():
+            if v.shape[0] % e:
+                continue
+            b = v.shape[0] // e
+            g = jnp.reshape(jnp.asarray(v), (b, e) + v.shape[1:])
+            # ensemble variance (unbiased) -> area/time-mean spread^2
+            var = jnp.var(g, axis=1, ddof=1)
+            spread_sq = float(jnp.mean(
+                self._ops.area_weighted_mean(var, name=k)
+            ))
+            n_time = v.shape[1]
+            self._spread_sq[k] = (
+                self._spread_sq.get(k, 0.0) + spread_sq * n_time
+            )
+            self._n[k] = self._n.get(k, 0) + n_time
+            if target is not None and k in target:
+                t = jnp.asarray(target[k])
+                t = jnp.reshape(t, (b, e) + t.shape[1:])[:, 0]
+                crps = float(jnp.mean(self._ops.area_weighted_mean(
+                    get_crps(g, t[:, None], alpha=0.95), name=k
+                )))
+                self._crps[k] = self._crps.get(k, 0.0) + crps * n_time
+                # skill: MSE of the ensemble mean vs target, with the
+                # unbiased -spread^2/E correction (one_step/ensemble.py)
+                err = jnp.mean(g, axis=1) - t
+                mse = float(jnp.mean(self._ops.area_weighted_mean(
+                    err * err, name=k
+                )))
+                self._skill_sq[k] = (
+                    self._skill_sq.get(k, 0.0)
+                    + max(mse - spread_sq / e, 0.0) * n_time
+                )
+
+    def get_logs(self, label: str = "ensemble") -> dict[str, float]:
+        logs: dict[str, float] = {}
+        for k, n in self._n.items():
+            spread = float(np.sqrt(self._spread_sq[k] / n))
+            logs[f"{label}/spread/{k}"] = spread
+            if k in self._crps:
+                logs[f"{label}/crps/{k}"] = self._crps[k] / n
+                skill = float(np.sqrt(self._skill_sq[k] / n))
+                logs[f"{label}/rmse_of_ensemble_mean/{k}"] = skill
+                if skill > 0:
+                    logs[f"{label}/spread_skill_ratio/{k}"] = (
+                        spread / skill
+                    )
+        return logs
 
 
 class GlobalMeanTimeSeriesAggregator:
@@ -279,21 +549,42 @@ class InferenceAggregatorConfig:
     log_spectra: bool = True
     log_histograms: bool = False
     log_annual_means: bool = True
-    monthly_reference_data: str | None = None  # accepted for config parity
+    # path to a monthly-means reference netCDF: enables annual R2 vs the
+    # reference simulation (fme/ace/aggregator/inference/main.py:284)
+    monthly_reference_data: str | None = None
+    # path to a time-mean reference netCDF: enables ref_bias/ref_rmse of
+    # the generated time-mean vs offline reference maps (main.py:285)
+    time_mean_reference_data: str | None = None
     log_enso_index: bool = False
     enso_sst_name: str = "surface_temperature"
     log_seasonal_means: bool = False
     log_near_zero_fraction: bool = False
+    # per-variable mean metrics at selected rollout steps (reference:
+    # main.py:422 log_step_means, default step-20 entry) plus full
+    # per-step metric series diagnostics; entries beyond the rollout
+    # length are skipped with a warning
+    log_step_means: list[StepMeanEntry] = dataclasses.field(
+        default_factory=lambda: [StepMeanEntry(step=20)]
+    )
+    # global-mean time series on NORMALIZED fields (reference:
+    # main.py:239 mean_norm target); requires the stepper's normalizer,
+    # passed by the inference/evaluator entries
+    log_global_mean_norm_time_series: bool = True
     log_video: bool = False
     log_extended_video: bool = False
     log_trends: bool = False
 
     def build(self, dataset_info, n_timesteps: int,
-              record_step_20: bool = False) -> "InferenceEvaluatorAggregator":
+              record_step_20: bool = False,
+              normalizer=None,
+              n_ensemble_per_ic: int = 1,
+              ) -> "InferenceEvaluatorAggregator":
         return InferenceEvaluatorAggregator(
             dataset_info=dataset_info,
             config=self,
             n_timesteps=n_timesteps,
+            normalizer=normalizer,
+            n_ensemble_per_ic=n_ensemble_per_ic,
         )
 
 
@@ -302,15 +593,37 @@ class InferenceEvaluatorAggregator:
     (reference: fme/ace/aggregator/inference/main.py:526).
     """
 
-    def __init__(self, dataset_info, config=None, n_timesteps: int = 0):
+    def __init__(self, dataset_info, config=None, n_timesteps: int = 0,
+                 normalizer=None, n_ensemble_per_ic: int = 1):
         config = config or InferenceAggregatorConfig()
         ops = dataset_info.gridded_operations
         is_latlon = len(dataset_info.img_shape) == 2
+        time_mean_ref = (
+            load_time_mean_reference(config.time_mean_reference_data)
+            if config.time_mean_reference_data is not None else None
+        )
         self._aggregators: dict[str, Any] = {
-            "time_mean": TimeMeanAggregator(ops),
+            "time_mean": TimeMeanAggregator(
+                ops, reference_means=time_mean_ref
+            ),
         }
         if config.log_global_mean_time_series:
             self._aggregators["mean"] = GlobalMeanTimeSeriesAggregator(ops)
+        self._step_mean = None
+        if config.log_step_means and n_timesteps:
+            self._step_mean = StepMeanSeriesAggregator(
+                ops, n_timesteps, entries=list(config.log_step_means)
+            )
+        if n_ensemble_per_ic > 1:
+            self._aggregators["ensemble"] = InferenceEnsembleAggregator(
+                ops, n_ensemble_per_ic
+            )
+        self._mean_norm = None
+        if (config.log_global_mean_norm_time_series
+                and normalizer is not None and n_timesteps):
+            self._mean_norm = StepMeanSeriesAggregator(
+                ops, n_timesteps, entries=[], normalizer=normalizer
+            )
         if config.log_zonal_mean_images and is_latlon:
             self._aggregators["zonal_mean"] = ZonalMeanAggregator()
         if config.log_spectra:
@@ -359,7 +672,13 @@ class InferenceEvaluatorAggregator:
                 GlobalMeanAnnualAggregator,
             )
 
-            self._annual = GlobalMeanAnnualAggregator(ops)
+            monthly_ref = (
+                load_monthly_reference(config.monthly_reference_data, ops)
+                if config.monthly_reference_data is not None else None
+            )
+            self._annual = GlobalMeanAnnualAggregator(
+                ops, monthly_reference=monthly_ref
+            )
         self._n_steps = 0
 
     def record_batch(self, gen: TensorMapping,
@@ -378,6 +697,11 @@ class InferenceEvaluatorAggregator:
             self._seasonal.record_batch(gen, time, target)
         if self._trend is not None and time is not None:
             self._trend.record_batch(gen, time, target)
+        i_start = self._n_steps - next(iter(gen.values())).shape[1]
+        if self._step_mean is not None:
+            self._step_mean.record_batch(gen, target, i_start)
+        if self._mean_norm is not None:
+            self._mean_norm.record_batch(gen, target, i_start)
 
     def get_logs(self) -> dict[str, float]:
         logs: dict[str, float] = {"n_forward_steps": self._n_steps}
@@ -390,6 +714,8 @@ class InferenceEvaluatorAggregator:
             logs.update(self._seasonal.get_logs("seasonal"))
         if self._trend is not None:
             logs.update(self._trend.get_logs("trend"))
+        if self._step_mean is not None:
+            logs.update(self._step_mean.get_logs())
         return logs
 
     def flush_diagnostics(self, output_dir: str):
@@ -408,6 +734,10 @@ class InferenceEvaluatorAggregator:
             items["trend"] = self._trend
         if self._seasonal is not None:
             items["seasonal"] = self._seasonal
+        if self._step_mean is not None:
+            items["mean_step"] = self._step_mean
+        if self._mean_norm is not None:
+            items["mean_norm"] = self._mean_norm
         for label, agg in items.items():
             if not hasattr(agg, "get_diagnostics"):
                 continue

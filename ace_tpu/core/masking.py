@@ -66,6 +66,72 @@ class StaticSpatialMasking:
         return out
 
 
+@dataclasses.dataclass
+class StaticSpatialMaskingConfig:
+    """Replace statically masked regions of step inputs with a fill
+    value (reference: fme/core/spatial_masking.py:45
+    StaticSpatialMaskingConfig; wired via StepperConfig.input_masking,
+    fme/ace/stepper/single_module.py:536).
+
+    mask_value: value of the mask variable IN masked regions (0 or 1).
+    fill_value: constant fill, or "mean" for per-variable normalizer
+        means.
+    exclude_names_and_prefixes: variables to leave untouched.
+    """
+
+    mask_value: int = 0
+    fill_value: float | str = 0.0
+    exclude_names_and_prefixes: list[str] | None = None
+
+    def __post_init__(self):
+        if self.mask_value not in (0, 1):
+            raise ValueError(
+                f"mask_value must be 0 or 1, got {self.mask_value}"
+            )
+        if isinstance(self.fill_value, str) and self.fill_value != "mean":
+            raise ValueError(
+                'fill_value must be a float or "mean", got '
+                f"{self.fill_value!r}"
+            )
+
+    def build(self, mask_provider: "MaskProvider | None", means=None):
+        """Input-masking callable over a TensorMapping; identity when no
+        masks exist in the dataset."""
+        if mask_provider is None or not mask_provider.masks:
+            return lambda data: dict(data)
+        exclude = NameAndPrefixMatcher(
+            self.exclude_names_and_prefixes or []
+        )
+        masks_j = {
+            k: jnp.asarray(v) for k, v in mask_provider.masks.items()
+        }
+        use_mean = self.fill_value == "mean"
+        if use_mean and means is None:
+            raise ValueError('fill_value="mean" requires normalizer means')
+        mv = self.mask_value
+        fill = None if use_mean else float(self.fill_value)
+
+        def apply(data: TensorMapping) -> TensorDict:
+            out = dict(data)
+            for name, value in data.items():
+                if exclude.matches(name):
+                    continue
+                mask = mask_provider.get_mask_for(name)
+                if mask is None:
+                    continue
+                key = next(
+                    k for k, v in mask_provider.masks.items() if v is mask
+                )
+                fv = (means.get(name, 0.0) if use_mean else fill)
+                # reference rounds the mask before comparing
+                # (spatial_masking.py:25 replace_on_mask)
+                rounded = jnp.round(masks_j[key]).astype(jnp.int32)
+                out[name] = jnp.where(rounded == mv, fv, value)
+            return out
+
+        return apply
+
+
 class MaskProvider:
     """Dataset-derived static masks keyed "mask_*"
     (reference: fme/core/spatial_mask_provider.py:70 SpatialMaskProvider).

@@ -42,6 +42,8 @@ class EvaluatorConfig:
         default_factory=DerivedForcingsConfig
     )
     stepper_override: StepperOverrideConfig | None = None
+    # N ensemble members per IC (see InferenceConfig.n_ensemble_per_ic)
+    n_ensemble_per_ic: int = 1
     # (data, h, w) device mesh for sharded evaluation (see
     # ace_tpu/inference/inference.py InferenceConfig.mesh)
     mesh: MeshConfig | None = None
@@ -95,6 +97,12 @@ def _run_evaluator_impl(config: EvaluatorConfig, placement) -> dict:
     )
     stepper.dataset_info.assert_compatible_with(data.dataset_info)
     ic_batch = data.initial_condition(stepper.prognostic_names)
+    n_ens = config.n_ensemble_per_ic
+    if n_ens > 1:
+        ic_batch.data = {
+            k: np.repeat(np.asarray(v), n_ens, axis=0)
+            for k, v in ic_batch.data.items()
+        }
     if placement is not None:
         ic = PrognosticState(
             data={
@@ -110,7 +118,9 @@ def _run_evaluator_impl(config: EvaluatorConfig, placement) -> dict:
     multiproc = placement is not None and placement.multiprocess
     root = dist.is_root() if multiproc else True
     aggregator = config.aggregator.build(
-        info, n_timesteps=config.n_forward_steps
+        info, n_timesteps=config.n_forward_steps,
+        normalizer=getattr(stepper.step, "normalizer", None),
+        n_ensemble_per_ic=n_ens,
     )
     if root:
         writer = config.data_writer.build(config.experiment_dir, info)
@@ -125,7 +135,7 @@ def _run_evaluator_impl(config: EvaluatorConfig, placement) -> dict:
     summary = run_inference(
         stepper, ic, data, writer=writer, aggregator=aggregator,
         target_names=target_names, forcing_deriver=deriver,
-        placement=placement,
+        placement=placement, n_ensemble=n_ens,
     )
     summary["logs"] = aggregator.get_logs()
     if root:

@@ -56,6 +56,11 @@ class InferenceConfig:
     # dataset (used by segmented inference; reference: inference.py:514)
     initial_condition_path: str | None = None
     stepper_override: StepperOverrideConfig | None = None
+    # N ensemble members per initial condition: the IC batch is tiled
+    # member-major and the stochastic model's noise stream differentiates
+    # members; spread/skill/CRPS are aggregated (reference:
+    # fme/ace/inference/inference.py:296 n_ensemble_per_ic)
+    n_ensemble_per_ic: int = 1
     # (data, h, w) device mesh: ICs sharded over "data", the lat/lon grid
     # decomposed over (h, w) with the explicit all-to-all distributed SHT
     # inside spectral models (reference: inference runs under Distributed
@@ -67,6 +72,14 @@ class InferenceConfig:
         self.data_writer.validate_time_coarsen(
             self.n_forward_steps, self.forward_steps_in_memory
         )
+        if self.n_ensemble_per_ic > 1 and self.initial_condition_path:
+            # a restart file holds one realized state per IC; members
+            # cannot be re-broadcast consistently (reference:
+            # inference.py:529-534)
+            raise ValueError(
+                "n_ensemble_per_ic > 1 is not supported with "
+                "initial_condition_path (restart-seeded runs)"
+            )
 
 
 def load_restart_initial_condition(path: str, names: list[str]):
@@ -136,6 +149,13 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
         ic_data = forcing_data.initial_condition(
             stepper.prognostic_names
         ).data
+    n_ens = config.n_ensemble_per_ic
+    if n_ens > 1:
+        # member-major tiling: members of one IC are contiguous
+        ic_data = {
+            k: np.repeat(np.asarray(v), n_ens, axis=0)
+            for k, v in ic_data.items()
+        }
     if placement is not None:
         ic = PrognosticState(
             data={
@@ -153,7 +173,9 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
 
     root = dist.is_root() if multiproc else True
     aggregator = config.aggregator.build(
-        info, n_timesteps=config.n_forward_steps
+        info, n_timesteps=config.n_forward_steps,
+        normalizer=getattr(stepper.step, "normalizer", None),
+        n_ensemble_per_ic=n_ens,
     )
     # multi-process: only the root writes files (outputs are gathered to
     # every host by placement.fetch; reference gates writers per rank,
@@ -166,7 +188,7 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
         writer = NullDataWriter()
     summary = run_inference(
         stepper, ic, forcing_data, writer=writer, aggregator=aggregator,
-        forcing_deriver=deriver, placement=placement,
+        forcing_deriver=deriver, placement=placement, n_ensemble=n_ens,
     )
     logs = aggregator.get_logs()
     if root:
@@ -182,7 +204,9 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
         if multiproc else jax.device_get(final_state.data)
     )
     last_time = forcing_data.dataset.all_time[
-        [s + config.n_forward_steps for s in forcing_data._starts]
+        [s + config.n_forward_steps
+         for s in forcing_data._starts
+         for _ in range(n_ens)]
     ]
     from ace_tpu.data.time import TimeCoord
 

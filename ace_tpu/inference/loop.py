@@ -30,6 +30,7 @@ def run_inference(
     target_names: list[str] | None = None,
     forcing_deriver=None,
     placement=None,
+    n_ensemble: int = 1,
 ) -> dict:
     """Run an autoregressive rollout over streaming forcing windows.
 
@@ -64,6 +65,19 @@ def run_inference(
             forcing_host = {
                 k_: np.asarray(v) for k_, v in forcing_np.items()
             }
+            if n_ensemble > 1:
+                # forcing windows are per-IC; tile member-major to match
+                # the ensemble-broadcast initial condition (reference:
+                # predict_paired's single broadcast, inference.py:396)
+                forcing_host = {
+                    k_: np.repeat(v, n_ensemble, axis=0)
+                    for k_, v in forcing_host.items()
+                }
+                window_time = TimeCoord(
+                    np.repeat(window_time.values, n_ensemble, axis=0),
+                    window_time.calendar,
+                )
+            forcing_np = forcing_host
             if placement is not None:
                 forcing_np = {
                     k_: placement.put_global(v)
@@ -102,6 +116,13 @@ def run_inference(
                     target = {
                         k_: v[:, 1:] for k_, v in target_window.data.items()
                     }
+                    if n_ensemble > 1:
+                        target = {
+                            k_: np.repeat(
+                                np.asarray(v), n_ensemble, axis=0
+                            )
+                            for k_, v in target.items()
+                        }
                     if compute_derived_variables and vc is not None:
                         # derive for the reference data too so paired
                         # metrics exist for derived variables (reference

@@ -16,6 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from ace_tpu.core.dataset_info import DatasetInfo
+from ace_tpu.core.masking import StaticSpatialMaskingConfig
 from ace_tpu.core.step import (  # noqa: F401 — imports register step types
     StepABC,
     StepArgs,
@@ -50,7 +51,8 @@ class Stepper:
     and PRNG keys through an XLA-compiled scan over forward steps.
     """
 
-    def __init__(self, step: StepABC, params: Any = None):
+    def __init__(self, step: StepABC, params: Any = None,
+                 input_masker=None):
         from ace_tpu.core.training_history import TrainingHistory
 
         self.step = step
@@ -65,6 +67,9 @@ class Stepper:
             provider.build_output_masker() if provider is not None
             else (lambda data: data)
         )
+        # input spatial masking (reference: single_module.py:1063
+        # args.apply_input_process_func)
+        self.input_masker = input_masker or (lambda data: dict(data))
 
     @property
     def prognostic_names(self) -> list[str]:
@@ -154,8 +159,8 @@ class Stepper:
             out = step.step(
                 params,
                 StepArgs(
-                    input={**state, **forcing_t},
-                    next_step_input_data=next_t,
+                    input=self.input_masker({**state, **forcing_t}),
+                    next_step_input_data=self.input_masker(next_t),
                     stepper_state=st_state,
                     rng=sub,
                     deterministic=deterministic,
@@ -232,9 +237,21 @@ class StepperConfig:
     """
 
     step: StepSelector
+    # fill statically masked regions of step inputs (reference:
+    # fme/ace/stepper/single_module.py:536 input_masking)
+    input_masking: StaticSpatialMaskingConfig | None = None
 
     def get_stepper(self, dataset_info: DatasetInfo) -> Stepper:
-        return Stepper(step=self.step.get_step(dataset_info))
+        step = self.step.get_step(dataset_info)
+        input_masker = None
+        if self.input_masking is not None:
+            input_masker = self.input_masking.build(
+                getattr(dataset_info, "mask_provider", None),
+                means=getattr(
+                    getattr(step, "normalizer", None), "means", None
+                ),
+            )
+        return Stepper(step=step, input_masker=input_masker)
 
     @property
     def in_names(self) -> list[str]:
@@ -245,11 +262,26 @@ class StepperConfig:
         return self.step.output_names
 
     def get_state(self) -> dict:
-        return {"step": self.step.get_state()}
+        from ace_tpu.core.config import to_dict
+
+        state = {"step": self.step.get_state()}
+        if self.input_masking is not None:
+            state["input_masking"] = to_dict(self.input_masking)
+        return state
 
     @classmethod
     def from_state(cls, state: dict) -> "StepperConfig":
-        return cls(step=StepSelector.from_state(state["step"]))
+        from ace_tpu.core.config import from_dict as _from_dict
+
+        input_masking = None
+        if state.get("input_masking") is not None:
+            input_masking = _from_dict(
+                StaticSpatialMaskingConfig, state["input_masking"]
+            )
+        return cls(
+            step=StepSelector.from_state(state["step"]),
+            input_masking=input_masking,
+        )
 
 
 @dataclasses.dataclass

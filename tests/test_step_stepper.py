@@ -606,3 +606,124 @@ def test_output_masking_from_dataset_masks():
 
     info2 = DatasetInfo.from_state(info.get_state())
     assert info2.mask_provider == info.mask_provider
+
+
+def test_input_masking_fills_masked_regions():
+    """input_masking replaces statically masked regions of step INPUTS
+    with a fill value, so predictions are independent of input values
+    there (reference: fme/core/spatial_masking.py
+    StaticSpatialMaskingConfig, wired via single_module.py:536
+    input_masking)."""
+    import dataclasses as dc
+
+    from ace_tpu.core.config import from_dict, to_dict
+    from ace_tpu.core.masking import MaskProvider, StaticSpatialMaskingConfig
+    from ace_tpu.stepper.stepper import PrognosticState, StepperConfig
+
+    info = _dataset_info()
+    mask = np.ones((NLAT, NLON), np.float32)
+    mask[:, : NLON // 2] = 0.0
+    info = dc.replace(info, mask_provider=MaskProvider({"mask_2d": mask}))
+    sel = _selector()
+    config = StepperConfig(
+        step=sel,
+        input_masking=StaticSpatialMaskingConfig(
+            mask_value=0, fill_value=0.0
+        ),
+    )
+    stepper = config.get_stepper(info)
+    stepper.params = stepper.init_params(jax.random.PRNGKey(0))
+    rng = np.random.RandomState(0)
+    ic_clean = rng.randn(1, 1, NLAT, NLON).astype(np.float32)
+    forcing_clean = rng.randn(1, 3, NLAT, NLON).astype(np.float32)
+    # garbage in the masked region only
+    ic_dirty = ic_clean.copy()
+    ic_dirty[..., : NLON // 2] += 1e3
+    forcing_dirty = forcing_clean.copy()
+    forcing_dirty[..., : NLON // 2] -= 1e3
+
+    def run(stp, ic, forc):
+        out, _ = stp.predict(
+            PrognosticState(data={"prog": jnp.asarray(ic)}),
+            {"forcing_var": jnp.asarray(forc)},
+        )
+        return {k: np.asarray(v) for k, v in out.items()}
+
+    out_clean = run(stepper, ic_clean, forcing_clean)
+    out_dirty = run(stepper, ic_dirty, forcing_dirty)
+    for k in out_clean:
+        np.testing.assert_allclose(
+            out_clean[k], out_dirty[k], rtol=1e-6, err_msg=k
+        )
+    # the masker itself fills masked regions and leaves valid ones
+    masked = stepper.input_masker(
+        {"prog": jnp.asarray(ic_dirty[:, 0])}
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masked["prog"])[..., : NLON // 2], 0.0
+    )
+    np.testing.assert_array_equal(
+        np.asarray(masked["prog"])[..., NLON // 2 :],
+        ic_dirty[:, 0, :, NLON // 2 :],
+    )
+    # without input_masking, the stepper applies no input fill
+    bare = StepperConfig(step=sel).get_stepper(info)
+    unmasked = bare.input_masker({"prog": jnp.asarray(ic_dirty[:, 0])})
+    np.testing.assert_array_equal(
+        np.asarray(unmasked["prog"]), ic_dirty[:, 0]
+    )
+    # config round-trips through checkpoint state
+    config2 = StepperConfig.from_state(config.get_state())
+    assert config2.input_masking == config.input_masking
+    assert to_dict(config2.input_masking) == to_dict(config.input_masking)
+    # validation mirrors the reference's __post_init__ errors
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="mask_value"):
+        from_dict(StaticSpatialMaskingConfig, {"mask_value": 2})
+    with _pytest.raises(ValueError, match="fill_value"):
+        from_dict(
+            StaticSpatialMaskingConfig,
+            {"mask_value": 0, "fill_value": "median"},
+        )
+
+
+def test_input_masking_mean_fill_and_exclude():
+    """fill_value="mean" fills with per-variable normalizer means;
+    exclude_names_and_prefixes leaves listed variables untouched
+    (reference: spatial_masking.py build w/ means mapping)."""
+    import dataclasses as dc
+
+    from ace_tpu.core.masking import MaskProvider, StaticSpatialMaskingConfig
+    from ace_tpu.stepper.stepper import PrognosticState, StepperConfig
+
+    info = _dataset_info()
+    mask = np.ones((NLAT, NLON), np.float32)
+    mask[0, 0] = 0.0
+    info = dc.replace(info, mask_provider=MaskProvider({"mask_2d": mask}))
+    sel = _selector(
+        normalization={
+            "network": {
+                "means": {"prog": 2.5, "forcing_var": -1.0, "diag": 0.0},
+                "stds": {"prog": 1.0, "forcing_var": 1.0, "diag": 1.0},
+            }
+        },
+    )
+    config = StepperConfig(
+        step=sel,
+        input_masking=StaticSpatialMaskingConfig(
+            mask_value=0,
+            fill_value="mean",
+            exclude_names_and_prefixes=["forcing_var"],
+        ),
+    )
+    stepper = config.get_stepper(info)
+    masked = stepper.input_masker({
+        "prog": jnp.ones((1, NLAT, NLON)) * 7.0,
+        "forcing_var": jnp.ones((1, NLAT, NLON)) * 7.0,
+    })
+    # masked cell of prog takes the normalizer mean; excluded forcing_var
+    # is untouched everywhere
+    assert np.asarray(masked["prog"])[0, 0, 0] == 2.5
+    assert np.asarray(masked["prog"])[0, 1, 1] == 7.0
+    np.testing.assert_array_equal(np.asarray(masked["forcing_var"]), 7.0)
