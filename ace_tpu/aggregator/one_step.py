@@ -12,12 +12,16 @@ from ace_tpu.core.typing_ import TensorMapping
 
 class OneStepAggregator:
     def __init__(self, ops: GriddedOperations,
-                 record_snapshots: bool = True):
+                 record_snapshots: bool = True,
+                 record_mean_maps: bool = False):
         self._ops = ops
         self._sums: dict[str, float] = {}
         self._counts: dict[str, int] = {}
         self._snapshots: dict[str, np.ndarray] = {}
         self._record_snapshots = record_snapshots
+        self._record_mean_maps = record_mean_maps
+        self._map_sums: dict[str, np.ndarray] = {}
+        self._map_counts: dict[str, int] = {}
 
     def record_batch(self, gen: TensorMapping, target: TensorMapping):
         """gen/target: [batch, (time,) lat, lon] per variable."""
@@ -48,6 +52,21 @@ class OneStepAggregator:
                     g0, t0 = g0[0], t0[0]
                 self._snapshots[f"snapshot/gen/{name}"] = g0
                 self._snapshots[f"snapshot/error/{name}"] = g0 - t0
+            if self._record_mean_maps:
+                g_map = np.asarray(jnp.mean(
+                    jnp.asarray(g).reshape((-1,) + g.shape[-2:]), axis=0
+                ))
+                t_map = np.asarray(jnp.mean(
+                    jnp.asarray(t).reshape((-1,) + t.shape[-2:]), axis=0
+                ))
+                self._map_sums[f"gen_map-{name}"] = (
+                    self._map_sums.get(f"gen_map-{name}", 0.0) + g_map
+                )
+                self._map_sums[f"bias_map-{name}"] = (
+                    self._map_sums.get(f"bias_map-{name}", 0.0)
+                    + (g_map - t_map)
+                )
+                self._map_counts[name] = self._map_counts.get(name, 0) + 1
 
     def get_logs(self, label: str = "one_step") -> dict[str, float]:
         return {
@@ -57,6 +76,45 @@ class OneStepAggregator:
 
     def get_snapshots(self) -> dict[str, np.ndarray]:
         return dict(self._snapshots)
+
+    def flush_diagnostics(self, output_dir: str):
+        """Write per-epoch validation diagnostics: scalar means
+        (mean_diagnostics.nc), first-batch snapshots
+        (snapshot_diagnostics.nc), and batch-mean maps
+        (mean_map_diagnostics.nc) — the reference's
+        save_per_epoch_diagnostics layout (fme/core/generics/trainer.py
+        validation output dirs, fme/ace/test_ocean_train.py:134-151)."""
+        import os
+
+        from ace_tpu.data.store import write_h5
+
+        os.makedirs(output_dir, exist_ok=True)
+        groups: dict[str, dict[str, np.ndarray]] = {
+            "mean": {
+                k.replace("/", "-"): np.asarray(
+                    self._sums[k] / self._counts[k]
+                )
+                for k in self._sums
+            },
+        }
+        if self._snapshots:
+            groups["snapshot"] = {
+                k.replace("/", "-"): v for k, v in self._snapshots.items()
+            }
+        if self._map_sums:
+            groups["mean_map"] = {
+                k: v / self._map_counts[k.split("-", 1)[1]]
+                for k, v in self._map_sums.items()
+            }
+        for label, diags in groups.items():
+            if not diags:
+                continue
+            write_h5(
+                os.path.join(output_dir, f"{label}_diagnostics.nc"),
+                {k: np.asarray(v) for k, v in diags.items()},
+                {k: tuple(f"dim{i}" for i in range(np.ndim(v)))
+                 for k, v in diags.items()},
+            )
 
 
 class EnsembleOneStepAggregator:

@@ -12,7 +12,29 @@ import yaml
 from ace_tpu.core.config import update_dict_with_dotlist
 
 
+def apply_platform_env():
+    """Honor JAX_PLATFORMS for CLI runs.
+
+    Some images pre-import jax from a sitecustomize that pins the
+    platform via jax.config before user code runs, which silently
+    overrides a user-set ``JAX_PLATFORMS`` (e.g. ``JAX_PLATFORMS=cpu``
+    for a wiring check). Re-apply the env var at entry-point startup so
+    the CLI behaves like a fresh interpreter would.
+    """
+    platforms = os.environ.get("JAX_PLATFORMS")
+    if not platforms:
+        return
+    import jax
+
+    try:
+        if jax.config.jax_platforms != platforms:
+            jax.config.update("jax_platforms", platforms)
+    except Exception:  # unknown platform strings fail later, loudly
+        pass
+
+
 def prepare_config(path: str, override: list[str] | None = None) -> dict[str, Any]:
+    apply_platform_env()
     with open(path) as f:
         data = yaml.safe_load(f)
     return update_dict_with_dotlist(data, override)

@@ -100,19 +100,38 @@ class HybridSigmaPressureCoordinate(VerticalCoordinate):
         return jnp.sum(integrand * pressure_thickness, axis=-1) / GRAVITY
 
 
+def dz_from_idepth(idepth: np.ndarray, mask: np.ndarray,
+                   deptho: np.ndarray | None = None) -> np.ndarray:
+    """Layer thicknesses from interface depths, accounting for partial
+    bottom cells when the sea-floor depth ``deptho`` is given
+    (reference: fme/core/coordinates.py:287 dz_from_idepth)."""
+    z_top = idepth[..., :-1]
+    z_bot = idepth[..., 1:]
+    if deptho is None:
+        deptho_exp = np.max(mask * z_bot, axis=-1, keepdims=True)
+    else:
+        deptho_exp = np.asarray(deptho)[..., None]
+    dz = np.clip(deptho_exp, z_top, z_bot) - z_top
+    return np.nan_to_num(dz) * mask
+
+
 @dataclasses.dataclass
 class DepthCoordinate(VerticalCoordinate):
-    """Ocean depth coordinate with a static column mask
+    """Ocean depth coordinate with a static column mask and optional
+    sea-floor depth for partial bottom cells
     (reference: fme/core/coordinates.py:303).
     """
 
     idepth: np.ndarray
     mask: np.ndarray  # [..., n_layers], 1 valid / 0 invalid
+    deptho: np.ndarray | None = None  # positive-down sea-floor depth
     surface_mask: np.ndarray | None = None
 
     def __post_init__(self):
         self.idepth = np.asarray(self.idepth, dtype=np.float32)
         self.mask = np.asarray(self.mask, dtype=np.float32)
+        if self.deptho is not None:
+            self.deptho = np.asarray(self.deptho, dtype=np.float32)
         if self.idepth.ndim != 1:
             raise ValueError("idepth must be 1-dimensional")
         if self.mask.shape[-1] != len(self.idepth) - 1:
@@ -120,16 +139,24 @@ class DepthCoordinate(VerticalCoordinate):
                 "mask last dim must equal len(idepth) - 1 "
                 f"({self.mask.shape[-1]} vs {len(self.idepth) - 1})"
             )
+        self._dz = dz_from_idepth(self.idepth, self.mask, self.deptho)
 
     def __len__(self):
         return len(self.idepth)
+
+    @property
+    def dz(self) -> np.ndarray:
+        return self._dz
 
     @property
     def coords(self) -> dict[str, np.ndarray]:
         return {"idepth": self.idepth}
 
     def as_dict(self) -> dict:
-        return {"idepth": self.idepth.tolist(), "mask": self.mask.tolist()}
+        d = {"idepth": self.idepth.tolist(), "mask": self.mask.tolist()}
+        if self.deptho is not None:
+            d["deptho"] = np.nan_to_num(self.deptho).tolist()
+        return d
 
     def get_mask(self) -> jnp.ndarray:
         return jnp.asarray(self.mask)
@@ -138,10 +165,19 @@ class DepthCoordinate(VerticalCoordinate):
         return jnp.asarray(self.idepth)
 
     def depth_integral(self, integrand: jnp.ndarray) -> jnp.ndarray:
-        """∫ x dz over valid layers; removes the trailing vertical axis."""
-        dz = jnp.diff(jnp.asarray(self.idepth))
-        masked = jnp.nan_to_num(integrand * jnp.asarray(self.mask))
-        return jnp.sum(masked * dz, axis=-1)
+        """∫ x dz over valid layers; removes the trailing vertical axis.
+        dz accounts for partial bottom cells when deptho is known. NaNs
+        in the integrand count as zero; fully-dry columns (surface mask
+        0) are NaN (reference: fme/core/coordinates.py:410-437)."""
+        integral = jnp.sum(
+            jnp.nan_to_num(integrand * jnp.asarray(self._dz)), axis=-1
+        )
+        mask = jnp.asarray(self.mask)
+        surface = (
+            mask[..., 0] if mask.ndim > 1
+            else jnp.broadcast_to(mask[0], integral.shape)
+        )
+        return jnp.where(surface > 0, integral, jnp.nan)
 
 
 @dataclasses.dataclass
@@ -379,7 +415,9 @@ def deserialize_vertical_coordinate(state: dict) -> VerticalCoordinate:
     if state["type"] == "depth":
         d = state["data"]
         return DepthCoordinate(
-            idepth=np.asarray(d["idepth"]), mask=np.asarray(d["mask"])
+            idepth=np.asarray(d["idepth"]), mask=np.asarray(d["mask"]),
+            deptho=(np.asarray(d["deptho"])
+                    if d.get("deptho") is not None else None),
         )
     return NullVerticalCoordinate()
 

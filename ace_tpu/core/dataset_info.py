@@ -59,7 +59,17 @@ class DatasetInfo:
     def gridded_operations(self) -> GriddedOperations:
         if self.horizontal_coordinates is None:
             raise ValueError("DatasetInfo has no horizontal coordinates")
-        return self.horizontal_coordinates.get_gridded_operations()
+        ops = self.horizontal_coordinates.get_gridded_operations()
+        if (
+            self.mask_provider is not None
+            and getattr(self.mask_provider, "masks", None)
+            and hasattr(ops, "_mask_provider")
+        ):
+            # per-variable masks zero the area weight of masked cells in
+            # every scalar metric (reference: fme/core/gridded_ops.py:271
+            # _spatial_mask_area_weights + :290 mask-provider ctor)
+            ops._mask_provider = self.mask_provider
+        return ops
 
     @property
     def atmosphere_vertical_coordinate(

@@ -265,3 +265,26 @@ def compute_ocean_derived_quantities(
         except (KeyError, ValueError):
             logging.debug(f"cannot compute ocean derived {label}")
     return out
+
+
+def compute_derived_for(
+    data: TensorDict,
+    vertical_coordinate,
+    timestep: datetime.timedelta,
+    forcing_data: TensorDict | None = None,
+) -> TensorDict:
+    """Dispatch derived-variable computation on the vertical coordinate
+    type: DepthCoordinate routes to the ocean registry, anything else to
+    the atmosphere registry (reference:
+    fme/core/coordinates.py:351 DepthCoordinate.build_derive_function ->
+    OceanDeriveFn vs :256 HybridSigmaPressureCoordinate -> AtmosphereDeriveFn).
+    """
+    from ace_tpu.core.coordinates import DepthCoordinate
+
+    if isinstance(vertical_coordinate, DepthCoordinate):
+        return compute_ocean_derived_quantities(
+            data, vertical_coordinate, timestep, forcing_data
+        )
+    return compute_derived_quantities(
+        data, vertical_coordinate, timestep, forcing_data
+    )

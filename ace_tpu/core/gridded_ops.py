@@ -133,13 +133,22 @@ class LatLonOperations(GriddedOperations):
 
     HORIZONTAL_DIMS = (-2, -1)
 
-    def __init__(self, area_weights, spatial_masks: TensorMapping | None = None):
+    def __init__(self, area_weights, spatial_masks: TensorMapping | None = None,
+                 mask_provider=None):
+        """``spatial_masks`` are exact-name keyed masks; ``mask_provider``
+        (a core.masking.MaskProvider) resolves masks with the reference's
+        name > level-suffix > mask_2d priority and multiplies them into the
+        area weights so masked cells get zero weight in every scalar metric
+        (reference: fme/core/gridded_ops.py:271 _spatial_mask_area_weights).
+        """
         self._area_weights = jnp.asarray(area_weights)
         self._spatial_masks = (
             {k: jnp.asarray(v) for k, v in spatial_masks.items()}
             if spatial_masks
             else None
         )
+        self._mask_provider = mask_provider
+        self._provider_cache: dict[str, jnp.ndarray | None] = {}
 
     @property
     def area_weights(self) -> jnp.ndarray:
@@ -152,6 +161,22 @@ class LatLonOperations(GriddedOperations):
             and name in self._spatial_masks
         ):
             return self._area_weights * self._spatial_masks[name]
+        if self._mask_provider is not None and name is not None:
+            if name not in self._provider_cache:
+                import numpy as np
+
+                mask = self._mask_provider.get_mask_for(name)
+                # cache in NUMPY: this runs inside jit traces, where any
+                # jnp value (even one built from constants) is a tracer
+                # belonging to that trace — caching it across calls
+                # would leak it into later traces
+                self._provider_cache[name] = (
+                    np.asarray(self._area_weights) * np.asarray(mask)
+                    if mask is not None else None
+                )
+            cached = self._provider_cache[name]
+            if cached is not None:
+                return jnp.asarray(cached)
         return self._area_weights
 
     @property

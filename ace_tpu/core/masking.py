@@ -158,10 +158,12 @@ class MaskProvider:
             return self.masks["mask_2d"]
         return None
 
-    def build_output_masker(self, fill_value: float = 0.0):
-        """Callable filling masked regions of matching output fields
-        (reference: build_output_spatial_masker + StaticSpatialMasking).
-        Returns identity when no masks exist.
+    def build_output_masker(self, fill_value: float = float("nan")):
+        """Callable filling masked regions of matching output fields with
+        NaN (reference: fme/core/spatial_mask_provider.py:116 fills
+        outputs with NaN; configs on masked data pair this with
+        ``input_masking`` so the next step's network inputs are refilled
+        with a constant). Returns identity when no masks exist.
         """
         if not self.masks:
             return lambda data: data

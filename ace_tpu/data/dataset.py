@@ -12,6 +12,7 @@ fields are broadcast along time; the derived static fields x/y/z
 import dataclasses
 import datetime
 import glob
+import logging
 import os
 
 import numpy as np
@@ -202,12 +203,51 @@ class XarrayDataset:
                 loaded_lat_name=lat_name,
                 loaded_lon_name=lon_name,
             )
-        # vertical coordinate from ak_N/bk_N scalars
+        # vertical coordinate from ak_N/bk_N scalars (atmosphere) or
+        # idepth_N scalars + per-layer mask_N + deptho (ocean; reference:
+        # fme/core/dataset/xarray.py:60 _get_vertical_coordinate)
         ak = {k: float(first[k].read(())) for k in first.keys()
               if k.startswith("ak_") and k[3:].isdigit()}
         bk = {k: float(first[k].read(())) for k in first.keys()
               if k.startswith("bk_") and k[3:].isdigit()}
-        if ak and bk:
+        idepth = {k: float(first[k].read(())) for k in first.keys()
+                  if k.startswith("idepth_") and k[7:].isdigit()}
+        if idepth and ak and bk:
+            raise ValueError(
+                "Dataset contains both hybrid sigma-pressure (ak_N/bk_N)"
+                " and depth (idepth_N) coordinates; the vertical"
+                " coordinate is ambiguous."
+            )
+        if idepth:
+            from ace_tpu.core.coordinates import DepthCoordinate
+
+            idepth_arr = np.asarray(
+                [idepth[f"idepth_{i}"] for i in range(len(idepth))],
+                np.float32,
+            )
+            layer_masks = {
+                int(k[5:]): np.asarray(first[k].read(()), np.float32)
+                for k in first.keys()
+                if k.startswith("mask_") and k[5:].isdigit()
+            }
+            if layer_masks:
+                mask = np.stack(
+                    [layer_masks[i] for i in sorted(layer_masks)], axis=-1
+                )
+            else:
+                logging.warning(
+                    "Dataset has idepth_N but no mask_N variables; "
+                    "DepthCoordinate mask set to 1 at all layers."
+                )
+                mask = np.ones(len(idepth_arr) - 1, np.float32)
+            deptho = (
+                np.asarray(first["deptho"].read(()), np.float32)
+                if "deptho" in first.keys() else None
+            )
+            self.vertical_coordinate = DepthCoordinate(
+                idepth=idepth_arr, mask=mask, deptho=deptho
+            )
+        elif ak and bk:
             self.vertical_coordinate = HybridSigmaPressureCoordinate(
                 ak=np.asarray(
                     [ak[k] for k in sorted(ak, key=lambda s: int(s[3:]))]

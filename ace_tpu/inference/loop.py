@@ -13,7 +13,7 @@ import time as _time
 import jax
 import numpy as np
 
-from ace_tpu.core.derived_variables import compute_derived_quantities
+from ace_tpu.core.derived_variables import compute_derived_for
 from ace_tpu.core.timing import GlobalTimer
 from ace_tpu.data.inference import InferenceGriddedData
 from ace_tpu.data.time import TimeCoord
@@ -45,7 +45,9 @@ def run_inference(
     """
     timer = GlobalTimer.get_instance()
     info = stepper.dataset_info
-    vc = info.atmosphere_vertical_coordinate
+    # hybrid sigma-pressure drives atmosphere derived variables; a
+    # DepthCoordinate drives the ocean registry (compute_derived_for)
+    vc = info.atmosphere_vertical_coordinate or info.depth_coordinate
     state = stepper.get_initial_state(initial_condition)
     rng = jax.random.PRNGKey(0)
     n_steps_done = 0
@@ -85,7 +87,13 @@ def run_inference(
                 }
         with timer.context("forward_prediction"):
             rng, sub = jax.random.split(rng)
-            outputs, state = stepper.predict(state, forcing_np, rng=sub)
+            # pass the rollout length explicitly: models without forcing
+            # variables (e.g. sea-ice FloeNet) cannot infer it from the
+            # (empty) forcing window
+            outputs, state = stepper.predict(
+                state, forcing_np, rng=sub,
+                n_forward=window_time.values.shape[1] - 1,
+            )
             jax.block_until_ready(outputs)
         if placement is not None and placement.multiprocess:
             # gather to host numpy once so writers and aggregators see
@@ -94,7 +102,7 @@ def run_inference(
                 outputs = placement.fetch(outputs)
         with timer.context("compute_derived_variables"):
             if compute_derived_variables and vc is not None:
-                outputs = compute_derived_quantities(
+                outputs = compute_derived_for(
                     outputs, vc, info.timestep,
                     forcing_data={
                         k_: v[:, 1:] for k_, v in forcing_host.items()
@@ -127,7 +135,7 @@ def run_inference(
                         # derive for the reference data too so paired
                         # metrics exist for derived variables (reference
                         # loop.py:64-65 derives both sides)
-                        target = compute_derived_quantities(
+                        target = compute_derived_for(
                             target, vc, info.timestep,
                             forcing_data={
                                 k_: v[:, 1:]

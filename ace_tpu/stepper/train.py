@@ -271,8 +271,16 @@ class TrainStepper:
             out = step.step(
                 params,
                 StepArgs(
-                    input={**state, **forcing_t},
-                    next_step_input_data=next_t,
+                    # input masking fills statically masked regions (NaN
+                    # on ocean data) before the network, during training
+                    # exactly as at inference (reference:
+                    # single_module.py:1063 apply_input_process_func)
+                    input=self.stepper.input_masker(
+                        {**state, **forcing_t}
+                    ),
+                    next_step_input_data=self.stepper.input_masker(
+                        next_t
+                    ),
                     stepper_state=st_state,
                     rng=sub,
                     deterministic=deterministic,

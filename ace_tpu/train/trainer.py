@@ -15,6 +15,7 @@ from typing import Any
 import jax
 import numpy as np
 
+from ace_tpu.aggregator.inference import InferenceAggregatorConfig
 from ace_tpu.core.dataset_info import DatasetInfo
 from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
 from ace_tpu.core.timing import GlobalTimer
@@ -50,6 +51,12 @@ class InlineInferenceConfig:
     # best-inference checkpoint (reference: train_config.py:133-137)
     name: str | None = None
     weight: float = 1.0
+    # aggregator options for the inline run (reference:
+    # train_config.py InlineInferenceConfig.aggregator — e.g.
+    # monthly_reference_data, log_step_means)
+    aggregator: InferenceAggregatorConfig = dataclasses.field(
+        default_factory=InferenceAggregatorConfig
+    )
 
 
 @dataclasses.dataclass
@@ -130,6 +137,10 @@ class TrainConfig:
     ema: EMAConfig = dataclasses.field(default_factory=EMAConfig)
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
     save_checkpoint: bool = True
+    # write per-epoch validation / inline-inference diagnostics netCDFs
+    # under output/{val,inference}/epoch_NNNN (reference:
+    # train_config.py save_per_epoch_diagnostics)
+    save_per_epoch_diagnostics: bool = False
     validate_using_ema: bool = True
     log_train_every_n_batches: int = 10
     checkpoint_save_epochs: Slice | None = None
@@ -427,8 +438,17 @@ class Trainer:
                 self._maybe_tune_lr(epoch)
             with timer.context("train_one_epoch"):
                 train_metrics = self.train_one_epoch(epoch)
+            diag_root = (
+                os.path.join(self.config.experiment_dir, "output")
+                if self.config.save_per_epoch_diagnostics and
+                dist.is_root() else None
+            )
             with timer.context("validation"):
-                valid_metrics = self.validate()
+                valid_metrics = self.validate(
+                    diagnostics_dir=os.path.join(
+                        diag_root, "val", f"epoch_{epoch + 1:04d}"
+                    ) if diag_root else None
+                )
             inference_metrics: dict[str, float] = {}
             entries = [
                 (i, e) for i, e in
@@ -444,7 +464,13 @@ class Trainer:
                         prefix = entry.name or (
                             f"inference_{i}" if multiple else ""
                         )
-                        logs = self.inference_one_epoch(entry)
+                        logs = self.inference_one_epoch(
+                            entry,
+                            diagnostics_dir=os.path.join(
+                                diag_root, prefix or "inference",
+                                f"epoch_{epoch + 1:04d}",
+                            ) if diag_root else None,
+                        )
                         err = logs.pop("inference_error", None)
                         if err is not None:
                             weighted_error += entry.weight * err
@@ -612,7 +638,7 @@ class Trainer:
             return self.train_stepper.ema.ema_params
         return self.params
 
-    def validate(self) -> dict[str, float]:
+    def validate(self, diagnostics_dir: str | None = None) -> dict[str, float]:
         from ace_tpu.aggregator.one_step import OneStepAggregator
 
         params = self._validation_params()
@@ -621,7 +647,8 @@ class Trainer:
         stepper = self.stepper
         one_step = OneStepAggregator(
             self.valid_data.dataset_info.gridded_operations,
-            record_snapshots=False,
+            record_snapshots=diagnostics_dir is not None,
+            record_mean_maps=diagnostics_dir is not None,
         )
         prognostic = stepper.prognostic_names
         forcing_names = stepper.forcing_window_names
@@ -655,9 +682,12 @@ class Trainer:
             one_step.record_batch(outputs, target)
         result = {k: v / max(count, 1) for k, v in totals.items()}
         result.update(one_step.get_logs())
+        if diagnostics_dir is not None:
+            one_step.flush_diagnostics(diagnostics_dir)
         return result
 
-    def inference_one_epoch(self, cfg: InlineInferenceConfig) -> dict[str, float]:
+    def inference_one_epoch(self, cfg: InlineInferenceConfig,
+                            diagnostics_dir: str | None = None) -> dict[str, float]:
         """Run inline autoregressive inference with the validation params
         (reference: trainer.py:842); tracks best_inference_error for the
         best-inference checkpoint.
@@ -679,7 +709,10 @@ class Trainer:
         ic = PrognosticState(
             data={k: _jax.device_put(v) for k, v in ic_batch.data.items()}
         )
-        aggregator = InferenceEvaluatorAggregator(data.dataset_info)
+        aggregator = cfg.aggregator.build(
+            data.dataset_info, n_timesteps=cfg.n_forward_steps,
+            normalizer=getattr(stepper.step, "normalizer", None),
+        )
         old_params = stepper.params
         stepper.params = self._validation_params()
         try:
@@ -692,6 +725,8 @@ class Trainer:
             )
         finally:
             stepper.params = old_params
+        if diagnostics_dir is not None:
+            aggregator.flush_diagnostics(diagnostics_dir)
         logs = aggregator.get_logs()
         rmses = [v for k, v in logs.items()
                  if k.startswith("time_mean/rmse/")]

@@ -572,8 +572,8 @@ def test_secondary_decoder():
 
 
 def test_output_masking_from_dataset_masks():
-    """Dataset mask_* fields zero masked output regions each step
-    (reference: spatial_mask_provider.py + stepper output masking)."""
+    """Dataset mask_* fields NaN-fill masked output regions each step
+    (reference: spatial_mask_provider.py:116 fills outputs with NaN)."""
     import dataclasses as dc
 
     from ace_tpu.core.config import to_dict
@@ -599,7 +599,8 @@ def test_output_masking_from_dataset_masks():
     }
     outputs, _ = stepper.predict(ic, forcing)
     out = np.asarray(outputs["prog"])
-    assert np.all(out[..., : NLON // 2] == 0.0)
+    assert np.all(np.isnan(out[..., : NLON // 2]))
+    assert np.isfinite(out[..., NLON // 2 :]).all()
     assert np.abs(out[..., NLON // 2 :]).max() > 0.0
     # mask provider round-trips through dataset_info serialization
     from ace_tpu.core.dataset_info import DatasetInfo
