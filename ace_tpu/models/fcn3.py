@@ -25,7 +25,7 @@ from flax import linen as nn
 from ace_tpu.models.layers import MLP, trunc_normal_init
 from ace_tpu.models.localnet import compute_cutoff_radius
 from ace_tpu.models.sfno import _ACTIVATIONS, SpectralConvS2
-from ace_tpu.ops.disco import DiscoConvS2
+from ace_tpu.ops.distributed_disco import build_disco
 from ace_tpu.ops.resample import ResampleS2
 from ace_tpu.ops.sht import build_isht, build_sht
 
@@ -54,7 +54,8 @@ class GroupedDiscoConv(nn.Module):
         theta_cutoff = self.theta_cutoff_factor * compute_cutoff_radius(
             self.in_shape[0], self.kernel_shape, self.basis_type
         )
-        self.conv = DiscoConvS2(
+        # spatial-mesh dispatch (see localnet.py DiscoFilterLayer)
+        self.conv = build_disco(
             in_shape=self.in_shape,
             out_shape=self.out_shape,
             kernel_shape=self.kernel_shape,

@@ -18,7 +18,7 @@ from flax import linen as nn
 from ace_tpu.models.conditional_sfno import ConditionalLayerNorm
 from ace_tpu.models.layers import MLP, trunc_normal_init
 from ace_tpu.models.sfno import _ACTIVATIONS
-from ace_tpu.ops.disco import DiscoConvS2
+from ace_tpu.ops.distributed_disco import build_disco
 from ace_tpu.ops.sht import build_isht
 
 
@@ -89,7 +89,7 @@ class DiscoFilterLayer(nn.Module):
         theta_cutoff = 2 * compute_cutoff_radius(
             self.img_shape[0], self.kernel_shape, self.basis_type
         )
-        self.conv = DiscoConvS2(
+        self.conv = build_disco(
             in_shape=self.img_shape,
             out_shape=self.img_shape,
             kernel_shape=self.kernel_shape,
@@ -417,7 +417,7 @@ class GroupedDiscoFilterLayer(nn.Module):
         theta_cutoff = compute_cutoff_radius(
             self.img_shape[0], self.kernel_shape, self.basis_type
         )
-        self.conv = DiscoConvS2(
+        self.conv = build_disco(
             in_shape=self.img_shape,
             out_shape=self.img_shape,
             kernel_shape=self.kernel_shape,

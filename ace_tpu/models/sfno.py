@@ -243,21 +243,38 @@ class SpectralConvS2(nn.Module):
             eq = "...lmi,iol->...lmo" if not self.separable else "...lmi,il->...lmi"
         else:
             eq = "...lmi,iolm->...lmo" if not self.separable else "...lmi,ilm->...lmi"
-        # spectral filter weights act in fp32 space; HIGH (3-pass bf16,
-        # TF32-equivalent) avoids the default 1-pass bf16 decomposition
-        # (see ace_tpu/ops/sht.py precision note)
+        # filter precision follows the AMP semantics of the reference:
+        # its SHT/ISHT are pinned f32 (autocast disabled,
+        # s2convolutions.py:168,189) but the _contract einsum runs in
+        # the ambient autocast region (:177) — bf16 operands with f32
+        # accumulation under AMP (optimization.py:122 autocast bf16),
+        # full f32 otherwise. Here: bf16 activations (compute_dtype
+        # bfloat16 = the AMP-mode analogue) contract in bf16 with f32
+        # accumulation (measured 2.16 -> 1.52 ms/block at flagship
+        # scale on v5e); f32 activations keep HIGH (3-pass bf16,
+        # TF32-equivalent — the reference's non-AMP Docker default).
+        # An explicit ``precision`` overrides both.
+        amp_bf16 = (
+            self.precision is None and in_dtype == jnp.bfloat16
+        )
         prec = (
             self.precision
             if self.precision is not None
+            else jax.lax.Precision.DEFAULT if amp_bf16
             else getattr(
                 self.forward_transform, "precision",
                 jax.lax.Precision.HIGH,
             )
         )
-        ein = functools.partial(
-            jnp.einsum, eq, precision=prec,
-            preferred_element_type=jnp.float32,
-        )
+
+        def ein(a, b):
+            if amp_bf16:
+                a = a.astype(jnp.bfloat16)
+                b = b.astype(jnp.bfloat16)
+            return jnp.einsum(
+                eq, a, b, precision=prec,
+                preferred_element_type=jnp.float32,
+            )
         # note: a 3-matmul Karatsuba complex multiply was measured
         # SLOWER here (2.56 vs 2.48 ms/block on v5e) — the filter is
         # HBM-bound, so the extra elementwise adds cost more than the

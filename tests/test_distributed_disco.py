@@ -1,0 +1,110 @@
+"""Distributed DISCO convolution: values match the single-device op on
+any mesh, and the compiled program communicates via all-to-all — not
+the full-spectral-tensor all-reduce that XLA SPMD emits for the plain
+op (measured: 10 all-reduce + 6 collective-permute on a (2,2) mesh).
+
+Reference: thd.DistributedDiscreteContinuousConvS2 via
+fme/core/distributed/model_torch_distributed.py:454-465.
+"""
+
+import re
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ace_tpu.ops.disco import DiscoConvS2
+from ace_tpu.ops.distributed_disco import DistributedDiscoConvS2
+from ace_tpu.parallel.mesh import MeshConfig
+
+
+def _mesh(data, h, w):
+    n = data * h * w
+    return MeshConfig(data, h, w).build(jax.devices()[:n])
+
+
+@pytest.mark.parametrize(
+    "mesh_shape,nlat,nlon",
+    [
+        ((1, 2, 2), 16, 32),
+        ((2, 2, 2), 16, 32),
+        # uneven: 18 lat over h=4; 36 lon over w=2
+        ((1, 4, 2), 18, 36),
+    ],
+)
+@pytest.mark.parametrize("basis_type", ["piecewise linear", "morlet"])
+def test_distributed_disco_matches_single_device(
+    mesh_shape, nlat, nlon, basis_type
+):
+    mesh = _mesh(*mesh_shape)
+    batch = 2 * mesh_shape[0]
+    chans = 8
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(batch, nlat, nlon, chans).astype(np.float32)
+
+    ref = DiscoConvS2(
+        (nlat, nlon), (nlat, nlon), (3, 3), basis_type=basis_type
+    )(jnp.asarray(x_np))
+
+    dconv = DistributedDiscoConvS2(
+        mesh, (nlat, nlon), (nlat, nlon), (3, 3), basis_type=basis_type
+    )
+    x = jax.device_put(
+        x_np, NamedSharding(mesh, P("data", None, None, None))
+    )
+    out = dconv(x)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
+
+
+def test_distributed_disco_hlo_all_to_all_only():
+    """The compiled distributed op moves data with all-to-alls and never
+    all-gathers/all-reduces a spectral tensor (the XLA-SPMD failure mode
+    of the plain einsum op)."""
+    mesh = _mesh(1, 2, 2)
+    nlat, nlon, chans = 16, 32, 8
+    dconv = DistributedDiscoConvS2(mesh, (nlat, nlon), (nlat, nlon), (3, 3))
+    x = jnp.zeros((1, nlat, nlon, chans), jnp.float32)
+    hlo = jax.jit(dconv).lower(x).compile().as_text()
+    n_a2a = len(re.findall(r"\ball-to-all\b", hlo))
+    n_ag = len(re.findall(r"\ball-gather\b", hlo))
+    n_ar = len(re.findall(r"\ball-reduce\b", hlo))
+    assert n_a2a >= 4, f"expected >=4 all-to-alls, found {n_a2a}"
+    assert n_ar == 0, f"expected no all-reduce, found {n_ar}"
+    # padding/re-sharding at the boundary may gather small edges, but
+    # the body must not all-gather the field
+    assert n_ag <= 2, f"expected <=2 boundary all-gathers, found {n_ag}"
+
+
+def test_localnet_spatial_mesh_uses_distributed_disco():
+    """Under spatial_parallel, DiscoFilterLayer builds the distributed
+    op (the build_disco swap point), and the LocalNet forward matches
+    the single-device forward."""
+    from ace_tpu.models.localnet import LocalNet
+    from ace_tpu.parallel.mesh import spatial_parallel
+
+    nlat, nlon = 16, 32
+    kwargs = dict(
+        img_shape=(nlat, nlon), in_chans=3, out_chans=3, embed_dim=8,
+        block_types=("disco", "conv1x1"), noise_embed_dim=4,
+    )
+    rng = np.random.RandomState(0)
+    x = jnp.asarray(rng.randn(2, nlat, nlon, 3), np.float32)
+
+    model = LocalNet(**kwargs)
+    params = model.init(jax.random.PRNGKey(0), x)
+    ref = model.apply(params, x)
+
+    mesh = _mesh(1, 2, 2)
+    with spatial_parallel(mesh):
+        dist_model = LocalNet(**kwargs)
+        xs = jax.device_put(
+            x, NamedSharding(mesh, P(None, "h", "w", None))
+        )
+        out = dist_model.apply(params, xs)
+    np.testing.assert_allclose(
+        np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-5
+    )
