@@ -13,15 +13,18 @@ from ace_tpu.core.config import update_dict_with_dotlist
 
 
 def apply_platform_env():
-    """Honor JAX_PLATFORMS for CLI runs.
+    """Honor ``ACE_TPU_PLATFORM`` for CLI runs.
 
     Some images pre-import jax from a sitecustomize that pins the
     platform via jax.config before user code runs, which silently
     overrides a user-set ``JAX_PLATFORMS`` (e.g. ``JAX_PLATFORMS=cpu``
-    for a wiring check). Re-apply the env var at entry-point startup so
-    the CLI behaves like a fresh interpreter would.
+    for a wiring check). ``ACE_TPU_PLATFORM`` is this framework's own
+    explicit override — it has no baked-in value, so setting it always
+    reflects user intent (unlike JAX_PLATFORMS, which such images
+    export globally and which in-process callers may have deliberately
+    overridden via jax.config).
     """
-    platforms = os.environ.get("JAX_PLATFORMS")
+    platforms = os.environ.get("ACE_TPU_PLATFORM")
     if not platforms:
         return
     import jax

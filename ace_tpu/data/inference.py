@@ -12,7 +12,11 @@ import dataclasses
 import numpy as np
 
 from ace_tpu.core.dataset_info import DatasetInfo
-from ace_tpu.data.dataset import XarrayDataConfig, XarrayDataset
+from ace_tpu.data.dataset import (
+    MergeDatasetConfig,
+    XarrayDataConfig,
+    XarrayDataset,
+)
 from ace_tpu.data.loading import BatchData
 from ace_tpu.data.time import TimeCoord, parse_datetime_string
 
@@ -68,9 +72,10 @@ StartIndices = (
 
 @dataclasses.dataclass
 class InferenceDataLoaderConfig:
-    """(reference: fme/ace/data_loading/inference.py:104)."""
+    """(reference: fme/ace/data_loading/inference.py:104; merged
+    forcing sources via MergeNoConcatDatasetConfig :179)."""
 
-    dataset: XarrayDataConfig
+    dataset: "XarrayDataConfig | MergeDatasetConfig"
     start_indices: StartIndices = dataclasses.field(
         default_factory=lambda: ExplicitIndices(list=[0])
     )

@@ -21,24 +21,50 @@ from ace_tpu.core.config import from_dict
 from ace_tpu.core.wandb import DiskMetricLogger
 from ace_tpu.data.dataset import XarrayDataConfig
 from ace_tpu.downscaling.models import (
+    CheckpointModelConfig,
     DenoisingMoEBundledConfig,
     DenoisingMoEConfig,
 )
+from ace_tpu.downscaling.train import ClosedInterval, PairedDataConfig
 from ace_tpu.train.trainer import LoggingConfig
 
 
 @dataclasses.dataclass
+class EventConfig:
+    """A named case-study snapshot evaluated over a region (reference:
+    fme/downscaling/predict.py:39 EventConfig + evaluator.py:143
+    PairedEventConfig): the snapshot at ``date`` is cropped to the
+    lat/lon extents and scored with its own ensemble size, logged under
+    the event name.
+    """
+
+    name: str
+    date: str
+    lat_extent: ClosedInterval | None = None
+    lon_extent: ClosedInterval | None = None
+    n_samples: int = 16
+    date_format: str = "%Y-%m-%dT%H:%M"
+    save_generated_samples: bool = False
+
+
+@dataclasses.dataclass
 class DownscalingEvaluatorConfig:
-    """(reference: fme/downscaling/evaluator.py:172, subset — event
-    evaluation lands later)."""
+    """(reference: fme/downscaling/evaluator.py:172)."""
 
     experiment_dir: str
-    coarse_data: XarrayDataConfig
-    fine_data: XarrayDataConfig
+    # either a paired-data block (reference: evaluator.py:175 data) or
+    # the explicit coarse_data/fine_data pair
+    coarse_data: XarrayDataConfig | None = None
+    fine_data: XarrayDataConfig | None = None
+    data: PairedDataConfig | None = None
+    events: list[EventConfig] | None = None
     checkpoint_path: str | None = None
     # mixture of denoising experts (reference: evaluator.py:173 model
     # union with DenoisingMoEConfig | DenoisingMoEBundledConfig)
-    model: DenoisingMoEConfig | DenoisingMoEBundledConfig | None = None
+    model: (
+        DenoisingMoEConfig | DenoisingMoEBundledConfig
+        | CheckpointModelConfig | None
+    ) = None
     n_samples: int = 4
     n_timesteps: int = 4
     start_index: int = 0
@@ -59,6 +85,90 @@ class DownscalingEvaluatorConfig:
             raise ValueError(
                 "exactly one of checkpoint_path or model must be set"
             )
+        has_pair = (
+            self.coarse_data is not None and self.fine_data is not None
+        )
+        if has_pair == (self.data is not None):
+            raise ValueError(
+                "set either data (paired block) or both "
+                "coarse_data and fine_data"
+            )
+
+    def build_datasets(self, downscale_factor: int):
+        if self.data is not None:
+            return self.data.build_pair(downscale_factor)
+        return self.coarse_data.build(), self.fine_data.build()
+
+
+def _evaluate_event(config, event, model, coarse_ds, fine_ds, generate,
+                    in_names, out_names) -> dict[str, float]:
+    """Score one event snapshot over its region (reference:
+    fme/downscaling/evaluator.py EventEvaluator — first snapshot at the
+    event date, event-sized ensemble, metrics logged under the name)."""
+    from datetime import datetime
+
+    from ace_tpu.aggregator.one_step import EnsembleOneStepAggregator
+    from ace_tpu.data.time import parse_datetime_string
+
+    time = coarse_ds.all_time
+    stamp = datetime.strptime(event.date, event.date_format).isoformat()
+    micros = parse_datetime_string(stamp, time.calendar)
+    pos = int(np.searchsorted(time.values, micros))
+    if pos >= len(time.values) or time.values[pos] != micros:
+        raise ValueError(
+            f"event {event.name!r} date {event.date} not in the dataset"
+        )
+    coarse_window, _ = coarse_ds.get_window(pos, 1, in_names)
+    fine_window, _ = fine_ds.get_window(pos, 1, out_names)
+    # crop to the event region (indices from the coarse grid, scaled to
+    # the fine grid by the model factor)
+    hc = coarse_ds.dataset_info.horizontal_coordinates
+    f = model.config.downscale_factor
+    lat_r = (
+        event.lat_extent.index_range(np.asarray(hc.lat))
+        if event.lat_extent is not None else (0, len(np.asarray(hc.lat)))
+    )
+    lon_r = (
+        event.lon_extent.index_range(np.asarray(hc.lon))
+        if event.lon_extent is not None else (0, len(np.asarray(hc.lon)))
+    )
+    coarse = {
+        k: jnp.asarray(v[..., lat_r[0]:lat_r[1], lon_r[0]:lon_r[1]])
+        for k, v in coarse_window.items()
+    }
+    fine = {
+        k: jnp.asarray(
+            v[..., lat_r[0] * f:lat_r[1] * f, lon_r[0] * f:lon_r[1] * f]
+        )
+        for k, v in fine_window.items()
+    }
+    rng = jax.random.PRNGKey(config.seed + pos)
+    gen = generate(
+        coarse, rng, params=model.params, n_samples=event.n_samples
+    )
+    from ace_tpu.core.gridded_ops import LatLonOperations
+    from ace_tpu.core.metrics import spherical_area_weights
+
+    ops = LatLonOperations(spherical_area_weights(
+        np.asarray(hc.lat)[lat_r[0]:lat_r[1]], lon_r[1] - lon_r[0]
+    ))
+    agg = EnsembleOneStepAggregator(ops)
+    agg.record_batch(gen, fine)
+    if event.save_generated_samples:
+        from ace_tpu.data.store import write_h5
+
+        write_h5(
+            os.path.join(
+                config.experiment_dir, f"event_{event.name}_samples.nc"
+            ),
+            {k: np.asarray(v) for k, v in gen.items()},
+            dims={
+                k: tuple(f"dim{i}" for i in range(np.ndim(v)))
+                for k, v in gen.items()
+            },
+        )
+    logging.info(f"evaluated event {event.name!r} at {event.date}")
+    return agg.get_logs(f"event/{event.name}")
 
 
 def run_downscaling_evaluator(
@@ -71,8 +181,9 @@ def run_downscaling_evaluator(
     model = load_downscaling_predictor(
         config.checkpoint_path, config.model
     )
-    coarse_ds = config.coarse_data.build()
-    fine_ds = config.fine_data.build()
+    coarse_ds, fine_ds = config.build_datasets(
+        model.config.downscale_factor
+    )
     in_names = model.config.in_names
     out_names = model.config.out_names
 
@@ -113,6 +224,14 @@ def run_downscaling_evaluator(
 
     logs = agg.get_logs("downscaling")
     logs.update(gen_agg.get_logs("downscaling"))
+    # event case studies: one named snapshot each, cropped to the event
+    # region, scored with its own ensemble size (reference:
+    # evaluator.py:261-267 builds an EventEvaluator per entry)
+    for event in config.events or []:
+        logs.update(_evaluate_event(
+            config, event, model, coarse_ds, fine_ds, generate,
+            in_names, out_names,
+        ))
     os.makedirs(config.experiment_dir, exist_ok=True)
     DiskMetricLogger(
         os.path.join(config.experiment_dir, "metrics.jsonl")

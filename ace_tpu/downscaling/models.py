@@ -103,14 +103,19 @@ class DiffusionModuleSelector:
     def __post_init__(self):
         from ace_tpu.core.config import from_dict
 
-        if self.type == "unet_diffusion_song_v2":
+        if self.type in ("unet_diffusion_song", "unet_diffusion_song_v2"):
+            # v1 ("unet_diffusion_song", physicsnemo_unets_v1) computes
+            # the same forward as v2 — the reference's v2 vendorization
+            # adds infrastructure (apex norms, profiling, recursive
+            # properties), not math — so one port serves both registry
+            # names (reference: diffusion_registry.py:217-219)
             self.instance = from_dict(SongUNetV2Config, self.config)
         elif self.type == "unet":
             self.instance = from_dict(UNetConfig, self.config)
         else:
             raise ValueError(
                 f"unknown diffusion module type {self.type!r}; known: "
-                "['unet', 'unet_diffusion_song_v2']"
+                "['unet', 'unet_diffusion_song', 'unet_diffusion_song_v2']"
             )
         if self.expects_interpolated_input is None:
             # both supported backbones run at the (interpolated) fine
@@ -207,6 +212,34 @@ class DiffusionModelConfig:
     training_noise_distribution: (
         LogNormalNoiseDistribution | LogUniformNoiseDistribution | None
     ) = None
+    # inner reconstruction loss of the EDM objective; only MSE is
+    # supported (the weighted-MSE EDM objective; reference:
+    # models.py:176 loss: LossConfig)
+    loss: dict | None = None
+    # deprecated noise-distribution spelling (reference: models.py:193
+    # p_mean/p_std; folded into training_noise_distribution)
+    p_mean: float | None = None
+    p_std: float | None = None
+
+    def __post_init__(self):
+        if self.loss is not None:
+            loss_type = (self.loss or {}).get("type", "MSE")
+            if loss_type != "MSE":
+                raise NotImplementedError(
+                    f"diffusion loss type {loss_type!r}; the EDM "
+                    "objective supports MSE only"
+                )
+        if self.p_mean is not None or self.p_std is not None:
+            if self.training_noise_distribution is not None:
+                raise ValueError(
+                    "specify training_noise_distribution only; "
+                    "p_mean/p_std are deprecated (reference: "
+                    "models.py:203-213)"
+                )
+            self.training_noise_distribution = LogNormalNoiseDistribution(
+                p_mean=self.p_mean if self.p_mean is not None else -1.2,
+                p_std=self.p_std if self.p_std is not None else 1.2,
+            )
 
     def build(self, dataset_info: DatasetInfo,
               static_inputs=None) -> "DiffusionModel":
@@ -468,6 +501,20 @@ class DenoisingMoEConfig:
             ),
             churn=self.churn,
         )
+
+
+@dataclasses.dataclass
+class CheckpointModelConfig:
+    """Model loaded from a training checkpoint (reference:
+    fme/downscaling/evaluator.py:173 CheckpointModelConfig in the model
+    union)."""
+
+    checkpoint_path: str
+
+    def build(self):
+        from ace_tpu.downscaling.train import load_downscaling_model
+
+        return load_downscaling_model(self.checkpoint_path)
 
 
 @dataclasses.dataclass

@@ -20,6 +20,7 @@ from ace_tpu.core.cli import get_parser, prepare_config, prepare_directory
 from ace_tpu.core.config import from_dict, to_dict
 from ace_tpu.core.optimization import EMAConfig, OptimizationConfig
 from ace_tpu.core.wandb import DiskMetricLogger
+from ace_tpu.core.coordinates import LatLonCoordinates
 from ace_tpu.data.dataset import XarrayDataConfig
 from ace_tpu.downscaling.models import (
     DeterministicModelConfig,
@@ -31,14 +32,128 @@ from ace_tpu.train.trainer import LoggingConfig
 
 
 @dataclasses.dataclass
+class ClosedInterval:
+    """[start, stop] coordinate interval (reference:
+    fme/downscaling/data/config.py lat_extent/lon_extent)."""
+
+    start: float | None = None
+    stop: float | None = None
+
+    def index_range(self, coords: np.ndarray) -> tuple[int, int]:
+        sel = np.ones(len(coords), bool)
+        if self.start is not None:
+            sel &= coords >= self.start
+        if self.stop is not None:
+            sel &= coords <= self.stop
+        idx = np.nonzero(sel)[0]
+        if len(idx) == 0:
+            raise ValueError(
+                f"extent [{self.start}, {self.stop}] selects no points"
+            )
+        return int(idx[0]), int(idx[-1]) + 1
+
+
+class _CroppedDataset:
+    """Lat/lon index-cropped view of a dataset: get_window outputs and
+    the horizontal coordinates are subset to the region (reference:
+    fme/downscaling/data applies lat/lon extents when batching)."""
+
+    def __init__(self, ds, lat_range, lon_range):
+        self._ds = ds
+        self._lat = slice(*lat_range)
+        self._lon = slice(*lon_range)
+
+    def __getattr__(self, name):
+        return getattr(self._ds, name)
+
+    @property
+    def dataset_info(self):
+        info = self._ds.dataset_info
+        hc = info.horizontal_coordinates
+        cropped = LatLonCoordinates(
+            lat=np.asarray(hc.lat)[self._lat],
+            lon=np.asarray(hc.lon)[self._lon],
+        )
+        return dataclasses.replace(info, horizontal_coordinates=cropped)
+
+    def get_window(self, start, n, names):
+        data, time = self._ds.get_window(start, n, names)
+        return (
+            {k: v[..., self._lat, self._lon] for k, v in data.items()},
+            time,
+        )
+
+
+@dataclasses.dataclass
 class PairedDataConfig:
-    """Time-aligned coarse/fine datasets (reference:
-    fme/downscaling/data paired loader configs).
+    """Time-aligned coarse/fine datasets with optional multi-source
+    pooling and region extents (reference:
+    fme/downscaling/data/config.py:390 PairedDataLoaderConfig — fine/
+    coarse source lists, lat_extent/lon_extent, strict_ensemble).
     """
 
-    coarse: XarrayDataConfig
-    fine: XarrayDataConfig
+    coarse: XarrayDataConfig | list[XarrayDataConfig]
+    fine: XarrayDataConfig | list[XarrayDataConfig]
     batch_size: int = 1
+    num_data_workers: int = 2
+    # region selection in coarse-grid coordinates; the fine crop is the
+    # same index range scaled by the model's downscale factor so the
+    # grids stay aligned
+    lat_extent: ClosedInterval | None = None
+    lon_extent: ClosedInterval | None = None
+    # multi-source lists must pair up member-for-member with matching
+    # time axes (reference: config.py strict_ensemble)
+    strict_ensemble: bool = True
+    # draw this many snapshots per epoch with replacement instead of one
+    # pass over the time axis (reference: config.py
+    # sample_with_replacement)
+    sample_with_replacement: int | None = None
+
+    def _build_one(self, cfg_or_list):
+        from ace_tpu.data.dataset import ConcatXarrayDataset
+
+        if isinstance(cfg_or_list, list):
+            members = [c.build() for c in cfg_or_list]
+            if len(members) == 1:
+                return members[0]
+            # ensemble-of-sources pooled along the sample axis (time
+            # windows are drawn per source; pooling is equivalent for
+            # snapshot sampling)
+            return ConcatXarrayDataset(members, strict=True)
+        return cfg_or_list.build()
+
+    def build_pair(self, downscale_factor: int):
+        """Build (coarse_ds, fine_ds) with extents applied."""
+        if self.strict_ensemble and isinstance(self.coarse, list) and (
+            isinstance(self.fine, list)
+        ):
+            if len(self.coarse) != len(self.fine):
+                raise ValueError(
+                    "strict_ensemble: coarse and fine source lists must "
+                    f"pair up ({len(self.coarse)} vs {len(self.fine)})"
+                )
+        coarse_ds = self._build_one(self.coarse)
+        fine_ds = self._build_one(self.fine)
+        if self.lat_extent is None and self.lon_extent is None:
+            return coarse_ds, fine_ds
+        hc = coarse_ds.dataset_info.horizontal_coordinates
+        lat_r = (
+            self.lat_extent.index_range(np.asarray(hc.lat))
+            if self.lat_extent is not None
+            else (0, len(np.asarray(hc.lat)))
+        )
+        lon_r = (
+            self.lon_extent.index_range(np.asarray(hc.lon))
+            if self.lon_extent is not None
+            else (0, len(np.asarray(hc.lon)))
+        )
+        f = downscale_factor
+        fine_lat = (lat_r[0] * f, lat_r[1] * f)
+        fine_lon = (lon_r[0] * f, lon_r[1] * f)
+        return (
+            _CroppedDataset(coarse_ds, lat_r, lon_r),
+            _CroppedDataset(fine_ds, fine_lat, fine_lon),
+        )
 
 
 @dataclasses.dataclass
@@ -94,6 +209,11 @@ class DownscalingTrainConfig:
     )
     ema: EMAConfig = dataclasses.field(default_factory=EMAConfig)
     validate_using_ema: bool = False
+    # validate every N epochs (reference: train.py:427 validate_interval)
+    validate_interval: int = 1
+    # ensemble size for validation-time sample generation metrics
+    # (reference: train.py:425 generate_n_samples via :279)
+    generate_n_samples: int = 1
     save_checkpoints: bool = True
     segment_epochs: int | None = None
     coarse_patch_extent_lat: int | None = None
@@ -212,8 +332,9 @@ class DownscalingTrainer:
     def __init__(self, config: DownscalingTrainConfig):
         self.config = config
         self._val_datasets = None
-        self.coarse_ds = config.train_data.coarse.build()
-        self.fine_ds = config.train_data.fine.build()
+        self.coarse_ds, self.fine_ds = config.train_data.build_pair(
+            config.model.downscale_factor
+        )
         coarse_shape = self.coarse_ds.dataset_info.img_shape
         fine_shape = self.fine_ds.dataset_info.img_shape
         factor = config.model.downscale_factor
@@ -296,9 +417,14 @@ class DownscalingTrainer:
     def _batches(self, rng: np.random.RandomState, shuffle: bool):
         n = min(self.coarse_ds.n_times, self.fine_ds.n_times)
         bs = self.config.train_data.batch_size
-        order = np.arange(n)
-        if shuffle:
-            rng.shuffle(order)
+        swr = self.config.train_data.sample_with_replacement
+        if swr:
+            order = rng.randint(0, n, size=swr)
+            n = swr
+        else:
+            order = np.arange(n)
+            if shuffle:
+                rng.shuffle(order)
         names_c = self.model.config.in_names
         names_f = self.model.config.out_names
         for i in range(0, n - bs + 1, bs):
@@ -374,7 +500,10 @@ class DownscalingTrainer:
                 self.ema(self.params)
                 losses.append(float(loss))
             last = {"epoch": epoch, "train_loss": float(np.mean(losses))}
-            if config.validation_data is not None:
+            if (
+                config.validation_data is not None
+                and epoch % max(config.validate_interval, 1) == 0
+            ):
                 val = self._validate(rng)
                 last["val_loss"] = val
             logging.info(f"downscaling epoch {epoch}: {last}")
@@ -400,8 +529,9 @@ class DownscalingTrainer:
         # built once and cached: rebuilding re-opens the stores per epoch
         if self._val_datasets is None:
             self._val_datasets = (
-                self.config.validation_data.coarse.build(),
-                self.config.validation_data.fine.build(),
+                *self.config.validation_data.build_pair(
+                    self.config.model.downscale_factor
+                ),
             )
         val_coarse, val_fine = self._val_datasets
         names_c = self.model.config.in_names

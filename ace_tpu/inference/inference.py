@@ -34,6 +34,54 @@ from ace_tpu.train.trainer import LoggingConfig
 
 
 @dataclasses.dataclass
+class InitialConditionConfig:
+    """External initial-condition dataset (reference:
+    fme/ace/inference/inference.py:63 InitialConditionConfig): each
+    selected time becomes one IC sample, and the forcing windows start
+    at the matching times located in the forcing dataset (reference:
+    inference.py:195-216 + ForcingDataLoaderConfig.build_inference_config,
+    data_loading/inference.py:193).
+
+    path: the IC dataset file (netCDF or zarr; restart.nc files work).
+    engine: accepted for reference config parity; the store autodetects.
+    start_indices: optional subset of IC times (list/times/first-n).
+    """
+
+    path: str
+    engine: str | None = None
+    start_indices: (
+        ExplicitIndices | TimestampList
+        | InferenceInitialConditionIndices | None
+    ) = None
+
+    def load(self, names: list[str]):
+        """Returns ({name: [n_ic, 1, lat, lon]}, ic time values)."""
+        from ace_tpu.data.store import open_file_dataset
+
+        ds = open_file_dataset(self.path)
+        time = ds.read_time("time")
+        tvals = time.values.reshape(-1)
+        if self.start_indices is not None:
+            from ace_tpu.data.time import TimeCoord
+
+            idx = self.start_indices.resolve(
+                TimeCoord(tvals, time.calendar)
+            )
+        else:
+            idx = list(range(len(tvals)))
+        data = {}
+        for name in names:
+            arr = np.asarray(ds[name].read(()), dtype=np.float32)
+            if arr.ndim != 3:
+                raise ValueError(
+                    f"initial condition variable {name!r} must be "
+                    f"[time, lat, lon]; got shape {arr.shape}"
+                )
+            data[name] = arr[idx][:, None]
+        return data, tvals[idx], time.calendar
+
+
+@dataclasses.dataclass
 class InferenceConfig:
     """(reference: fme/ace/inference/inference.py:225)."""
 
@@ -55,6 +103,9 @@ class InferenceConfig:
     # restart file to use as the initial condition instead of the forcing
     # dataset (used by segmented inference; reference: inference.py:514)
     initial_condition_path: str | None = None
+    # external IC dataset with time selection: forcing windows align to
+    # the IC times (reference: inference.py:63 InitialConditionConfig)
+    initial_condition: InitialConditionConfig | None = None
     stepper_override: StepperOverrideConfig | None = None
     # N ensemble members per initial condition: the IC batch is tiled
     # member-major and the stochastic model's noise stream differentiates
@@ -132,7 +183,33 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
         n for n in stepper.forcing_window_names
         if n not in deriver.provided_names
     ]
-    forcing_data = config.forcing_loader.build(
+    loader = config.forcing_loader
+    external_ic = None
+    if config.initial_condition is not None:
+        # external ICs: each selected IC time becomes a sample, and the
+        # forcing windows start at the matching forcing-dataset times
+        # (reference: inference.py:195-216 start-index derivation)
+        external_ic, ic_times, _cal = config.initial_condition.load(
+            stepper.prognostic_names
+        )
+        forcing_time = loader.dataset.build().all_time.values.reshape(-1)
+        positions = np.searchsorted(forcing_time, ic_times)
+        bad = (positions >= len(forcing_time)) | (
+            forcing_time[np.minimum(positions, len(forcing_time) - 1)]
+            != ic_times
+        )
+        if bad.any():
+            raise ValueError(
+                "initial condition time(s) not present in the forcing "
+                f"dataset: {np.asarray(ic_times)[bad]}"
+            )
+        loader = dataclasses.replace(
+            loader,
+            start_indices=ExplicitIndices(
+                list=[int(p) for p in positions]
+            ),
+        )
+    forcing_data = loader.build(
         forcing_names=forcing_names,
         prognostic_names=stepper.prognostic_names,
         n_forward_steps=config.n_forward_steps,
@@ -141,7 +218,9 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
     # training/inference dataset compatibility check
     # (reference: inference.py:413)
     stepper.dataset_info.assert_compatible_with(forcing_data.dataset_info)
-    if config.initial_condition_path is not None:
+    if external_ic is not None:
+        ic_data = external_ic
+    elif config.initial_condition_path is not None:
         ic_data = load_restart_initial_condition(
             config.initial_condition_path, stepper.prognostic_names
         )

@@ -418,3 +418,62 @@ def test_inference_ensemble_per_ic(trained, tmp_path):
     arr = ds["prog_a"].read(())
     # two members of the same IC differ at the end of the rollout
     assert not np.allclose(arr[0, -1], arr[1, -1])
+
+
+def test_inference_external_initial_condition(trained, tmp_path):
+    """initial_condition seeds ICs from an external dataset with time
+    selection; forcing windows align to the IC times (reference:
+    fme/ace/inference/inference.py:63 InitialConditionConfig +
+    :195-216 forcing start-index derivation)."""
+    import glob
+
+    tmp_trained, data, ckpt = trained
+    ic_file = sorted(glob.glob(str(data.data_dir / "*.nc")))[0]
+    from ace_tpu.data.store import open_file_dataset
+    from ace_tpu.inference.inference import main
+
+    # the timestamps of indices 0 and 2 in the dataset
+    t = open_file_dataset(ic_file).read_time("time")
+    comp = t.components()
+    stamps = []
+    for i in (0, 2):
+        stamps.append(
+            "%04d-%02d-%02dT%02d:00:00" % (
+                comp["year"].reshape(-1)[i],
+                comp["month"].reshape(-1)[i],
+                comp["day"].reshape(-1)[i],
+                comp["hour"].reshape(-1)[i],
+            )
+        )
+
+    def run(tag, extra):
+        out_dir = str(tmp_path / tag)
+        config = {
+            "experiment_dir": out_dir,
+            "checkpoint_path": ckpt,
+            "n_forward_steps": 4,
+            "forward_steps_in_memory": 2,
+            "logging": {"log_to_screen": False, "log_to_file": False},
+            "forcing_loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+            },
+            **extra,
+        }
+        path = tmp_path / f"{tag}.yaml"
+        with open(path, "w") as f:
+            yaml.safe_dump(config, f)
+        main([str(path)])
+        return open_file_dataset(
+            os.path.join(out_dir, "autoregressive_predictions.nc")
+        )["prog_a"].read(())
+
+    got = run("external_ic", {"initial_condition": {
+        "path": ic_file,
+        "start_indices": {"times": stamps},
+    }})
+    want = run("indices", {"forcing_loader": {
+        "dataset": {"data_path": str(data.data_dir)},
+        "start_indices": {"list": [0, 2]},
+    }})
+    assert got.shape[0] == 2
+    np.testing.assert_allclose(got, want, rtol=1e-6)
