@@ -26,8 +26,19 @@ from ace_tpu.coupled.stepper import (
     CoupledStepper,
     CoupledStepperConfig,
 )
-from ace_tpu.data.dataset import XarrayDataConfig
+from ace_tpu.coupled.train import CoupledDatasetsConfig
+from ace_tpu.data.dataset import (
+    ConcatDatasetConfig,
+    MergeDatasetConfig,
+    XarrayDataConfig,
+)
+from ace_tpu.data.inference import (
+    ExplicitIndices,
+    InferenceInitialConditionIndices,
+    TimestampList,
+)
 from ace_tpu.data.time import TimeCoord
+from ace_tpu.inference.data_writer import DataWriterConfig
 from ace_tpu.aggregator.inference import InferenceAggregatorConfig
 from ace_tpu.inference.data_writer import H5DataWriter
 from ace_tpu.stepper.stepper import PrognosticState
@@ -46,15 +57,69 @@ class ComponentCheckpointsConfig:
 
 
 @dataclasses.dataclass
+class CoupledDataWriterConfig:
+    """Per-component writer options (reference: the coupled
+    evaluator's data_writer: {atmosphere, ocean} block)."""
+
+    atmosphere: DataWriterConfig = dataclasses.field(
+        default_factory=DataWriterConfig
+    )
+    ocean: DataWriterConfig = dataclasses.field(
+        default_factory=DataWriterConfig
+    )
+
+
+@dataclasses.dataclass
 class CoupledInitialConditionConfig:
     """Initial-condition selection for both components (reference:
     fme/coupled/inference/inference.py CoupledInitialConditionConfig).
-    The same dataset supplies forcing windows.
-    """
+    The same dataset supplies forcing windows. Datasets may be given
+    flat or under a nested ``dataset: {atmosphere, ocean}`` block (the
+    reference evaluator's ``loader`` spelling), each a plain/merged/
+    concatenated source; start_indices accepts an index list or the
+    timestamp/first-n selectors."""
 
-    atmosphere: XarrayDataConfig
-    ocean: XarrayDataConfig
-    start_indices: list[int] = dataclasses.field(default_factory=lambda: [0])
+    atmosphere: (
+        XarrayDataConfig | MergeDatasetConfig | ConcatDatasetConfig
+        | None
+    ) = None
+    ocean: (
+        XarrayDataConfig | MergeDatasetConfig | ConcatDatasetConfig
+        | None
+    ) = None
+    dataset: CoupledDatasetsConfig | None = None
+    start_indices: (
+        list[int] | ExplicitIndices | TimestampList
+        | InferenceInitialConditionIndices
+    ) = dataclasses.field(default_factory=lambda: [0])
+    num_data_workers: int = 2
+
+    def __post_init__(self):
+        flat = self.atmosphere is not None and self.ocean is not None
+        if flat == (self.dataset is not None):
+            raise ValueError(
+                "set either dataset: {atmosphere, ocean} or the flat "
+                "atmosphere/ocean fields"
+            )
+
+    def build_atmosphere(self):
+        return (
+            self.dataset.atmosphere if self.dataset is not None
+            else self.atmosphere
+        ).build()
+
+    def build_ocean(self):
+        return (
+            self.dataset.ocean if self.dataset is not None
+            else self.ocean
+        ).build()
+
+    def resolve_starts(self, ocean_time) -> list[int]:
+        """Outer (ocean) step start indices; timestamp selectors are
+        resolved against the ocean time axis."""
+        if isinstance(self.start_indices, list):
+            return [int(i) for i in self.start_indices]
+        return self.start_indices.resolve(ocean_time)
 
 
 @dataclasses.dataclass
@@ -63,8 +128,17 @@ class CoupledInferenceConfig:
 
     experiment_dir: str
     n_coupled_steps: int
-    checkpoint: ComponentCheckpointsConfig
-    initial_condition: CoupledInitialConditionConfig
+    checkpoint: ComponentCheckpointsConfig | None = None
+    # a coupled-trainer output directory holding
+    # atmosphere_ckpt.msgpack/ocean_ckpt.msgpack (the reference's single
+    # coupled checkpoint_path)
+    checkpoint_path: str | None = None
+    initial_condition: CoupledInitialConditionConfig | None = None
+    # the reference evaluator's paired-target loader spelling; implies
+    # evaluate=True (cm4-piControl/evaluator-config.yaml)
+    loader: CoupledInitialConditionConfig | None = None
+    # per-component writer options (reference: coupled data_writer block)
+    data_writer: CoupledDataWriterConfig | None = None
     sst_name: str = "sst"
     coupled_steps_in_memory: int = 4
     logging: LoggingConfig = dataclasses.field(default_factory=LoggingConfig)
@@ -82,6 +156,22 @@ class CoupledInferenceConfig:
             raise ValueError(
                 "n_coupled_steps must be divisible by coupled_steps_in_memory"
             )
+        if (self.checkpoint is None) == (self.checkpoint_path is None):
+            raise ValueError(
+                "set exactly one of checkpoint or checkpoint_path"
+            )
+        if (self.initial_condition is None) == (self.loader is None):
+            raise ValueError(
+                "set exactly one of initial_condition or loader"
+            )
+        if self.loader is not None:
+            self.initial_condition = self.loader
+            self.evaluate = True
+        if self.data_writer is not None:
+            self.save_prediction_files = (
+                self.data_writer.atmosphere.save_prediction_files
+                or self.data_writer.ocean.save_prediction_files
+            )
 
     def load_coupled_stepper(self) -> CoupledStepper:
         from ace_tpu.coupled.stepper import CoupledComponentConfig
@@ -90,11 +180,21 @@ class CoupledInferenceConfig:
             load_msgpack,
         )
 
+        ckpt = self.checkpoint
+        if ckpt is None:
+            ckpt = ComponentCheckpointsConfig(
+                atmosphere=os.path.join(
+                    self.checkpoint_path, "atmosphere_ckpt.msgpack"
+                ),
+                ocean=os.path.join(
+                    self.checkpoint_path, "ocean_ckpt.msgpack"
+                ),
+            )
         atmos, atmos_cfg = build_stepper_from_state(
-            load_msgpack(self.checkpoint.atmosphere)["stepper"]
+            load_msgpack(ckpt.atmosphere)["stepper"]
         )
         ocean, ocean_cfg = build_stepper_from_state(
-            load_msgpack(self.checkpoint.ocean)["stepper"]
+            load_msgpack(ckpt.ocean)["stepper"]
         )
         coupled_config = CoupledStepperConfig(
             atmosphere=CoupledComponentConfig(stepper=atmos_cfg),
@@ -139,8 +239,8 @@ class _PairedStats:
 def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
     coupled = config.load_coupled_stepper()
     n_inner = coupled.n_inner_steps
-    atmos_ds = config.initial_condition.atmosphere.build()
-    ocean_ds = config.initial_condition.ocean.build()
+    atmos_ds = config.initial_condition.build_atmosphere()
+    ocean_ds = config.initial_condition.build_ocean()
 
     atmos_names = sorted(
         set(coupled.atmosphere.step.input_names)
@@ -159,7 +259,7 @@ def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
         & set(ocean_ds.names)
     )
 
-    starts = config.initial_condition.start_indices
+    starts = config.initial_condition.resolve_starts(ocean_ds.all_time)
     w = config.coupled_steps_in_memory
     n_windows = config.n_coupled_steps // w
 

@@ -94,18 +94,66 @@ class FrozenParameterConfig:
 
 
 @dataclasses.dataclass
+class ParameterClassification:
+    """Per-rule exclude/frozen classification (reference:
+    fme/ace/stepper/parameter_init.py:77 ParameterClassification)."""
+
+    exclude: list[str] = dataclasses.field(default_factory=list)
+    frozen: FrozenParameterConfig | None = None
+
+
+@dataclasses.dataclass
 class ParameterInitializationConfig:
     """(reference: fme/ace/stepper/parameter_init.py:96).
 
     alpha: L2-SP coefficient toward the base weights (initialized params).
     beta: L2 coefficient toward zero for uninitialized params.
+    ``parameters`` is the reference's rule-list spelling; rules fold
+    into exclude_parameters/frozen_parameters.
     """
 
     weights_path: str | None = None
+    parameters: list[ParameterClassification] = dataclasses.field(
+        default_factory=list
+    )
     exclude_parameters: list[str] | None = None
     frozen_parameters: FrozenParameterConfig | None = None
     alpha: float = 0.0
     beta: float = 0.0
+
+    def __post_init__(self):
+        if self.parameters:
+            if (
+                self.exclude_parameters is not None
+                or self.frozen_parameters is not None
+            ):
+                raise ValueError(
+                    "provide either parameters rules or the deprecated "
+                    "exclude_parameters/frozen_parameters, not both "
+                    "(reference: parameter_init.py:129-136)"
+                )
+            excludes = [
+                name for rule in self.parameters for name in rule.exclude
+            ]
+            if excludes:
+                self.exclude_parameters = excludes
+            frozen = [
+                rule.frozen for rule in self.parameters
+                if rule.frozen is not None
+            ]
+            if len(frozen) > 1:
+                # merge include-style rules; mixed include/exclude
+                # rules cannot be merged into one mask spec
+                includes = [f.include for f in frozen]
+                if any(i is None for i in includes):
+                    raise ValueError(
+                        "multiple frozen rules must all use include"
+                    )
+                self.frozen_parameters = FrozenParameterConfig(
+                    include=[n for inc in includes for n in inc]
+                )
+            elif frozen:
+                self.frozen_parameters = frozen[0]
 
     def apply_weights(self, params):
         """Load base checkpoint weights into params."""

@@ -23,6 +23,12 @@ def _config_cls(path: str):
             DownscalingEvaluatorConfig,
         )
         return DownscalingEvaluatorConfig
+    if "cm4-piControl" in path and os.sep + "uncoupled" not in path:
+        if "train" in name or "finetune" in name:
+            from ace_tpu.coupled.train import CoupledTrainConfig
+            return CoupledTrainConfig
+        from ace_tpu.coupled.inference import CoupledInferenceConfig
+        return CoupledInferenceConfig
     if "train" in name or "finetune" in name:
         from ace_tpu.train.trainer import TrainConfig
         return TrainConfig
@@ -37,7 +43,7 @@ CONFIGS = sorted(glob.glob(BASE + "/**/*.yaml", recursive=True))
 
 
 def test_corpus_is_nonempty():
-    assert len(CONFIGS) >= 20
+    assert len(CONFIGS) >= 23
 
 
 @pytest.mark.parametrize(

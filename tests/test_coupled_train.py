@@ -189,3 +189,87 @@ def test_coupled_evaluator_entry(tmp_path):
     logs = main([str(config_path)])
     assert any(k.endswith("rmse/sst") for k in logs)
     assert all(np.isfinite(v) for v in logs.values())
+
+
+def test_coupled_finetune_with_frozen_component(tmp_path):
+    """The SamudrACE recipe: nested stepper_training block with
+    per-component parameter_init loading pre-trained component
+    checkpoints and freezing the atmosphere; the frozen component's
+    weights do not change while the ocean's do (reference:
+    fme/coupled/stepper.py:1717 ComponentTrainingConfig.parameter_init +
+    the cm4-piControl train config)."""
+    import numpy as np
+
+    # phase 1: produce component checkpoints with the base test
+    test_coupled_train_entry(tmp_path)
+    ckpt_dir = os.path.join(str(tmp_path / "out"), "training_checkpoints")
+    atmos_ckpt = os.path.join(ckpt_dir, "atmosphere_ckpt.msgpack")
+    ocean_ckpt = os.path.join(ckpt_dir, "ocean_ckpt.msgpack")
+
+    with open(tmp_path / "coupled.yaml") as f:
+        config = yaml.safe_load(f)
+    config["experiment_dir"] = str(tmp_path / "finetune")
+    config.pop("n_coupled_steps")
+    config["stepper_training"] = {
+        "n_coupled_steps": 2,
+        "atmosphere": {
+            "parameter_init": {
+                "weights_path": atmos_ckpt,
+                "parameters": [{"frozen": {"include": ["*"]}}],
+            },
+            "n_steps": 0,
+            "loss": {"type": "MSE"},
+        },
+        "ocean": {
+            "parameter_init": {"weights_path": ocean_ckpt},
+            "loss": {"type": "MSE"},
+            "loss_weight": 1.0,
+        },
+    }
+    config["validation_loader"] = config["train_loader"]
+    config_path = tmp_path / "finetune.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.coupled.train import main
+    from ace_tpu.stepper.checkpoint import load_stepper
+
+    base_atmos = load_stepper(atmos_ckpt).params
+    base_ocean = load_stepper(ocean_ckpt).params
+    main([str(config_path)])
+
+    ft_dir = os.path.join(str(tmp_path / "finetune"),
+                          "training_checkpoints")
+    new_atmos = load_stepper(
+        os.path.join(ft_dir, "atmosphere_ckpt.msgpack")
+    ).params
+    new_ocean = load_stepper(
+        os.path.join(ft_dir, "ocean_ckpt.msgpack")
+    ).params
+
+    import jax
+
+    def flat(t):
+        return {
+            "/".join(str(getattr(k, "key", k)) for k in path): np.asarray(v)
+            for path, v in jax.tree_util.tree_flatten_with_path(t)[0]
+        }
+
+    fa, fb = flat(new_atmos), flat(base_atmos)
+    for k in fa:
+        np.testing.assert_array_equal(fa[k], fb[k], err_msg=f"frozen {k}")
+    oa, ob = flat(new_ocean), flat(base_ocean)
+    assert any(not np.array_equal(oa[k], ob[k]) for k in oa), (
+        "ocean weights should train"
+    )
+    # EMA variants of both components were written
+    assert os.path.exists(
+        os.path.join(ft_dir, "ocean_ema_ckpt.msgpack")
+    )
+    # validation loss was recorded
+    import json
+
+    with open(os.path.join(str(tmp_path / "finetune"),
+                           "metrics.jsonl")) as f:
+        lines = [json.loads(line) for line in f]
+    assert any("val_loss" in rec for rec in lines)
