@@ -39,7 +39,7 @@ def _install_dacite():
         return
     from ace_tpu.core import config as acfg
 
-    dacite = types.ModuleType("dacite")
+    dacite = _stub_module("dacite")
 
     class Config:
         def __init__(self, strict=False, cast=None, check_types=True,
@@ -72,7 +72,7 @@ def _install_dacite():
     dacite.UnexpectedDataError = UnexpectedDataError
     dacite.MissingValueError = MissingValueError
     dacite.WrongTypeError = WrongTypeError
-    exc = types.ModuleType("dacite.exceptions")
+    exc = _stub_module("dacite.exceptions")
     exc.DaciteError = DaciteError
     exc.UnexpectedDataError = UnexpectedDataError
     exc.MissingValueError = MissingValueError
@@ -82,11 +82,22 @@ def _install_dacite():
     sys.modules["dacite.exceptions"] = exc
 
 
+def _stub_module(name: str) -> types.ModuleType:
+    """A stub module with a real ModuleSpec: torch._dynamo walks
+    importlib.util.find_spec over sys.modules entries and raises
+    ValueError on modules whose __spec__ is None."""
+    import importlib.machinery
+
+    mod = types.ModuleType(name)
+    mod.__spec__ = importlib.machinery.ModuleSpec(name, loader=None)
+    return mod
+
+
 def _install_data_stubs():
     """xarray / zarr / cftime / wandb: imported by the stepper closure but
     only exercised by data-loading paths the tests never touch."""
     if "xarray" not in sys.modules:
-        xr = types.ModuleType("xarray")
+        xr = _stub_module("xarray")
         for n in ("Dataset", "DataArray", "Variable", "CFTimeIndex",
                   "Coordinates", "Index"):
             setattr(xr, n, type(n, (_Placeholder,), {}))
@@ -94,14 +105,14 @@ def _install_data_stubs():
             setattr(xr, n, _no)
         sys.modules["xarray"] = xr
     if "zarr" not in sys.modules:
-        zarr = types.ModuleType("zarr")
+        zarr = _stub_module("zarr")
         zarr.Array = _Placeholder
         zarr.Group = _Placeholder
         zarr.open = _no
         zarr.open_group = _no
         sys.modules["zarr"] = zarr
     if "cftime" not in sys.modules:
-        cftime = types.ModuleType("cftime")
+        cftime = _stub_module("cftime")
 
         class _Datetime:
             def __init__(self, year=1, month=1, day=1, hour=0, minute=0,
@@ -120,7 +131,7 @@ def _install_data_stubs():
         cftime.date2num = _no
         sys.modules["cftime"] = cftime
     if "wandb" not in sys.modules:
-        wandb = types.ModuleType("wandb")
+        wandb = _stub_module("wandb")
 
         class _WandbBase:
             def __init__(self, *a, **k):
@@ -131,7 +142,7 @@ def _install_data_stubs():
         wandb.init = _no
         wandb.log = _no
         wandb.run = None
-        errors = types.ModuleType("wandb.errors")
+        errors = _stub_module("wandb.errors")
 
         class CommError(Exception):
             pass
@@ -181,7 +192,7 @@ def load_reference_stepper():
     ]:
         m = sys.modules.get(name)
         if m is None:
-            m = types.ModuleType(name)
+            m = _stub_module(name)
             sys.modules[name] = m
         m.__path__ = [path]
 

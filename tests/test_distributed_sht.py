@@ -292,11 +292,12 @@ def test_conditional_sfno_spatial_parallel_matches_single_device():
 
 
 def test_fcn3_spatial_parallel_matches_single_device():
-    """FCN3 under a spatial mesh picks up the distributed SHT in its
-    spectral blocks (reference: fme/ace/models/makani_fcn3/mpu/
-    layers.py:37-662 carries distributed layers). DISCO convs still run
-    under XLA SPMD partitioning, so only all-to-all presence (not
-    all-reduce absence) is asserted."""
+    """FCN3 under a spatial mesh picks up the explicit all-to-all
+    distributed SHT in its spectral blocks AND the distributed DISCO in
+    its encoders/decoders/local blocks (reference:
+    fme/ace/models/makani_fcn3/mpu/layers.py:37-662 carries its own
+    distributed layers): the compiled forward must contain no
+    all-reduce at all (measured 112 all-to-all / 0 all-reduce)."""
     from ace_tpu.models.fcn3 import FourCastNet3
     from ace_tpu.parallel.mesh import spatial_parallel
 
@@ -337,4 +338,5 @@ def test_fcn3_spatial_parallel_matches_single_device():
             got = np.asarray(fwd(ps, *args))
             hlo = fwd.lower(ps, *args).compile().as_text()
     np.testing.assert_allclose(got, ref, atol=5e-4)
-    assert len(re.findall(r"all-to-all", hlo)) >= 4
+    assert len(re.findall(r"all-to-all", hlo)) >= 16
+    assert len(re.findall(r"\ball-reduce\b", hlo)) == 0
