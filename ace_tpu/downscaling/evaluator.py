@@ -149,8 +149,13 @@ def _evaluate_event(config, event, model, coarse_ds, fine_ds, generate,
     from ace_tpu.core.gridded_ops import LatLonOperations
     from ace_tpu.core.metrics import spherical_area_weights
 
+    # metrics run on the FINE grid: weights come from the fine
+    # latitudes over the event's (factor-scaled) index range
+    fine_lat = np.asarray(
+        fine_ds.dataset_info.horizontal_coordinates.lat
+    )[lat_r[0] * f:lat_r[1] * f]
     ops = LatLonOperations(spherical_area_weights(
-        np.asarray(hc.lat)[lat_r[0]:lat_r[1]], lon_r[1] - lon_r[0]
+        fine_lat, (lon_r[1] - lon_r[0]) * f
     ))
     agg = EnsembleOneStepAggregator(ops)
     agg.record_batch(gen, fine)

@@ -42,7 +42,9 @@ class InitialConditionConfig:
     inference.py:195-216 + ForcingDataLoaderConfig.build_inference_config,
     data_loading/inference.py:193).
 
-    path: the IC dataset file (netCDF or zarr; restart.nc files work).
+    path: the IC dataset file (netCDF or zarr) with [time, lat, lon]
+        variables; for restart.nc files (one realized state per
+        sample) use ``initial_condition_path`` instead.
     engine: accepted for reference config parity; the store autodetects.
     start_indices: optional subset of IC times (list/times/first-n).
     """

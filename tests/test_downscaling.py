@@ -826,3 +826,50 @@ def test_bundle_denoising_moe_cli(tmp_path):
     }
     out = moe.generate(coarse, jax.random.PRNGKey(7), n_samples=1)
     assert np.isfinite(np.asarray(out["fine_x"])).all()
+
+
+def test_downscaling_evaluator_data_block_and_events(tmp_path):
+    """The reference evaluator spellings: a paired ``data`` block with
+    lat/lon extents, plus event case studies scored over their region
+    (reference: fme/downscaling/evaluator.py:172 EvaluatorConfig.data +
+    :143 PairedEventConfig)."""
+    test_downscaling_train_and_patched_generate(tmp_path)
+    import yaml
+
+    config = {
+        "experiment_dir": str(tmp_path / "eval_events"),
+        "checkpoint_path": os.path.join(
+            str(tmp_path / "out"), "checkpoints", "ckpt.msgpack"
+        ),
+        "data": {
+            "coarse": [{"data_path": str(tmp_path / "coarse" / "data")}],
+            "fine": [{"data_path": str(tmp_path / "fine" / "data")}],
+            "lat_extent": {"start": -60.0, "stop": 60.0},
+        },
+        "events": [{
+            "name": "storm",
+            "date": "2000-01-01T06:00",
+            "lat_extent": {"start": -45.0, "stop": 45.0},
+            "n_samples": 2,
+            "save_generated_samples": True,
+        }],
+        "n_samples": 2,
+        "n_timesteps": 2,
+        "logging": {"log_to_screen": False, "log_to_file": False},
+    }
+    config_path = tmp_path / "eval_events.yaml"
+    with open(config_path, "w") as f:
+        yaml.safe_dump(config, f)
+
+    from ace_tpu.downscaling.evaluator import main
+
+    logs = main([str(config_path)])
+    # default (region-cropped) evaluation ran
+    assert "downscaling/crps/temp" in logs
+    # the event's metrics are namespaced under its name
+    assert "event/storm/crps/temp" in logs
+    assert np.isfinite(logs["event/storm/crps/temp"])
+    # event samples were written
+    assert os.path.exists(os.path.join(
+        str(tmp_path / "eval_events"), "event_storm_samples.nc"
+    ))
