@@ -20,12 +20,22 @@ from ace_tpu.core.typing_ import TensorDict, TensorMapping
 from ace_tpu.ops.sht import RealSHT
 
 
+# inline inference rebuilds its aggregator every epoch; cache the
+# offline reference loads per path so the netCDFs are read and
+# coarsened once per process, not once per epoch
+_REFERENCE_CACHE: dict = {}
+
+
 def load_time_mean_reference(path: str) -> dict[str, np.ndarray]:
     """Load a time-mean reference netCDF into per-variable [lat, lon]
     maps (reference: fme/ace/aggregator/inference/main.py:114-118 +
     time_mean.py reference_means). Leading singleton/sample dims are
     averaged out."""
     from ace_tpu.data.store import open_file_dataset
+
+    cached = _REFERENCE_CACHE.get(("time_mean", path))
+    if cached is not None:
+        return cached
 
     ds = open_file_dataset(path)
     out = {}
@@ -38,6 +48,7 @@ def load_time_mean_reference(path: str) -> dict[str, np.ndarray]:
             arr = arr.mean(axis=0)
         if arr.ndim == 2:
             out[name] = arr
+    _REFERENCE_CACHE[("time_mean", path)] = out
     return out
 
 
@@ -50,6 +61,11 @@ def load_monthly_reference(
     the reference's process_monthly_reference
     (fme/ace/aggregator/inference/annual.py:285-309)."""
     from ace_tpu.data.store import open_file_dataset
+
+    # keyed by path only: the grid (and hence ops) is fixed per process
+    cached = _REFERENCE_CACHE.get(("monthly", path))
+    if cached is not None:
+        return cached
 
     ds = open_file_dataset(path)
     time = ds.read_time("valid_time")
@@ -86,6 +102,7 @@ def load_monthly_reference(
                     np.mean(num[valid] / den[valid])
                 )
         out[name] = per_year
+    _REFERENCE_CACHE[("monthly", path)] = out
     return out
 
 

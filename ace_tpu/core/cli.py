@@ -32,8 +32,13 @@ def apply_platform_env():
     try:
         if jax.config.jax_platforms != platforms:
             jax.config.update("jax_platforms", platforms)
-    except Exception:  # unknown platform strings fail later, loudly
-        pass
+    except Exception as e:
+        import logging
+
+        logging.warning(
+            "ACE_TPU_PLATFORM=%s could not be applied (%s); "
+            "continuing on the already-selected platform", platforms, e,
+        )
 
 
 def prepare_config(path: str, override: list[str] | None = None) -> dict[str, Any]:

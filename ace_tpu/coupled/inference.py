@@ -289,14 +289,25 @@ def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
     )
 
     writers: dict[str, H5DataWriter] = {}
-    if config.save_prediction_files:
+    dw = config.data_writer
+    write_atmos = (
+        dw.atmosphere.save_prediction_files if dw is not None
+        else config.save_prediction_files
+    )
+    write_ocean = (
+        dw.ocean.save_prediction_files if dw is not None
+        else config.save_prediction_files
+    )
+    if write_atmos or write_ocean:
         os.makedirs(config.experiment_dir, exist_ok=True)
+    if write_atmos:
         writers["atmosphere"] = H5DataWriter(
             os.path.join(
                 config.experiment_dir, "autoregressive_predictions.nc"
             ),
             atmos_ds.dataset_info,
         )
+    if write_ocean:
         writers["ocean"] = H5DataWriter(
             os.path.join(
                 config.experiment_dir, "autoregressive_predictions_ocean.nc"

@@ -224,6 +224,9 @@ class CoupledTrainer:
 
     def __init__(self, config: CoupledTrainConfig):
         self.config = config
+        # per-component (ParameterInitializationConfig, base_params) for
+        # the L2-SP penalty; populated by train() parameter init
+        self._l2sp: dict = {}
         atmos_ds = config.train_loader.build_atmosphere()
         ocean_ds = config.train_loader.build_ocean()
         self.coupled: CoupledStepper = config.stepper.get_stepper(
@@ -347,6 +350,8 @@ class CoupledTrainer:
             cfg.atmosphere_loss_weight * loss_a
             + cfg.ocean_loss_weight * loss_o
         )
+        for comp, (pi, base) in getattr(self, "_l2sp", {}).items():
+            total = total + pi.regularizer_loss(params[comp], base)
         return total, {
             "loss": total,
             "atmosphere_loss": loss_a,
@@ -382,6 +387,12 @@ class CoupledTrainer:
         n_pairs = min(
             len(ocean_w), (len(atmos_w) + n_inner - 1) // n_inner
         )
+        if n_pairs == 0:
+            raise ValueError(
+                "validation dataset is shorter than one coupled rollout"
+                f" window (needs {config.n_coupled_steps} coupled steps"
+                " + 1)"
+            )
         losses = []
         key = jax.random.PRNGKey(config.seed + 99)
         for i in range(min(n_pairs, 4)):
@@ -443,7 +454,12 @@ class CoupledTrainer:
             for comp in ("atmosphere", "ocean"):
                 pi = getattr(config.stepper_training, comp).parameter_init
                 if pi is not None and pi.weights_path is not None:
-                    params[comp], _ = pi.apply_weights(params[comp])
+                    params[comp], base = pi.apply_weights(params[comp])
+                    if pi.alpha or pi.beta:
+                        # L2-SP toward the base weights (reference:
+                        # parameter_init regularizer; added to the
+                        # coupled loss like the uncoupled TrainStepper)
+                        self._l2sp[comp] = (pi, base)
                     logging.info(
                         f"initialized {comp} weights from "
                         f"{pi.weights_path}"

@@ -222,7 +222,8 @@ class XarrayDataset:
             from ace_tpu.core.coordinates import DepthCoordinate
 
             idepth_arr = np.asarray(
-                [idepth[f"idepth_{i}"] for i in range(len(idepth))],
+                [idepth[k] for k in
+                 sorted(idepth, key=lambda s_: int(s_[7:]))],
                 np.float32,
             )
             layer_masks = {

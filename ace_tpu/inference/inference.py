@@ -194,7 +194,10 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
         external_ic, ic_times, _cal = config.initial_condition.load(
             stepper.prognostic_names
         )
-        forcing_time = loader.dataset.build().all_time.values.reshape(-1)
+        # build the forcing dataset ONCE: reused below via the
+        # pre-built-dataset loader path instead of a second open
+        forcing_ds = loader.dataset.build()
+        forcing_time = forcing_ds.all_time.values.reshape(-1)
         positions = np.searchsorted(forcing_time, ic_times)
         bad = (positions >= len(forcing_time)) | (
             forcing_time[np.minimum(positions, len(forcing_time) - 1)]
@@ -205,18 +208,25 @@ def _run_inference_impl(config: InferenceConfig, placement) -> dict:
                 "initial condition time(s) not present in the forcing "
                 f"dataset: {np.asarray(ic_times)[bad]}"
             )
-        loader = dataclasses.replace(
-            loader,
+        from ace_tpu.data.inference import InferenceGriddedData
+
+        forcing_data = InferenceGriddedData(
+            dataset=forcing_ds,
             start_indices=ExplicitIndices(
                 list=[int(p) for p in positions]
             ),
+            forcing_names=forcing_names,
+            prognostic_names=stepper.prognostic_names,
+            n_forward_steps=config.n_forward_steps,
+            forward_steps_in_memory=config.forward_steps_in_memory,
         )
-    forcing_data = loader.build(
-        forcing_names=forcing_names,
-        prognostic_names=stepper.prognostic_names,
-        n_forward_steps=config.n_forward_steps,
-        forward_steps_in_memory=config.forward_steps_in_memory,
-    )
+    else:
+        forcing_data = loader.build(
+            forcing_names=forcing_names,
+            prognostic_names=stepper.prognostic_names,
+            n_forward_steps=config.n_forward_steps,
+            forward_steps_in_memory=config.forward_steps_in_memory,
+        )
     # training/inference dataset compatibility check
     # (reference: inference.py:413)
     stepper.dataset_info.assert_compatible_with(forcing_data.dataset_info)

@@ -70,6 +70,20 @@ class Stepper:
         # input spatial masking (reference: single_module.py:1063
         # args.apply_input_process_func)
         self.input_masker = input_masker or (lambda data: dict(data))
+        if (
+            input_masker is None
+            and provider is not None
+            and getattr(provider, "masks", None)
+        ):
+            import logging
+
+            logging.warning(
+                "dataset has mask_* fields: outputs are NaN-filled in "
+                "masked regions (reference behavior) but no "
+                "input_masking is configured — NaN will feed the "
+                "network after the first step; set "
+                "stepper.input_masking to refill masked inputs"
+            )
 
     @property
     def prognostic_names(self) -> list[str]:
