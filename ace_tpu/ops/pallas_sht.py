@@ -12,9 +12,25 @@ Status: EXPERIMENTAL, not used by default. Measured on TPU v5e at the
 ACE2 problem size, the einsum path (0.76 ms) beats this kernel — Mosaic
 block constraints force small l/k tiles and per-step reloads of the
 Legendre block, so the HBM saved on the intermediate is repaid in
-operand traffic. Kept as a validated reference kernel and a starting
-point for future Mosaic work; RealSHT.__call__ always uses the einsum
-path.
+operand traffic. Kept as a validated reference kernel; RealSHT.__call__
+always uses the einsum path.
+
+A second attempt (round 3) with l-major output tiling — grid
+(m_tiles, c_tiles, k_tiles), full-L output block, DFT computed once per
+(m, c) so there is no per-l recompute — runs into the same wall, and
+the arithmetic shows it is structural on this part: Mosaic requires the
+last two block dims to be (8-mult, 128-mult-or-full). With channels on
+the lane dim, c_tile >= 128 forces the [L, m_tile, c_tile] accumulator
+to cap m_tile at ~40 for 16 MB VMEM, so the input x re-streams
+m_tiles >= 5 times (>= 660 MB — more than the whole einsum path
+moves). Flipping the layout so m rides the lanes caps c_tile at <= 32,
+and then the Legendre tables re-stream c_tiles >= 16 times
+(>= 448 MB). Every feasible tiling re-streams one operand by more than
+the ~500 MB of intermediate traffic the fusion saves; the fused kernel
+cannot beat the einsum pair on a 16 MB-VMEM part at this problem size.
+A chip with >= 64 MB VMEM changes the arithmetic
+(m_tile = 192 full + c_tile = 128 fits), so the kernel is kept for
+future hardware.
 """
 
 import functools
