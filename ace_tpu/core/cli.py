@@ -41,8 +41,42 @@ def apply_platform_env():
         )
 
 
+def enable_compilation_cache():
+    """Point JAX at a persistent on-disk compilation cache.
+
+    Every entry point pays full XLA compilation otherwise — each test
+    session, each segment of segmented inference, each resumed training
+    job.  The reference relies on torch's eager mode and has no such
+    cost; for us a warm cache turns a ~90 s flagship train-step compile
+    into a sub-second deserialization.  ``ACE_TPU_COMPILATION_CACHE``
+    overrides the location; ``ACE_TPU_COMPILATION_CACHE=0`` disables.
+    """
+    loc = os.environ.get("ACE_TPU_COMPILATION_CACHE")
+    if loc == "0":
+        return
+    if not loc:
+        loc = os.path.join(
+            os.path.expanduser("~"), ".cache", "ace_tpu", "jax_cache"
+        )
+    import jax
+
+    try:
+        if jax.config.jax_compilation_cache_dir != loc:
+            jax.config.update("jax_compilation_cache_dir", loc)
+        # cache every compilation (default threshold is 1 s, which skips
+        # the many small jits in the aggregator/inference paths that
+        # still add up across segments)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception as e:
+        import logging
+
+        logging.warning("compilation cache could not be enabled (%s)", e)
+
+
 def prepare_config(path: str, override: list[str] | None = None) -> dict[str, Any]:
     apply_platform_env()
+    enable_compilation_cache()
     with open(path) as f:
         data = yaml.safe_load(f)
     return update_dict_with_dotlist(data, override)

@@ -84,6 +84,9 @@ class Histogram(_Media):
         )
 
 
+WANDB_RUN_ID_FILE = "wandb_run_id"
+
+
 class WandB:
     """Singleton wrapper; strictly-increasing step enforcement like the
     reference. Falls back to a no-op when wandb is not installed.
@@ -95,6 +98,7 @@ class WandB:
         self._enabled = False
         self._run = None
         self._last_step = -1
+        self._watch_freq: int | None = None
 
     @classmethod
     def get_instance(cls) -> "WandB":
@@ -109,16 +113,104 @@ class WandB:
     def configure(self, log_to_wandb: bool):
         self._enabled = log_to_wandb
 
-    def init(self, **kwargs):
+    def init(
+        self,
+        resumable: bool = False,
+        experiment_dir: str | None = None,
+        wandb_init=None,
+        **kwargs,
+    ):
+        """Start (or resume) a wandb run.
+
+        With ``resumable=True`` the run id is persisted to
+        ``<experiment_dir>/wandb_run_id`` on first init; a later init in
+        the same experiment dir (e.g. after preemption) resumes THAT
+        run instead of starting a fresh one (reference:
+        fme/core/wandb.py:237 init_wandb_with_resumption — the id file
+        is kept separate from wandb's own media tmpdir on purpose).
+
+        ``wandb_init`` injects the init callable for tests.
+        """
         if not self._enabled:
             return
-        try:
-            import wandb  # noqa: F401
+        if wandb_init is None:
+            try:
+                import wandb
+            except ImportError:
+                logging.warning(
+                    "wandb not installed; disabling wandb logging"
+                )
+                self._enabled = False
+                return
+            wandb_init = wandb.init
+        if resumable:
+            if experiment_dir is None:
+                raise ValueError(
+                    "must provide `experiment_dir` when `resumable` is True"
+                )
+            id_path = os.path.join(experiment_dir, WANDB_RUN_ID_FILE)
+            if os.path.exists(id_path):
+                with open(id_path) as f:
+                    run_id = f.read().strip()
+                kwargs.update({"resume": "must", "id": run_id})
+                self._run = wandb_init(**kwargs)
+                logging.info("Resuming wandb run with id: %s", run_id)
+            else:
+                kwargs.update({"resume": "never"})
+                self._run = wandb_init(**kwargs)
+                os.makedirs(experiment_dir, exist_ok=True)
+                with open(id_path, "w") as f:
+                    f.write(self._run.id)
+                logging.info(
+                    "New resumable wandb run with id: %s", self._run.id
+                )
+        else:
+            self._run = wandb_init(**kwargs)
 
-            self._run = wandb.init(**kwargs)
-        except ImportError:
-            logging.warning("wandb not installed; disabling wandb logging")
-            self._enabled = False
+    def watch(self, log_freq: int = 100):
+        """Enable periodic parameter/gradient histogram logging.
+
+        The reference calls ``wandb.watch(modules)``
+        (fme/core/wandb.py:171), which hooks torch module backward
+        passes. JAX has no module objects to hook, so the trainer calls
+        :meth:`log_watched` with the param/grad pytrees each step and
+        this gate decides when histograms are actually built + logged.
+        """
+        self._watch_freq = log_freq
+
+    def log_watched(self, step: int, params, grads=None):
+        """Log per-leaf parameter (and gradient) histograms when a watch
+        is active and ``step`` falls on the watch frequency."""
+        if (
+            not self._enabled
+            or self._run is None
+            or self._watch_freq is None
+            or step % self._watch_freq != 0
+        ):
+            return
+        import jax
+        import numpy as np
+
+        payload: dict[str, Any] = {}
+
+        def add(prefix, tree):
+            flat = jax.tree_util.tree_flatten_with_path(tree)[0]
+            for path, leaf in flat:
+                name = "/".join(
+                    str(getattr(p, "key", getattr(p, "idx", p)))
+                    for p in path
+                )
+                arr = np.asarray(leaf).ravel()
+                if arr.size and np.issubdtype(arr.dtype, np.floating):
+                    payload[f"{prefix}/{name}"] = Histogram(
+                        sequence=arr.astype(np.float32)
+                    )
+
+        add("parameters", params)
+        if grads is not None:
+            add("gradients", grads)
+        if payload:
+            self.log(payload, step=step)
 
     def log(self, data: Mapping[str, Any], step: int | None = None):
         if step is not None:

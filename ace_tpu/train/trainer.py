@@ -68,8 +68,11 @@ class LoggingConfig:
     log_to_wandb: bool = False
     project: str = "ace_tpu"
     entity: str | None = None
+    # log param/grad histograms every N batches; None disables (the
+    # reference's wandb.watch(modules), fme/core/wandb.py:171)
+    watch_log_freq: int | None = None
 
-    def configure(self, experiment_dir: str):
+    def configure(self, experiment_dir: str, resumable: bool = True):
         handlers: list[logging.Handler] = []
         if self.log_to_screen:
             handlers.append(logging.StreamHandler())
@@ -86,9 +89,22 @@ class LoggingConfig:
             handlers=handlers,
             force=True,
         )
-        WandB.get_instance().configure(
-            self.log_to_wandb and dist.is_root()
-        )
+        wandb = WandB.get_instance()
+        wandb.configure(self.log_to_wandb and dist.is_root())
+        if wandb.enabled:
+            # resumable: a preempted-and-restarted job in the same
+            # experiment dir continues the SAME wandb run (run id is
+            # persisted in <experiment_dir>/wandb_run_id; reference:
+            # fme/core/wandb.py:237)
+            wandb.init(
+                resumable=resumable,
+                experiment_dir=experiment_dir,
+                project=self.project,
+                entity=self.entity,
+                dir=experiment_dir,
+            )
+            if self.watch_log_freq is not None:
+                wandb.watch(log_freq=self.watch_log_freq)
 
 
 class CheckpointPaths:
@@ -602,6 +618,8 @@ class Trainer:
                     {"train_batch/loss": float(metrics["loss"])},
                     step=self.num_batches_seen,
                 )
+            # no-op unless LoggingConfig.watch_log_freq activated a watch
+            wandb.log_watched(self.num_batches_seen, self.params)
             if (
                 self.config.checkpoint_every_n_batches > 0
                 and count % self.config.checkpoint_every_n_batches == 0

@@ -314,6 +314,9 @@ def _get_device_with_retry(max_tries: int = 5):
 
 
 def main(smoke: bool = False):
+    from ace_tpu.core.cli import enable_compilation_cache
+
+    enable_compilation_cache()
     device = _get_device_with_retry()
     peak = _device_peak_flops(device)
 

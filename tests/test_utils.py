@@ -244,3 +244,129 @@ def test_wandb_media_logging(tmp_path):
     disk.log({"scalar": 2.0, "map": Image(np.zeros((2, 2)))}, step=1)
     rec = json.loads((tmp_path / "metrics.jsonl").read_text())
     assert rec == {"scalar": 2.0, "step": 1}
+
+
+def test_wandb_run_resumption(tmp_path):
+    """A resumable init persists the run id; a second init in the same
+    experiment dir resumes THAT run (reference: fme/core/wandb.py:237
+    init_wandb_with_resumption)."""
+    from ace_tpu.core.wandb import WANDB_RUN_ID_FILE, WandB
+
+    calls = []
+
+    class _FakeRun:
+        def __init__(self, id_):
+            self.id = id_
+
+    def fake_init(**kwargs):
+        calls.append(kwargs)
+        return _FakeRun(kwargs.get("id", "run-abc123"))
+
+    WandB.reset()
+    wb = WandB.get_instance()
+    wb.configure(log_to_wandb=True)
+    # first init in a fresh experiment dir: new run, id persisted
+    wb.init(resumable=True, experiment_dir=str(tmp_path),
+            wandb_init=fake_init, project="p")
+    assert calls[0]["resume"] == "never"
+    id_file = tmp_path / WANDB_RUN_ID_FILE
+    assert id_file.read_text() == "run-abc123"
+    # second init (the preempted-and-restarted job): same run id resumed
+    WandB.reset()
+    wb2 = WandB.get_instance()
+    wb2.configure(log_to_wandb=True)
+    wb2.init(resumable=True, experiment_dir=str(tmp_path),
+             wandb_init=fake_init, project="p")
+    assert calls[1]["resume"] == "must"
+    assert calls[1]["id"] == "run-abc123"
+    assert wb2.get_id() == "run-abc123"
+    # resumable without an experiment dir is a config error
+    import pytest
+
+    with pytest.raises(ValueError):
+        wb2.init(resumable=True, wandb_init=fake_init)
+    WandB.reset()
+
+
+def test_wandb_watch_logs_param_histograms():
+    """watch() + log_watched() emit parameter/gradient histograms on the
+    configured frequency (reference wandb.watch, fme/core/wandb.py:171)."""
+    import numpy as np
+
+    from ace_tpu.core.wandb import Histogram, WandB
+
+    logged = []
+
+    class _FakeRun:
+        id = "r"
+
+        def log(self, data, step=None):
+            logged.append((data, step))
+
+    WandB.reset()
+    wb = WandB.get_instance()
+    wb.configure(log_to_wandb=True)
+    wb._run = _FakeRun()
+    params = {"dense": {"kernel": np.ones((3, 2), np.float32)}}
+    grads = {"dense": {"kernel": np.zeros((3, 2), np.float32)}}
+    # no watch active: nothing logged
+    wb.log_watched(0, params, grads)
+    assert logged == []
+    wb.watch(log_freq=10)
+    wb.log_watched(5, params, grads)  # off-frequency step
+    assert logged == []
+
+    class _FakeWandbModule:
+        @staticmethod
+        def Histogram(sequence=None, np_histogram=None, num_bins=64):
+            return ("hist", len(sequence))
+
+    import sys
+
+    had = "wandb" in sys.modules
+    orig = sys.modules.get("wandb")
+    sys.modules["wandb"] = _FakeWandbModule()
+    try:
+        wb.log_watched(10, params, grads)
+    finally:
+        if had:
+            sys.modules["wandb"] = orig
+        else:
+            del sys.modules["wandb"]
+    (data, step), = logged
+    assert step == 10
+    assert data["parameters/dense/kernel"] == ("hist", 6)
+    assert data["gradients/dense/kernel"] == ("hist", 6)
+    WandB.reset()
+
+
+def test_compilation_cache_persists_entries(tmp_path, monkeypatch):
+    """enable_compilation_cache points JAX at a persistent on-disk cache
+    and compiles land entries there (so segmented inference / resumed
+    training recompile warm)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ace_tpu.core.cli import enable_compilation_cache
+
+    cache_dir = tmp_path / "jax_cache"
+    monkeypatch.setenv("ACE_TPU_COMPILATION_CACHE", str(cache_dir))
+    prev = jax.config.jax_compilation_cache_dir
+    try:
+        enable_compilation_cache()
+        assert jax.config.jax_compilation_cache_dir == str(cache_dir)
+
+        @jax.jit
+        def f(x):
+            return jnp.sin(x) * 2.0 + jnp.cos(x)
+
+        f(jnp.arange(8.0)).block_until_ready()
+        entries = list(cache_dir.rglob("*")) if cache_dir.exists() else []
+        assert entries, "no compilation cache entries were written"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", prev)
+
+    # explicit opt-out
+    monkeypatch.setenv("ACE_TPU_COMPILATION_CACHE", "0")
+    enable_compilation_cache()
+    assert jax.config.jax_compilation_cache_dir == prev
