@@ -169,12 +169,22 @@ class CheckpointConfig:
     steps with index >= after_n_forward_steps run under ``jax.checkpoint``
     so their activations are recomputed in the backward pass instead of
     stored; earlier steps keep their activations. ``kwargs`` is accepted
-    for reference-config compatibility and ignored (the torch
-    ``use_reentrant`` etc. knobs have no JAX analog).
+    for reference-config compatibility and warned-on-then-ignored (the
+    torch ``use_reentrant`` etc. knobs have no JAX analog).
     """
 
     after_n_forward_steps: float = float("inf")
     kwargs: Mapping[str, Any] = dataclasses.field(default_factory=dict)
+
+    def __post_init__(self):
+        if self.kwargs:
+            import logging
+
+            logging.warning(
+                "CheckpointConfig.kwargs %s have no JAX analog and are "
+                "IGNORED (torch checkpoint knobs like use_reentrant do "
+                "not apply to jax.checkpoint)", dict(self.kwargs),
+            )
 
 
 @dataclasses.dataclass
@@ -220,6 +230,16 @@ class OptimizationConfig:
             warnings.warn(
                 "FusedAdam is deprecated. Use AdamW instead.",
                 DeprecationWarning,
+            )
+        if self.enable_automatic_mixed_precision:
+            import logging
+
+            logging.warning(
+                "enable_automatic_mixed_precision is IGNORED on TPU: "
+                "mixed precision is a model dtype here — set the "
+                "builder's compute_dtype to 'bfloat16' instead (the "
+                "spectral transforms stay f32 either way, matching the "
+                "reference's autocast-disabled SHT blocks)"
             )
 
     @property

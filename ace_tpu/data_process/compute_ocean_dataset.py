@@ -148,8 +148,9 @@ class OceanDatasetConfig:
     dataset_computation: OceanDatasetComputationConfig
 
     # reference-config keys handled by the upstream preprocessing stack
-    # (ocean_emulators / gcm-filters / xesmf / dask), accepted and
-    # ignored so the reference's committed YAMLs load verbatim
+    # (ocean_emulators / gcm-filters / xesmf / dask); stripped with a
+    # loud warning so the reference's committed YAMLs load verbatim
+    # without silently implying those steps ran here
     UPSTREAM_KEYS = (
         "nc_grid_path", "nc_mosaic_path", "nc_target_grid_path",
         "ocean_static", "land_static", "chunking", "sharding",
@@ -176,9 +177,11 @@ class OceanDatasetConfig:
         if isinstance(dc, dict):
             stripped = sorted(set(dc) & set(cls.UPSTREAM_KEYS))
             if stripped:
-                logger.info(
-                    "ignoring upstream-preprocessing config keys %s",
-                    stripped,
+                logger.warning(
+                    "upstream-preprocessing config keys %s are handled "
+                    "by the reference's pre-regrid stack (xesmf/dask/"
+                    "gcm-filters) and are IGNORED here: this CLI expects "
+                    "already-regridded input", stripped,
                 )
             for k in stripped:
                 dc.pop(k)

@@ -68,7 +68,8 @@ class StaticDataConfig:
 @dataclasses.dataclass
 class SeaIceDatasetComputationConfig:
     """(reference compute_sea_ice_dataset.py:45-68; upstream mosaic /
-    target-grid paths accepted and ignored)."""
+    target-grid paths belong to the pre-regrid stack and are stripped
+    with a loud warning in :meth:`SeaIceDatasetConfig.from_file`)."""
 
     ice_zarr: str
     ocean_static: StaticDataConfig
@@ -97,9 +98,11 @@ class SeaIceDatasetConfig:
         if isinstance(dc, dict):
             stripped = sorted(set(dc) & set(cls.UPSTREAM_KEYS))
             if stripped:
-                logger.info(
-                    "ignoring upstream-preprocessing config keys %s",
-                    stripped,
+                logger.warning(
+                    "upstream-preprocessing config keys %s are handled "
+                    "by the reference's pre-regrid stack (xesmf/dask/"
+                    "gcm-filters) and are IGNORED here: this CLI expects "
+                    "already-regridded input", stripped,
                 )
             for k in stripped:
                 dc.pop(k)

@@ -282,3 +282,65 @@ def test_process_checkpoint_strips_training_state(tmp_path):
     for a, b in zip(jax.tree_util.tree_leaves(pub),
                     jax.tree_util.tree_leaves(ema)):
         np.testing.assert_allclose(a, b)
+
+
+def test_vort_div_cli(tmp_path):
+    """vort_div CLI: u/v wind pairs -> vorticity/divergence zarr, levels
+    inferred from the name template; values match the library kernel
+    (reference: scripts/vort_div/winds.py)."""
+    from ace_tpu.data_process.vort_div import VortDivConfig, main
+    from ace_tpu.ops.vector_sht import u_v_to_vort_div
+
+    rng = np.random.RandomState(0)
+    n_time, nlat, nlon = 5, 8, 16
+    time = TimeCoord.from_range("2000-01-01T00:00", n_time, 21600)
+    arrays = {
+        "lat": np.linspace(-60, 60, nlat),
+        "lon": np.linspace(0, 360, nlon, endpoint=False),
+    }
+    dims = {"lat": ("lat",), "lon": ("lon",)}
+    for k in range(2):
+        for name in (f"eastward_wind_{k}", f"northward_wind_{k}"):
+            arrays[name] = rng.randn(n_time, nlat, nlon).astype(np.float32)
+            dims[name] = ("time", "lat", "lon")
+    write_zarr(str(tmp_path / "winds.zarr"), arrays, dims, time=time)
+
+    cfg = {
+        "input_path": str(tmp_path / "winds.zarr"),
+        "output_path": str(tmp_path / "vortdiv.zarr"),
+        "grid": "equiangular",
+        "time_chunk_size": 2,  # exercise the chunked read path
+    }
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["--yaml", str(tmp_path / "cfg.yaml"), "--debug"])  # smoke
+    main(["--yaml", str(tmp_path / "cfg.yaml")])
+
+    ds = open_file_dataset(str(tmp_path / "vortdiv.zarr"))
+    assert len(ds.read_time()) == n_time
+    for k in range(2):
+        vort_ref, div_ref = u_v_to_vort_div(
+            arrays[f"eastward_wind_{k}"], arrays[f"northward_wind_{k}"],
+            grid="equiangular",
+        )
+        np.testing.assert_allclose(
+            ds[f"vorticity_{k}"].read(()), np.asarray(vort_ref),
+            rtol=1e-5, atol=1e-5,
+        )
+        np.testing.assert_allclose(
+            ds[f"divergence_{k}"].read(()), np.asarray(div_ref),
+            rtol=1e-5, atol=1e-5,
+        )
+    # sanity: vorticity of a nonzero wind field is nonzero
+    assert float(np.max(np.abs(ds["vorticity_0"].read(())))) > 0
+    np.testing.assert_array_equal(ds["lat"].read(()), arrays["lat"])
+
+    # explicit single-pair names (no template)
+    cfg2 = dict(cfg, u_name="eastward_wind_0", v_name="northward_wind_0",
+                vort_name="vort", div_name="div",
+                output_path=str(tmp_path / "single.zarr"))
+    with open(tmp_path / "cfg2.yaml", "w") as f:
+        yaml.safe_dump(cfg2, f)
+    main(["--yaml", str(tmp_path / "cfg2.yaml")])
+    ds2 = open_file_dataset(str(tmp_path / "single.zarr"))
+    assert "vort" in ds2.keys() and "div" in ds2.keys()

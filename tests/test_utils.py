@@ -370,3 +370,22 @@ def test_compilation_cache_persists_entries(tmp_path, monkeypatch):
     monkeypatch.setenv("ACE_TPU_COMPILATION_CACHE", "0")
     enable_compilation_cache()
     assert jax.config.jax_compilation_cache_dir == prev
+
+
+def test_benchmark_run_writes_json_and_png(tmp_path, monkeypatch):
+    """benchmark runner CLI --output-dir emits per-device+commit JSON +
+    PNG (reference: fme/core/benchmark/run.py:114-125)."""
+    from ace_tpu.benchmark import run as bench_run
+
+    results = bench_run.main([
+        "sht", "--repeats", "1", "--output-dir", str(tmp_path),
+    ])
+    assert results and results[0]["mean_ms"] > 0
+    jsons = list(tmp_path.glob("bench_*.json"))
+    pngs = list(tmp_path.glob("bench_*.png"))
+    assert len(jsons) == 1 and len(pngs) == 1
+    import json as _json
+
+    saved = _json.loads(jsons[0].read_text())
+    assert saved[0]["name"] == "sht"
+    assert pngs[0].stat().st_size > 1000
