@@ -16,6 +16,12 @@ test:
 test_fast:
 	python -m pytest tests/ -n 4 -q --fast
 
+# Very-fast tier: unit tests only (skips slow + medium_duration); the
+# first gate in CI (reference: conftest.py --very-fast).
+.PHONY: test_very_fast
+test_very_fast:
+	python -m pytest tests/ -n 4 -q --very-fast
+
 # Serial full run (for debugging worker-dependent failures).
 .PHONY: test_serial
 test_serial:

@@ -54,15 +54,30 @@ def enable_compilation_cache():
     loc = os.environ.get("ACE_TPU_COMPILATION_CACHE")
     if loc == "0":
         return
+    import jax
+
     if not loc:
+        # default-on only off-CPU: XLA:CPU's AOT deserializer re-checks
+        # the host feature string on every load and emits multi-KB error
+        # lines even for same-machine entries — enough to fill a pipe
+        # buffer and stall a subprocess under test. TPU/GPU entries load
+        # silently and are the ones worth caching (90 s+ compiles).
+        platforms = jax.config.jax_platforms or ""
+        if platforms.split(",")[0] == "cpu":
+            return
         loc = os.path.join(
             os.path.expanduser("~"), ".cache", "ace_tpu", "jax_cache"
         )
-    import jax
 
     try:
         if jax.config.jax_compilation_cache_dir != loc:
             jax.config.update("jax_compilation_cache_dir", loc)
+            # the cache object is created lazily on first use and then
+            # pinned; without a reset a dir change after any prior
+            # compilation would be silently ignored
+            from jax._src import compilation_cache
+
+            compilation_cache.reset_cache()
         # cache every compilation (default threshold is 1 s, which skips
         # the many small jits in the aggregator/inference paths that
         # still add up across segments)

@@ -31,18 +31,34 @@ def pytest_addoption(parser):
         "--fast", action="store_true", default=False,
         help="skip tests marked slow",
     )
+    parser.addoption(
+        "--very-fast", action="store_true", default=False,
+        help="run only very fast tests (skips slow + medium_duration)",
+    )
 
 
 def pytest_collection_modifyitems(config, items):
-    if config.getoption("--fast"):
-        skip_slow = pytest.mark.skip(reason="--fast: skipping slow test")
-        for item in items:
-            if "slow" in item.keywords:
-                item.add_marker(skip_slow)
+    very_fast = config.getoption("--very-fast")
+    if not (very_fast or config.getoption("--fast")):
+        return
+    skip_slow = pytest.mark.skip(reason="skipping slow test")
+    skip_medium = pytest.mark.skip(
+        reason="--very-fast: skipping medium_duration test"
+    )
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)
+        elif very_fast and "medium_duration" in item.keywords:
+            item.add_marker(skip_medium)
 
 
 def pytest_configure(config):
     config.addinivalue_line("markers", "slow: slow test (skipped with --fast)")
+    config.addinivalue_line(
+        "markers",
+        "medium_duration: >~3 s test, deselected under --very-fast "
+        "(reference: conftest.py:63)",
+    )
 
 
 @pytest.fixture(autouse=True)

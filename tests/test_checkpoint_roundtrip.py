@@ -33,6 +33,8 @@ NLAT, NLON, NZ = 8, 16, 3
 N_STEPS = 4
 
 
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
+
 @pytest.fixture(scope="module")
 def reference_checkpoint(tmp_path_factory):
     """A real reference checkpoint .tar written via Stepper.get_state."""

@@ -24,6 +24,7 @@ def _info():
     )
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("noise_type", ["gaussian", "isotropic"])
 def test_noise_conditioned_sfno_era5_surface(noise_type):
     # the ACE2-ERA5 baseline config block
@@ -75,6 +76,7 @@ def test_noise_conditioned_sfno_era5_surface(noise_type):
     np.testing.assert_array_equal(np.asarray(ya), np.asarray(ya2))
 
 
+@pytest.mark.medium_duration
 def test_isotropic_noise_statistics():
     """SHT-synthesized noise should have ~unit pointwise variance and be
     smoother than white noise (band-limited).
@@ -96,6 +98,7 @@ def test_isotropic_noise_statistics():
     assert 0.7 < std < 1.3, std
 
 
+@pytest.mark.medium_duration
 def test_ensemble_members_differ_in_rollout():
     """In a training rollout with n_ensemble=2, the stochastic model must
     produce distinct members (the basis of CRPS training).
@@ -160,6 +163,7 @@ def test_ensemble_members_differ_in_rollout():
     )
 
 
+@pytest.mark.medium_duration
 def test_sfno_frequency_pos_embed_and_repeat_layers():
     import jax
     import jax.numpy as jnp
@@ -197,6 +201,7 @@ def test_sfno_frequency_pos_embed_and_repeat_layers():
     assert not np.allclose(np.asarray(o1), np.asarray(o2))
 
 
+@pytest.mark.medium_duration
 def test_conditional_sfno_local_blocks_spectral_ratio_lora():
     import jax
     import jax.numpy as jnp
@@ -349,6 +354,7 @@ def test_label_conditioned_sfno_end_to_end(tmp_path):
     np.testing.assert_array_equal(np.asarray(batch.labels), 1.0)
 
 
+@pytest.mark.medium_duration
 def test_checkpointing_blocks_is_pure_memory_option():
     """checkpointing=1 (per-block remat, reference makani sfnonet.py
     `checkpointing`) must not change the param tree, the forward values,

@@ -8,6 +8,7 @@ from datetime import timedelta
 import dataclasses
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -88,6 +89,7 @@ def test_n_inner_steps_from_timesteps():
     assert "surface_temperature" not in coupled.atmosphere_forcing_window_names
 
 
+@pytest.mark.medium_duration
 def test_coupled_rollout_shapes_and_exchange():
     coupled = _coupled()
     coupled.init_params(jax.random.PRNGKey(0))

@@ -8,7 +8,10 @@ import numpy as np
 import yaml
 
 from ace_tpu.testing import SyntheticData
+import pytest
 
+
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
 
 def test_coupled_train_entry(tmp_path):
     # atmosphere at 6h, ocean at 12h -> n_inner = 2

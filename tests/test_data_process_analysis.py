@@ -12,6 +12,7 @@ import yaml
 
 from ace_tpu.data.store import open_file_dataset, write_zarr
 from ace_tpu.data.time import TimeCoord
+import pytest
 
 NY, NX = 4, 8
 
@@ -139,6 +140,7 @@ def _tiny_stepper_checkpoint(tmp_path, seed, name):
     return path
 
 
+@pytest.mark.medium_duration
 def test_interpolate_checkpoints(tmp_path):
     import jax
 
@@ -249,6 +251,7 @@ def test_noise_floor_report_extrapolation(tmp_path):
     np.testing.assert_allclose(f(100.0), 2.0 / 10 + 0.3, rtol=1e-10)
 
 
+@pytest.mark.medium_duration
 def test_process_checkpoint_strips_training_state(tmp_path):
     """Publication prep (reference:
     scripts/checkpoint_publication/process_ckpt.py): optimizer/EMA

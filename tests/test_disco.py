@@ -87,6 +87,7 @@ def test_disco_psi_matches_reference_sparsity():
     np.testing.assert_allclose(ours_dense, ref_dense, atol=1e-6)
 
 
+@pytest.mark.medium_duration
 def test_localnet_with_disco_blocks():
     import jax
     import jax.numpy as jnp

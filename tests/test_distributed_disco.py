@@ -34,6 +34,7 @@ def _mesh(data, h, w):
         ((1, 4, 2), 18, 36),
     ],
 )
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("basis_type", ["piecewise linear", "morlet"])
 def test_distributed_disco_matches_single_device(
     mesh_shape, nlat, nlon, basis_type
@@ -79,6 +80,7 @@ def test_distributed_disco_hlo_all_to_all_only():
     assert n_ag <= 2, f"expected <=2 boundary all-gathers, found {n_ag}"
 
 
+@pytest.mark.medium_duration
 def test_localnet_spatial_mesh_uses_distributed_disco():
     """Under spatial_parallel, DiscoFilterLayer builds the distributed
     op (the build_disco swap point), and the LocalNet forward matches

@@ -40,6 +40,7 @@ def _mesh(data, h, w):
         ((1, 2, 4), 18, 34),
     ],
 )
+@pytest.mark.medium_duration
 def test_distributed_sht_matches_single_device(mesh_shape, nlat, nlon):
     mesh = _mesh(*mesh_shape)
     batch = 2 * mesh_shape[0]
@@ -163,6 +164,7 @@ def test_distributed_sht_under_jit_and_grad():
                                atol=2e-5)
 
 
+@pytest.mark.medium_duration
 def test_sfno_spatial_parallel_matches_single_device():
     """SFNO forward with the distributed-SHT path (spatial_parallel
     context) must reproduce the plain single-device forward with the
@@ -202,6 +204,7 @@ def test_sfno_spatial_parallel_matches_single_device():
     assert len(re.findall(r"all-to-all", hlo)) >= 8
 
 
+@pytest.mark.medium_duration
 def test_sfno_spatial_parallel_gradients_match():
     from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
     from ace_tpu.parallel.mesh import spatial_parallel
@@ -241,6 +244,7 @@ def test_sfno_spatial_parallel_gradients_match():
         )
 
 
+@pytest.mark.medium_duration
 def test_conditional_sfno_spatial_parallel_matches_single_device():
     """The FLAGSHIP NoiseConditionedSFNO (the ACE2-ERA5 architecture)
     must get the explicit all-to-all distributed SHT under a spatial
@@ -291,6 +295,7 @@ def test_conditional_sfno_spatial_parallel_matches_single_device():
     assert len(re.findall(r"all-to-all", hlo)) >= 8
 
 
+@pytest.mark.medium_duration
 def test_fcn3_spatial_parallel_matches_single_device():
     """FCN3 under a spatial mesh picks up the explicit all-to-all
     distributed SHT in its spectral blocks AND the distributed DISCO in

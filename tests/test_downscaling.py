@@ -87,6 +87,7 @@ def _model():
     return config.build(_info())
 
 
+@pytest.mark.medium_duration
 def test_diffusion_training_reduces_loss():
     import optax
 
@@ -120,6 +121,7 @@ def test_diffusion_training_reduces_loss():
     assert np.mean(losses[-5:]) < np.mean(losses[:5]) * 0.9, losses
 
 
+@pytest.mark.medium_duration
 def test_generation_shapes_and_conditioning():
     model = _model()
     model.init_params(jax.random.PRNGKey(0))
@@ -162,6 +164,7 @@ def test_patching_roundtrip():
     np.testing.assert_allclose(np.asarray(out["a"]), 1.0)
 
 
+@pytest.mark.medium_duration
 def test_downscaling_train_and_patched_generate(tmp_path):
     import yaml
 
@@ -239,6 +242,7 @@ def test_downscaling_train_and_patched_generate(tmp_path):
     assert bool(jnp.all(jnp.isfinite(out["temp"])))
 
 
+@pytest.mark.medium_duration
 def test_downscaler_predict_entry(tmp_path):
     # train a tiny model first (reuses the training test fixture)
     test_downscaling_train_and_patched_generate(tmp_path)
@@ -270,6 +274,7 @@ def test_downscaler_predict_entry(tmp_path):
         assert np.isfinite(f["temp"][:]).all()
 
 
+@pytest.mark.medium_duration
 def test_downscaling_evaluator_entry(tmp_path):
     # train a tiny model first (reuses the training test fixture)
     test_downscaling_train_and_patched_generate(tmp_path)
@@ -327,6 +332,7 @@ def test_region_sampling_weights():
     np.testing.assert_allclose(ratio, 10.0, rtol=1e-9)
 
 
+@pytest.mark.medium_duration
 def test_deterministic_swinir_downscaling(tmp_path):
     import yaml
 
@@ -430,6 +436,7 @@ def test_interpolate_baseline_downscaling():
     np.testing.assert_allclose(np.asarray(out["temp"]), 3.0, atol=1e-6)
 
 
+@pytest.mark.medium_duration
 def test_event_downscaling(tmp_path):
     test_downscaling_train_and_patched_generate(tmp_path)
     import yaml
@@ -502,6 +509,7 @@ def test_moe_denoiser_routing():
         make_moe_denoiser([(1.0, 1.0)], [expert(0.0)])
 
 
+@pytest.mark.medium_duration
 def test_denoising_moe_predictor_and_bundle(tmp_path):
     """MoE of two experts generates like a DiffusionModel, saves to one
     bundle, and the reloaded bundle reproduces generation exactly."""
@@ -593,6 +601,7 @@ def test_denoising_moe_predictor_and_bundle(tmp_path):
         )
 
 
+@pytest.mark.medium_duration
 def test_fine_topography_static_inputs(tmp_path):
     """use_fine_topography: normalized fine-grid static fields append to
     the conditioning, follow training patches, survive the checkpoint,
@@ -692,6 +701,7 @@ def test_fine_topography_static_inputs(tmp_path):
         model.config.build(model.dataset_info)
 
 
+@pytest.mark.medium_duration
 def test_time_range_zarr_output(tmp_path):
     """Named time-range outputs: region crop + ensemble written to zarr
     with [time, sample, lat, lon] dims (reference:
@@ -748,6 +758,7 @@ def test_zarr_output_chunks():
     assert ch[2] >= 1 and ch[3] >= 1
 
 
+@pytest.mark.medium_duration
 def test_loss_weights_config():
     """Per-variable and noise-exponent loss weighting
     (reference: fme/downscaling/models.py:81, noise.py:63)."""
@@ -785,6 +796,7 @@ def test_loss_weights_config():
     assert float(m3.loss_fn(m.params, coarse, fine, key)) != base
 
 
+@pytest.mark.medium_duration
 def test_bundle_denoising_moe_cli(tmp_path):
     """The bundling CLI (reference:
     scripts/downscaling/bundle_denoising_moe_checkpoint.py) writes a
@@ -828,6 +840,7 @@ def test_bundle_denoising_moe_cli(tmp_path):
     assert np.isfinite(np.asarray(out["fine_x"])).all()
 
 
+@pytest.mark.medium_duration
 def test_downscaling_evaluator_data_block_and_events(tmp_path):
     """The reference evaluator spellings: a paired ``data`` block with
     lat/lon extents, plus event case studies scored over their region

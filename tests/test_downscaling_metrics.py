@@ -25,6 +25,7 @@ def _load_reference():
     return mm, piq
 
 
+@pytest.mark.medium_duration
 def test_crps_and_mae_error_match_reference():
     import torch
 
@@ -114,6 +115,7 @@ def test_rank_matches_reference():
     np.testing.assert_array_equal(got, expected)
 
 
+@pytest.mark.medium_duration
 def test_generation_metrics_aggregator():
     rng = np.random.RandomState(5)
     factor = 2
@@ -157,6 +159,7 @@ def test_streaming_moments_match_numpy():
     np.testing.assert_allclose(m.std, data.std(0, ddof=1), rtol=1e-12)
 
 
+@pytest.mark.medium_duration
 def test_swinir_pads_non_multiple_inputs():
     import jax
     import jax.numpy as jnp

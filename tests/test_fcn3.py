@@ -15,9 +15,12 @@ from ace_tpu.core.coordinates import (
 )
 from ace_tpu.core.dataset_info import DatasetInfo
 from ace_tpu.core.step.base import StepArgs, StepSelector
+import pytest
 
 NLAT, NLON = 16, 32
 
+
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
 
 def _dataset_info():
     lats = gaussian_latitudes(NLAT)

@@ -6,6 +6,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+import pytest
+
 from ace_tpu.models.graphcast import (
     GraphCast,
     containing_triangle,
@@ -64,6 +66,7 @@ def test_radius_query_symmetric_threshold():
     assert len(g) > 0
 
 
+@pytest.mark.medium_duration
 def test_graphcast_forward_and_registry():
     lat = np.linspace(-80, 80, 8)
     lon = np.linspace(0, 360, 16, endpoint=False)
@@ -99,6 +102,7 @@ def test_graphcast_forward_and_registry():
     assert out2.shape == (1, *info.img_shape, 2)
 
 
+@pytest.mark.medium_duration
 def test_graphcast_mask_zeroes_land():
     lat = np.linspace(-80, 80, 8)
     lon = np.linspace(0, 360, 16, endpoint=False)

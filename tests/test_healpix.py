@@ -47,6 +47,7 @@ def test_healpix_pad_matches_reference(p):
     np.testing.assert_allclose(ours_cf, expected, atol=1e-6)
 
 
+@pytest.mark.medium_duration
 def test_healpix_unet_shapes_and_grads():
     from ace_tpu.models.healpix import (
         AvgPoolDownsamplingBlockConfig,

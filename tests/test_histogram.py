@@ -10,6 +10,7 @@ from ace_tpu.aggregator.histogram import (
 from ace_tpu.core.gridded_ops import LatLonOperations
 from ace_tpu.core.metrics import spherical_area_weights
 from ace_tpu.data.time import TimeCoord
+import pytest
 
 
 def test_dynamic_histogram_range_doubling():
@@ -189,6 +190,7 @@ def test_trend_aggregator_recovers_slope():
     )
 
 
+@pytest.mark.medium_duration
 def test_ensemble_one_step_aggregator_calibration():
     import jax.numpy as jnp
 

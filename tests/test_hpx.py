@@ -171,6 +171,7 @@ def test_healpix_dataset_loading(tmp_path):
     assert info2.horizontal_coordinates == ds.horizontal_coordinates
 
 
+@pytest.mark.medium_duration
 def test_healpix_unet_trains_end_to_end(tmp_path):
     """HEALPix dataset -> loader -> HEALPixUNet -> train step, on
     (face, height, width) data."""

@@ -19,6 +19,8 @@ NLAT, NLON = 12, 24
 NAMES = ["siconc", "LSRCc", "LSNKc", "XPRTc"]
 
 
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
+
 def _save_ice_dataset(path, n_time=10, timestep_seconds=86400):
     rng = np.random.RandomState(0)
     lat = np.linspace(-80.0, 80.0, NLAT)

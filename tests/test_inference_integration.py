@@ -33,6 +33,7 @@ def trained(tmp_path_factory):
     return tmp_path, data, ckpt
 
 
+@pytest.mark.medium_duration
 def test_inference_entry(trained, tmp_path):
     tmp_trained, data, ckpt = trained
     out_dir = str(tmp_path / "inference")
@@ -74,6 +75,7 @@ def test_inference_entry(trained, tmp_path):
     assert (np.diff(t, axis=1) > 0).all()
 
 
+@pytest.mark.medium_duration
 def test_inference_windowing_invariance(trained, tmp_path):
     """Rollout results must not depend on forward_steps_in_memory."""
     tmp_trained, data, ckpt = trained
@@ -165,6 +167,7 @@ def test_validate_config_entry(trained, tmp_path):
         main([str(config_path), "--config_type", "inference"])
 
 
+@pytest.mark.medium_duration
 def test_segmented_inference_matches_single_run(trained, tmp_path):
     """N chained segments via restart.nc must reproduce one long rollout
     (reference model: fme/ace/inference/test_segmented.py).
@@ -249,6 +252,7 @@ def test_dataset_comparison(tmp_path):
     )
 
 
+@pytest.mark.medium_duration
 def test_inference_entry_mesh_matches_single_device(trained, tmp_path):
     """The inference CLI on a (2, 2, 2) virtual mesh (data-parallel ICs +
     spatial lat/lon decomposition with the all-to-all distributed SHT)
@@ -290,6 +294,7 @@ def test_inference_entry_mesh_matches_single_device(trained, tmp_path):
     )
 
 
+@pytest.mark.medium_duration
 def test_evaluator_entry_mesh(trained, tmp_path):
     """Evaluator CLI under a (1, 2, 2) spatial mesh produces the same
     paired metrics as single-device."""
@@ -327,6 +332,7 @@ def test_evaluator_entry_mesh(trained, tmp_path):
                                    err_msg=key)
 
 
+@pytest.mark.medium_duration
 def test_inference_ensemble_per_ic(trained, tmp_path):
     """n_ensemble_per_ic > 1 tiles ICs member-major, differentiates
     members through the stochastic noise stream, and aggregates
@@ -420,6 +426,7 @@ def test_inference_ensemble_per_ic(trained, tmp_path):
     assert not np.allclose(arr[0, -1], arr[1, -1])
 
 
+@pytest.mark.medium_duration
 def test_inference_external_initial_condition(trained, tmp_path):
     """initial_condition seeds ICs from an external dataset with time
     selection; forcing windows align to the IC times (reference:

@@ -5,6 +5,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.train.lr_tuning import LRTuningConfig, run_lr_tuning_trial
+import pytest
 
 
 def test_lr_trial_prefers_better_lr():
@@ -46,6 +47,7 @@ def test_lr_trial_keeps_good_lr():
     assert result is None
 
 
+@pytest.mark.medium_duration
 def test_lr_tuning_trainer_integration(tmp_path):
     """LR tuning wired through the real train entry (reference hook:
     generics/trainer.py:376-400)."""

@@ -70,6 +70,7 @@ def test_no_mask_when_all_present(tmp_path):
     assert batch.data_mask is None
 
 
+@pytest.mark.medium_duration
 def test_train_end_to_end_with_missing_diagnostic(tmp_path):
     """Full training run where the dataset lacks one diagnostic: the
     loss must exclude the masked channel (finite loss, finite grads)

@@ -29,6 +29,8 @@ WORKER = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                       "multiprocess_worker.py")
 
 
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
+
 def _run_workers(config_path, num_processes, devices_per_process, port):
     env = {
         k: v for k, v in os.environ.items()

@@ -15,6 +15,7 @@ from ace_tpu.core.corrector.ocean import (
 from ace_tpu.core.gridded_ops import LatLonOperations
 from ace_tpu.core.metrics import spherical_area_weights
 from ace_tpu.core.ocean_data import OceanData
+import pytest
 
 NLAT, NLON, NZ = 6, 12, 2
 TIMESTEP = timedelta(days=5)
@@ -164,6 +165,7 @@ def test_ice_budget_correction_conserves_and_bounds():
     assert np.asarray(out["snk"]).max() <= 1e-6
 
 
+@pytest.mark.medium_duration
 def test_ice_corrector_selector_in_step():
     import jax
     import jax.numpy as jnp

@@ -26,6 +26,8 @@ OUT_NAMES = [
 ]
 
 
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
+
 def _save_ocean_dataset(path, n_time=10, timestep_seconds=86400):
     """NaN-masked synthetic ocean dataset with per-level masks, interface
     depths, and sea-floor depth (reference: test_ocean_train.py:23

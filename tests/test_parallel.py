@@ -46,6 +46,7 @@ def _sfno_forward(mesh_cfg):
         return np.asarray(fwd(ps, xs))
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("mesh_shape", MESH_SHAPES)
 def test_sfno_forward_mesh_invariance(mesh_shape):
     """SFNO forward must be identical (to fp tolerance) on any mesh."""
@@ -89,6 +90,7 @@ def test_rollout_mesh_invariance(mesh_shape):
         )
 
 
+@pytest.mark.medium_duration
 def test_train_step_gradient_mesh_invariance():
     """Gradients under a (2,2,2) mesh match single-device gradients
     (the reference's backward+SGD regression, test_regression.py).
@@ -140,6 +142,7 @@ def test_train_step_gradient_mesh_invariance():
         )
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4)])
 def test_fcn3_forward_mesh_invariance(mesh_shape):
     """FCN3 (DISCO gathers + SHT einsums) reproduces single-device
@@ -170,6 +173,7 @@ def test_fcn3_forward_mesh_invariance(mesh_shape):
     np.testing.assert_allclose(out, ref, atol=2e-5)
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2)])
 def test_localnet_forward_mesh_invariance(mesh_shape):
     from ace_tpu.models.localnet import LocalNet
@@ -215,6 +219,7 @@ def _samudra_forward(mesh_cfg):
         return np.asarray(fwd(ps, xs))
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4), (1, 1, 8)])
 def test_samudra_forward_mesh_invariance(mesh_shape):
     """ConvNeXt U-Net with circular-lon convolutions: XLA's spatial
@@ -249,6 +254,7 @@ def _swin_forward(mesh_cfg):
         return np.asarray(fwd(ps, xs))
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("mesh_shape", [(8, 1, 1), (2, 2, 2)])
 def test_swin_forward_mesh_invariance(mesh_shape):
     """Shifted-window attention under data and spatial sharding."""

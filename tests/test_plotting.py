@@ -59,6 +59,7 @@ def test_save_video_gif(tmp_path):
     assert path2.exists()
 
 
+@pytest.mark.medium_duration
 def test_flush_images_from_aggregator(tmp_path):
     """End-to-end: evaluator aggregator renders maps + videos to files."""
     from datetime import timedelta

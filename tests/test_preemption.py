@@ -15,6 +15,8 @@ import yaml
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
+
 def test_all_lazy_exports_resolve():
     """Every name in the lazy export table must import (the reference's
     test_symbols.py checks the same for `import fme`)."""

@@ -153,6 +153,7 @@ def _install_stubs():
     return sfnonet
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("operator_type", ["dhconv", "diagonal"])
 def test_forward_matches_reference_torch_sfno(operator_type):
     import dataclasses as dc
@@ -276,6 +277,7 @@ def test_autoregressive_rollout_matches_reference(n_steps=3):
         )
 
 
+@pytest.mark.medium_duration
 def test_100_step_forced_rollout_matches_reference():
     """The north-star rollout gate (BASELINE.md: "allclose at 100
     autoregressive steps"): 100 autoregressive steps with a fresh forcing
@@ -511,6 +513,7 @@ def test_forward_matches_reference_conditional_sfno():
     )
 
 
+@pytest.mark.medium_duration
 def test_forward_matches_reference_samudra():
     """Ocean-emulator parity: the reference Samudra (pure torch) and this
     repo's flax port agree with shared weights."""
@@ -602,6 +605,7 @@ def _load_reference_swin():
     return importlib.import_module("fme.core.models.swin_transformer")
 
 
+@pytest.mark.medium_duration
 def test_forward_matches_reference_swin_adaln():
     """Deterministic Swin U-Net parity (cos-lat CPB, skip, post-norm)."""
     import torch
@@ -643,6 +647,7 @@ def test_forward_matches_reference_swin_adaln():
     )
 
 
+@pytest.mark.medium_duration
 def test_forward_matches_reference_swin_cln_earth_padding():
     """Noise-conditioned (cln) Swin parity with earth boundary padding and
     label conditioning; zero noise drives the deterministic path while the
@@ -709,6 +714,7 @@ def test_forward_matches_reference_swin_cln_earth_padding():
     )
 
 
+@pytest.mark.medium_duration
 def test_forward_matches_reference_healpix_unet():
     """Full-model HEALPixUNet parity with shared weights (ConvNeXt blocks,
     AvgPool down, transposed-conv up, dilations, capped-GELU; karlbauer
@@ -884,6 +890,7 @@ def _load_reference_localnet():
     return localnet
 
 
+@pytest.mark.medium_duration
 @pytest.mark.parametrize("noise_dim", [0, 4])
 def test_forward_matches_reference_localnet(noise_dim):
     """LocalNet parity (VERDICT r1 gap): mixed disco + conv1x1 blocks,
@@ -1190,6 +1197,7 @@ def _install_fcn3_stubs():
     return fcn3
 
 
+@pytest.mark.medium_duration
 def test_forward_matches_reference_fcn3():
     """FourCastNet3 parity (VERDICT r1 gap): grouped DISCO
     encoders/decoders across grids (equiangular <-> legendre-gauss),

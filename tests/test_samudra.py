@@ -8,6 +8,7 @@ from ace_tpu.core.coordinates import LatLonCoordinates, gaussian_latitudes
 from ace_tpu.core.dataset_info import DatasetInfo
 from ace_tpu.models.registry import ModuleSelector
 from ace_tpu.models.samudra import Samudra, pad_lon_circular_lat_zero
+import pytest
 
 
 def test_pad_semantics():
@@ -22,6 +23,7 @@ def test_pad_semantics():
     np.testing.assert_array_equal(np.asarray(out[0, 0]), 0.0)
 
 
+@pytest.mark.medium_duration
 def test_samudra_shapes_via_registry():
     info = DatasetInfo(
         horizontal_coordinates=LatLonCoordinates(
@@ -40,6 +42,7 @@ def test_samudra_shapes_via_registry():
     assert bool(jnp.all(jnp.isfinite(y)))
 
 
+@pytest.mark.medium_duration
 def test_samudra_longitude_periodicity():
     """Rolling the input along longitude rolls the output (periodic net
     with zonally-periodic upsampling enabled).

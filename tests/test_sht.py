@@ -148,6 +148,7 @@ def test_truncation_pads_and_clips():
     assert y.shape == (nlat, nlon)
 
 
+@pytest.mark.medium_duration
 def test_fft2_roundtrip_and_sfno_fft_transform():
     from ace_tpu.ops.fft2 import InverseRealFFT2, RealFFT2
 

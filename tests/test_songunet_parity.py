@@ -20,6 +20,8 @@ from ace_tpu.downscaling.song_unet import SongUNetV2
 from ace_tpu.utils.torch_convert import torch_songunet_v2_to_flax
 
 
+pytestmark = pytest.mark.medium_duration  # every test here is >3 s
+
 def _load_reference_songunet():
     parity._install_csfno_stubs()
     for name, path in [

@@ -9,6 +9,8 @@ import numpy as np
 from ace_tpu.core.coordinates import LatLonCoordinates, gaussian_latitudes
 from ace_tpu.core.dataset_info import DatasetInfo
 from ace_tpu.models.registry import ModuleSelector
+import pytest
+
 from ace_tpu.models.swin import (
     SwinTransformerNet,
     earth_pad,
@@ -35,6 +37,7 @@ def test_window_partition_roundtrip():
     np.testing.assert_array_equal(np.asarray(back), np.asarray(x))
 
 
+@pytest.mark.medium_duration
 def test_swin_forward_and_grads():
     model = _small_net()
     x = jnp.asarray(np.random.RandomState(0).randn(2, 8, 16, 5), jnp.float32)
@@ -46,6 +49,7 @@ def test_swin_forward_and_grads():
                for l in jax.tree_util.tree_leaves(g))
 
 
+@pytest.mark.medium_duration
 def test_swin_non_multiple_shape_is_padded():
     """Shapes not divisible by 2x the window are zero-padded and cropped."""
     model = _small_net(img_shape=(7, 13))
@@ -84,6 +88,7 @@ def test_earth_padding_roundtrip_shapes():
     assert m.shape == (1, 12, 22, 2)
 
 
+@pytest.mark.medium_duration
 def test_swin_cos_lat_cpb_changes_output():
     """cos-lat CPB scaling must alter the bias (vs plain Swin V2 CPB)."""
     lat = tuple(np.linspace(-82.5, 82.5, 8).tolist())
@@ -105,6 +110,7 @@ def test_swin_cos_lat_cpb_changes_output():
     assert not np.allclose(np.asarray(y1), np.asarray(y2))
 
 
+@pytest.mark.medium_duration
 def test_swin_via_registry():
     info = DatasetInfo(
         horizontal_coordinates=LatLonCoordinates(
@@ -122,6 +128,7 @@ def test_swin_via_registry():
     assert model.apply(params, x).shape == (1, 8, 16, 3)
 
 
+@pytest.mark.medium_duration
 def test_noise_conditioned_swin_is_stochastic():
     import flax
 

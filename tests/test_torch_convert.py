@@ -10,8 +10,10 @@ import numpy as np
 
 from ace_tpu.models.sfno import SphericalFourierNeuralOperatorNet
 from ace_tpu.utils.torch_convert import flax_sfno_to_torch, torch_sfno_to_flax
+import pytest
 
 
+@pytest.mark.medium_duration
 def test_roundtrip_mapping_covers_all_params():
     model = SphericalFourierNeuralOperatorNet(
         img_shape=(8, 16), in_chans=4, out_chans=3, embed_dim=12,

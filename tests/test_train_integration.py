@@ -67,6 +67,7 @@ def _config(tmp_path, data: SyntheticData, max_epochs=2):
     }
 
 
+@pytest.mark.medium_duration
 def test_train_end_to_end_and_resume(tmp_path):
     data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
     config_path = tmp_path / "config.yaml"
@@ -90,6 +91,7 @@ def test_train_end_to_end_and_resume(tmp_path):
     assert trainer2.num_batches_seen > trainer.num_batches_seen
 
 
+@pytest.mark.medium_duration
 def test_loaded_checkpoint_predicts(tmp_path):
     data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
     config_path = tmp_path / "config.yaml"
@@ -122,6 +124,7 @@ def test_loaded_checkpoint_predicts(tmp_path):
     assert bool(jnp.all(jnp.isfinite(outputs["diag_d"])))
 
 
+@pytest.mark.medium_duration
 def test_inline_inference_selects_best_checkpoint(tmp_path):
     data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=12)
     cfg = _config(tmp_path, data, max_epochs=2)
@@ -195,6 +198,7 @@ def test_preemption_signal_saves_checkpoint(tmp_path):
     assert trainer2.params is not None
 
 
+@pytest.mark.medium_duration
 def test_segment_epochs_limits_run(tmp_path):
     data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
     cfg = _config(tmp_path, data, max_epochs=3)
@@ -211,6 +215,7 @@ def test_segment_epochs_limits_run(tmp_path):
     assert trainer2.start_epoch == 1
 
 
+@pytest.mark.medium_duration
 def test_checkpoint_stepper_config_finetune(tmp_path):
     """TrainConfig.stepper can point at a saved checkpoint
     (reference: single_module.py:786 CheckpointStepperConfig)."""
@@ -235,6 +240,7 @@ def test_checkpoint_stepper_config_finetune(tmp_path):
     assert trainer.num_batches_seen > 0
 
 
+@pytest.mark.medium_duration
 def test_multiple_named_inline_inference_entries(tmp_path):
     data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=12)
     cfg = _config(tmp_path, data, max_epochs=1)
@@ -280,6 +286,7 @@ def test_multiple_named_inline_inference_entries(tmp_path):
     assert "inference/inference_error" in keys
 
 
+@pytest.mark.medium_duration
 def test_train_evaluation_batches(tmp_path):
     data = SyntheticData(tmp_path / "data", ALL_NAMES, n_time=10)
     cfg = _config(tmp_path, data, max_epochs=1)
@@ -297,6 +304,7 @@ def test_train_evaluation_batches(tmp_path):
     assert any("train/loss_independent_shuffle" in r for r in rows)
 
 
+@pytest.mark.medium_duration
 def test_resume_optimizer_ckpt_path_transfers_moments(tmp_path):
     """Fine-tuning with resume_optimizer_ckpt_path transfers the Adam
     moment estimates from the base run but keeps a fresh trainer

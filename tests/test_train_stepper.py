@@ -95,6 +95,7 @@ def test_per_step_losses_reported():
     np.testing.assert_allclose(float(metrics["loss"]), total, rtol=1e-5)
 
 
+@pytest.mark.medium_duration
 def test_remat_matches_no_remat():
     ts1 = _train_stepper(n_forward_steps=2, remat=False)
     ts2 = _train_stepper(n_forward_steps=2, remat=True)
@@ -110,6 +111,7 @@ def test_remat_matches_no_remat():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
 
 
+@pytest.mark.medium_duration
 def test_ensemble_loss_path_runs():
     ts = _train_stepper(n_forward_steps=1, n_ensemble=2,
                         loss_type="EnsembleLoss")
@@ -359,6 +361,7 @@ def test_weighted_mapping_loss_data_mask():
     np.testing.assert_allclose(float(out2.total), 3.0)
 
 
+@pytest.mark.medium_duration
 def test_checkpoint_after_n_forward_steps_matches_unsplit():
     """The remat threshold split (reference CheckpointConfig
     after_n_forward_steps) must not change loss or gradients."""

@@ -19,6 +19,7 @@ from ace_tpu.stepper.parameter_init import (
 from ace_tpu.stepper.train import StepperTrainConfig
 
 from tests.test_train_stepper import _train_stepper, _batch
+import pytest
 
 
 def test_training_history_roundtrip():
@@ -154,6 +155,7 @@ def test_optimize_last_step_only():
     )
 
 
+@pytest.mark.medium_duration
 def test_copy_weights_after_batch(tmp_path):
     """Trainer re-pins included weights to their start-of-run values."""
     import yaml
