@@ -275,14 +275,50 @@ class SpectralConvS2(nn.Module):
                 eq, a, b, precision=prec,
                 preferred_element_type=jnp.float32,
             )
-        # note: a 3-matmul Karatsuba complex multiply was measured
-        # SLOWER here (2.56 vs 2.48 ms/block on v5e) — the filter is
-        # HBM-bound, so the extra elementwise adds cost more than the
-        # saved matmul flops; a single [2i, 2o] block-matmul form won
-        # in isolation but lost ~7% end-to-end (concats break XLA's
-        # fusion with the surrounding transforms); keep 4 einsums
-        outr = ein(xr, wr) - ein(xi, wi)
-        outi = ein(xr, wi) + ein(xi, wr)
+        # bf16 dhconv path: weight-stationary Pallas kernel — each l's
+        # weight tiles are DMA'd to VMEM once and BOTH complex outputs
+        # are computed from them (the einsum form streams each weight
+        # tensor twice and materializes four partials). Measured 1.03 ->
+        # 0.74 ms per flagship filter on v5e; bf16 outputs are the
+        # reference's AMP semantics (_contract in the autocast region,
+        # s2convolutions.py:177). See ops/pallas_filter.py.
+        from ace_tpu.ops.pallas_filter import (
+            dhconv_filter,
+            pallas_filter_mode,
+            shapes_supported,
+        )
+
+        kmode = (
+            pallas_filter_mode()
+            if (
+                amp_bf16
+                and self.operator_type == "dhconv"
+                and not self.separable
+                and not is_dist
+                and shapes_supported(xr.shape[-2], c_in, c_out)
+            )
+            else "off"
+        )
+        if kmode != "off":
+            # wr/wi are [i, o, l] -> kernel layout [l, i, o]; the
+            # transpose+cast is loop-invariant in rollout scans and XLA
+            # hoists it (measured: in-scan cast == pre-cast on v5e)
+            w_l_r = jnp.transpose(wr, (2, 0, 1))
+            w_l_i = jnp.transpose(wi, (2, 0, 1))
+            outr, outi = dhconv_filter(
+                xr, xi, w_l_r, w_l_i,
+                interpret=(kmode == "interpret"),
+            )
+        else:
+            # note: a 3-matmul Karatsuba complex multiply was measured
+            # SLOWER here (2.56 vs 2.48 ms/block on v5e) — the filter is
+            # HBM-bound, so the extra elementwise adds cost more than
+            # the saved matmul flops; a single [2i, 2o] block-matmul
+            # form won in isolation but lost ~7% end-to-end (concats
+            # break XLA's fusion with the surrounding transforms); keep
+            # 4 einsums
+            outr = ein(xr, wr) - ein(xi, wi)
+            outi = ein(xr, wi) + ein(xi, wr)
 
         if self.lora_rank > 0 and self.operator_type == "dhconv":
             r = self.lora_rank
