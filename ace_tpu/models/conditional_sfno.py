@@ -142,6 +142,85 @@ class ConditionalLayerNorm(nn.Module):
         return y * scale + bias
 
 
+class _DenseParams(nn.Module):
+    """Declares nn.Dense-compatible params (same names/shapes/inits —
+    identical checkpoint tree and identical init draws) without running
+    the dense, for the fused block-tail kernel path."""
+
+    in_features: int
+    features: int
+    use_bias: bool = True
+    kernel_init: Any = None
+
+    @nn.compact
+    def __call__(self):
+        init = self.kernel_init or trunc_normal_init()
+        k = self.param(
+            "kernel", init, (self.in_features, self.features), jnp.float32
+        )
+        b = (
+            self.param("bias", nn.initializers.zeros,
+                       (self.features,), jnp.float32)
+            if self.use_bias else None
+        )
+        return k, b
+
+
+class _CLNParams(nn.Module):
+    """ConditionalLayerNorm's param tree (norm/{weight,bias},
+    w_scale_2d/kernel, w_bias_2d/kernel) for the fused path."""
+
+    n_channels: int
+    embed_dim_noise: int
+    elementwise_affine: bool
+
+    @nn.compact
+    def __call__(self):
+        if self.elementwise_affine:
+            class _Affine(nn.Module):
+                c: int
+
+                @nn.compact
+                def __call__(self):
+                    return (
+                        self.param("weight", nn.initializers.ones,
+                                   (self.c,), jnp.float32),
+                        self.param("bias", nn.initializers.zeros,
+                                   (self.c,), jnp.float32),
+                    )
+
+            ln_w, ln_b = _Affine(self.n_channels, name="norm")()
+        else:
+            ln_w = jnp.ones((self.n_channels,), jnp.float32)
+            ln_b = jnp.zeros((self.n_channels,), jnp.float32)
+        ws, _ = _DenseParams(
+            self.embed_dim_noise, self.n_channels, use_bias=False,
+            kernel_init=nn.initializers.zeros, name="w_scale_2d",
+        )()
+        wb, _ = _DenseParams(
+            self.embed_dim_noise, self.n_channels, use_bias=False,
+            kernel_init=nn.initializers.zeros, name="w_bias_2d",
+        )()
+        return ln_w, ln_b, ws, wb
+
+
+class _MLPParams(nn.Module):
+    """MLP's fc1/fc2 param tree for the fused path."""
+
+    features: int
+    hidden: int
+
+    @nn.compact
+    def __call__(self):
+        fc1_k, fc1_b = _DenseParams(
+            self.features, self.hidden, name="fc1"
+        )()
+        fc2_k, fc2_b = _DenseParams(
+            self.hidden, self.features, name="fc2"
+        )()
+        return fc1_k, fc1_b, fc2_k, fc2_b
+
+
 class ConditionalFNOBlock(nn.Module):
     """FNO block with noise-conditioned norms
     (reference: conditional_sfno/sfnonet.py:388 block forward).
@@ -207,6 +286,50 @@ class ConditionalFNOBlock(nn.Module):
                 lora_rank=self.lora_rank,
                 name="filter",
             )(x_norm)
+        # fused tail: inner-skip + gelu + CLN + MLP + outer skip in one
+        # Pallas kernel — same math (f32 LN stats, tanh-gelu for bf16),
+        # one HBM round trip instead of five (ops/pallas_block.py). The
+        # parameter holders declare trees identical to the module path,
+        # so checkpoints are interchangeable between both branches.
+        hidden = int(self.embed_dim * self.mlp_ratio)
+        from ace_tpu.ops.pallas_block import (
+            fused_block_tail,
+            pallas_block_mode,
+            tail_shapes_supported,
+        )
+
+        kmode = (
+            pallas_block_mode()
+            if (
+                x_f.dtype == jnp.bfloat16
+                and self.inner_skip == "linear"
+                and self.outer_skip == "identity"
+                and self.use_mlp
+                and not self.global_layer_norm
+                and self.activation == "gelu"
+                and self.embed_dim_noise > 0
+                and noise is not None
+                and tail_shapes_supported(self.embed_dim, hidden)
+            )
+            else "off"
+        )
+        if kmode != "off":
+            skip_k, skip_b = _DenseParams(
+                self.embed_dim, self.embed_dim, name="inner_skip"
+            )()
+            ln_w, ln_b, ws_k, wb_k = _CLNParams(
+                self.embed_dim, self.embed_dim_noise,
+                self.affine_norms, name="norm1",
+            )()
+            fc1_k, fc1_b, fc2_k, fc2_b = _MLPParams(
+                self.embed_dim, hidden, name="mlp"
+            )()
+            return fused_block_tail(
+                x_f, residual, noise,
+                (skip_k, skip_b, ln_w, ln_b, ws_k, wb_k,
+                 fc1_k, fc1_b, fc2_k, fc2_b),
+                interpret=(kmode == "interpret"),
+            )
         if self.inner_skip == "linear":
             x_f = x_f + nn.Dense(
                 self.embed_dim, kernel_init=trunc_normal_init(),
