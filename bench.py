@@ -364,7 +364,7 @@ def main(smoke: bool = False):
         "vs_baseline": None,
         "device": str(device),
         "config": ("NoiseConditionedSFNO dhconv embed=512 layers=8 "
-                   "grid=180x360 bf16; train: CRPS n_ensemble=2 batch=1"),
+                   "grid=180x360 bf16; train: CRPS n_ensemble=2 batch=2"),
     }
     errors: dict = {}
 
@@ -382,9 +382,15 @@ def main(smoke: bool = False):
             {**flagship_builder,
              "config": {**flagship_builder["config"], "checkpointing": 1}}
         )
+        # per-chip batch 2 — the reference's flagship recipe trains
+        # batch 2/device (configs/baselines/era5/run-ace-train.sh:10,51).
+        # Fits one 16 GB v5e since round 4 (bf16 filter outputs +
+        # per-block remat); batch 4 needs 17.8 GB and OOMs (measured).
+        train_batch = 1 if smoke else 2
         tr_sps, tr_step_s, tr_compile, tr_flops = _bench_train_step(
-            flagship_train, batch=1
+            flagship_train, batch=train_batch
         )
+        result["train_batch_per_chip"] = train_batch
         result["train_samples_per_sec_per_chip"] = round(tr_sps, 3)
         result["train_step_seconds"] = round(tr_step_s, 4)
         result["train_mfu"] = (
