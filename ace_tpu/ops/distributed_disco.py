@@ -58,7 +58,7 @@ class DistributedDiscoConvS2:
     def __init__(self, mesh, in_shape, out_shape, kernel_shape,
                  grid_in="equiangular", grid_out="equiangular",
                  theta_cutoff=None, basis_norm_mode="mean",
-                 basis_type="piecewise linear"):
+                 basis_type="piecewise linear", pipeline_chunks=None):
         from ace_tpu.ops.disco import precompute_disco_psi
         from ace_tpu.ops.sht import _dft_matrices
 
@@ -117,6 +117,25 @@ class DistributedDiscoConvS2:
         gi = np.zeros((self.t_padded, BW), np.int32)
         gi[:T] = gather_idx
         self._gather = jnp.asarray(gi)
+        # communication/compute pipelining: split the channel axis into
+        # chunks and run each chunk through the full a2a->DFT->banded->
+        # a2a chain independently. Chunk k+1's all-to-all has no data
+        # dependency on chunk k's contraction, so XLA's latency-hiding
+        # scheduler can put the (async) collective in flight behind the
+        # MXU work — the "halo exchange overlapped with compute" design.
+        # The channel axis is batch-like in every einsum, so chunking
+        # does not change matmul shapes; numerics are bit-identical
+        # (tests/test_distributed_disco.py). Default 1 (off): a 1-chip
+        # rig cannot TIME real overlap, so the pipelined schedule ships
+        # opt-in until multi-chip hardware can validate the win
+        # (ACE_TPU_DISCO_PIPELINE=N or the constructor arg).
+        if pipeline_chunks is None:
+            import os
+
+            pipeline_chunks = int(
+                os.environ.get("ACE_TPU_DISCO_PIPELINE", "1")
+            )
+        self.pipeline_chunks = max(1, int(pipeline_chunks))
         self._mapped = self._build(batch_sharded=True)
         self._mapped_whole_batch = self._build(batch_sharded=False)
 
@@ -124,8 +143,9 @@ class DistributedDiscoConvS2:
         prec = jax.lax.Precision.HIGH
         pscale = self.pscale
         jo_pad = self.jo_padded
+        n_chunks = self.pipeline_chunks
 
-        def conv(x, fc, fs, ic, isin, pr, pi, gather):
+        def conv_chunk(x, fc, fs, ic, isin, pr, pi, gather):
             # x block [b, k/ph, j/pw, c]
             x = x.astype(jnp.float32)
             x = jax.lax.all_to_all(
@@ -175,6 +195,18 @@ class DistributedDiscoConvS2:
             )  # [b, T/ph, K, lon_out/pw, c]
             return jnp.moveaxis(out, 2, 3)  # [b, T/ph, lon/pw, K, c]
 
+        def conv(x, fc, fs, ic, isin, pr, pi, gather):
+            if n_chunks == 1 or x.shape[-1] % n_chunks != 0:
+                return conv_chunk(x, fc, fs, ic, isin, pr, pi, gather)
+            # unrolled chunk pipeline: each chunk's chain is independent,
+            # exposing its collectives for overlap with the previous
+            # chunk's contraction
+            outs = [
+                conv_chunk(xc, fc, fs, ic, isin, pr, pi, gather)
+                for xc in jnp.split(x, n_chunks, axis=-1)
+            ]
+            return jnp.concatenate(outs, axis=-1)
+
         spec_in = P(DATA_AXIS if batch_sharded else None,
                     H_AXIS, W_AXIS, None)
         spec_out = P(DATA_AXIS if batch_sharded else None,
@@ -187,7 +219,7 @@ class DistributedDiscoConvS2:
 
     def __call__(self, x: jax.Array) -> jax.Array:
         b, k0, j0, c0 = x.shape
-        cpad = _pad_to(c0, self.ph * self.pw)
+        cpad = _pad_to(c0, self.ph * self.pw * self.pipeline_chunks)
         pads = (
             (0, 0),
             (0, self.k_padded - k0),
