@@ -264,3 +264,70 @@ def test_consolidate_zarrs(tmp_path):
     )
     with pytest.raises(ValueError, match="time axis"):
         consolidate_dataset(bad, str(tmp_path / "out_bad"))
+
+
+def test_sample_data_extraction(tmp_path):
+    """checkpoint-publication sample extraction: per-year forcing files
+    + first-of-month IC snapshots (reference:
+    scripts/checkpoint_publication/get_sample_era5_data.py)."""
+    import numpy as np
+    import yaml
+
+    from ace_tpu.data.store import open_file_dataset, write_zarr
+    from ace_tpu.data.time import TimeCoord
+    from ace_tpu.data_process.sample_data import main
+
+    rng = np.random.RandomState(0)
+    ny, nx = 4, 8
+    # two years of daily data
+    n_time = 731
+    time = TimeCoord.from_range("2000-01-01T00:00", n_time, 86400)
+    arrays = {
+        "lat": np.linspace(-60, 60, ny),
+        "lon": np.linspace(0, 360, nx, endpoint=False),
+        "DSWRFtoa": rng.rand(n_time, ny, nx).astype(np.float32),
+        "PRESsfc": rng.rand(n_time, ny, nx).astype(np.float32) + 1.0,
+        "HGTsfc": rng.rand(ny, nx).astype(np.float32),
+        "ak_0": np.float64(100.0),
+    }
+    dims = {
+        "lat": ("lat",), "lon": ("lon",),
+        "DSWRFtoa": ("time", "lat", "lon"),
+        "PRESsfc": ("time", "lat", "lon"),
+        "HGTsfc": ("lat", "lon"), "ak_0": (),
+    }
+    src = str(tmp_path / "train.zarr")
+    write_zarr(src, arrays, dims, time=time)
+
+    cfg = {
+        "input_path": src,
+        "output_dir": str(tmp_path / "sample"),
+        "forcing_names": ["DSWRFtoa", "HGTsfc", "ak_0"],
+        "prognostic_names": ["PRESsfc"],
+        "forcing_start_time": "2000-01-01T00:00:00",
+        "forcing_end_time": "2001-12-31T00:00:00",
+        "ic_years": [2001],
+    }
+    with open(tmp_path / "cfg.yaml", "w") as f:
+        yaml.safe_dump(cfg, f)
+    main(["--yaml", str(tmp_path / "cfg.yaml"), "--debug"])
+    main(["--yaml", str(tmp_path / "cfg.yaml")])
+
+    out_dir = tmp_path / "sample"
+    for year in (2000, 2001):
+        f = out_dir / "forcing_data" / f"forcing_{year}.nc"
+        ds = open_file_dataset(str(f))
+        t = ds.read_time()
+        assert len(t) in (365, 366), (year, len(t))
+        assert ds["DSWRFtoa"].shape[0] == len(t)
+        # static + scalar fields are in every file
+        assert ds["HGTsfc"].shape == (ny, nx)
+        assert float(ds["ak_0"].read(())) == 100.0
+        ds.close()
+    ic = open_file_dataset(str(out_dir / "initial_conditions" / "ic_2001.nc"))
+    t = ic.read_time()
+    assert len(t) == 12  # one snapshot per month
+    comp = t.components()
+    assert set(comp["day"].tolist()) == {1}
+    assert comp["month"].tolist() == list(range(1, 13))
+    ic.close()
