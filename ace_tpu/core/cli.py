@@ -62,8 +62,12 @@ def enable_compilation_cache():
         # lines even for same-machine entries — enough to fill a pipe
         # buffer and stall a subprocess under test. TPU/GPU entries load
         # silently and are the ones worth caching (90 s+ compiles).
-        platforms = jax.config.jax_platforms or ""
-        if platforms.split(",")[0] == "cpu":
+        # default_backend() (not jax_platforms, which is None under
+        # auto-detection) is the actual backend the cache would serve.
+        try:
+            if jax.default_backend() == "cpu":
+                return
+        except Exception:
             return
         loc = os.path.join(
             os.path.expanduser("~"), ".cache", "ace_tpu", "jax_cache"

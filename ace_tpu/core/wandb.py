@@ -176,6 +176,10 @@ class WandB:
         :meth:`log_watched` with the param/grad pytrees each step and
         this gate decides when histograms are actually built + logged.
         """
+        if log_freq <= 0:
+            raise ValueError(
+                f"watch log_freq must be positive, got {log_freq}"
+            )
         self._watch_freq = log_freq
 
     def log_watched(self, step: int, params, grads=None):

@@ -506,6 +506,9 @@ class Era5IngestConfig:
     )
     check_data_validity: bool = False
     time_dim: str = "time"
+    # time-chunk size of the written zarr (training loaders read
+    # per-window; whole-variable chunks would force full decodes)
+    output_time_chunk: int = 20
     # ak/bk override when the model-level store carries no GRIB_pv attr
     ak: Optional[Sequence[float]] = None
     bk: Optional[Sequence[float]] = None
@@ -590,6 +593,12 @@ def run(config: Era5IngestConfig, debug: bool = False) -> None:
                 (time.values > t_target - 6 * hour_us)
                 & (time.values <= t_target)
             )[0]
+            if sel.size != 6:
+                raise ValueError(
+                    f"mean-flux window ending at output step {k} has "
+                    f"{sel.size} hourly samples, need 6 — the source "
+                    "must start at least 5 hours before start_time"
+                )
             block = {n: ds[n].read((sel,)) for n in MEAN_FLUX_VARS}
             if config.check_data_validity:
                 for n, b in block.items():
@@ -669,8 +678,13 @@ def run(config: Era5IngestConfig, debug: bool = False) -> None:
 
     ds.close()
     coords = {"lat": regrid.lat_out, "lon": regrid.lon_out}
+    tchunk = min(config.output_time_chunk, n_time)
+    chunks = {
+        n: [tchunk] + list(arrays[n].shape[1:])
+        for n, d in dims.items() if d and d[0] == config.time_dim
+    }
     write_zarr(config.output_path, arrays, dims, coords=coords,
-               time=out_time)
+               time=out_time, chunks=chunks)
     logger.info("wrote %s (%d vars, %d steps)", config.output_path,
                 len(arrays), n_time)
 

@@ -46,9 +46,6 @@ class SampleDataConfig:
     forcing_end_time: str
     ic_years: Sequence[int] = dataclasses.field(default_factory=list)
     time_dim: str = "time"
-    # scalar/time-only variables copied into every forcing file when
-    # present (ak_N/bk_N and global-mean CO2 live here)
-    forcing_time_chunk: int = 20
 
     @classmethod
     def from_file(cls, path: str) -> "SampleDataConfig":

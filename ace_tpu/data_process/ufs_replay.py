@@ -204,7 +204,8 @@ def process_ocean_step(arrays: Mapping[str, np.ndarray], index_pairs,
     for name, val in out.items():
         level = name.rsplit("_", 1)[-1]
         mask = invariants.get(
-            f"mask_{level}" if level.isdigit() else "mask_2d"
+            f"mask_{level}" if level.isdigit() else "mask_2d",
+            invariants["mask_2d"],
         )
         out[name] = np.where(mask > 0, val, np.nan)
     if "hfds" in out:
@@ -285,6 +286,7 @@ class UfsReplayConfig:
     time_dim: str = "time"
     vdim: str = "z_l"
     nn_fill: bool = True
+    output_time_chunk: int = 20
 
     @classmethod
     def from_file(cls, path: str) -> "UfsReplayConfig":
@@ -294,19 +296,35 @@ class UfsReplayConfig:
             return from_dict(cls, yaml.safe_load(f))
 
 
-def _read_ocean_step(ds, idx, vdim_vars, config):
-    """Read + rename one native timestep's ocean variables."""
+# variables the ocean stream consumes, post-rename (reference
+# OCEAN_LOAD_VARS, :150); anything else in the store is skipped with a
+# warning rather than crashing mid-ingest or silently mis-shaping
+_OCEAN_EXPECTED = (
+    set(VARS_3D) | {"ho", "zos"} | set(STRESS_RENAME.values())
+    | set(WFO_COMPONENTS) | set(HFDS_COMPONENTS)
+)
+_WARNED_SKIPS: set = set()
+
+
+def _read_ocean_step(ds, idx, config):
+    """Read + rename one native timestep's expected ocean variables."""
     out = {}
     for name in ds.keys():
         if name in (config.time_dim, "latitude", "longitude", "lat",
                     "lon", config.vdim, "deptho"):
             continue
         var = ds[name]
+        renamed = OCEAN_RENAME.get(name, STRESS_RENAME.get(name, name))
+        if renamed not in _OCEAN_EXPECTED:
+            if name not in _WARNED_SKIPS:
+                _WARNED_SKIPS.add(name)
+                logger.warning(
+                    "skipping unexpected ocean variable %r", name
+                )
+            continue
         if (var.dims and var.dims[0] == config.time_dim
                 and len(var.dims) >= 3):
-            out[OCEAN_RENAME.get(name, STRESS_RENAME.get(name, name))] = (
-                var.read((np.asarray([idx]),))[0]
-            )
+            out[renamed] = var.read((np.asarray([idx]),))[0]
     return out
 
 
@@ -324,6 +342,14 @@ def run(config: UfsReplayConfig, debug: bool = False) -> None:
     lon_name = "lon" if "lon" in ocean.keys() else "longitude"
     lat_in = ocean[lat_name].read(())
     lon_in = ocean[lon_name].read(())
+    if lat_in.ndim != 1 or lon_in.ndim != 1:
+        raise NotImplementedError(
+            "the ocean store has 2-D (curvilinear/tripolar) "
+            "coordinates; the conservative regridder is rectilinear — "
+            "regrid the native MOM6 output to a regular lat-lon grid "
+            "first (the reference's source stores are 0.25-degree "
+            "rectilinear)"
+        )
     regrid = _Regridder(lat_in, lon_in, config.output_grid)
     ny, nx = len(regrid.lat_out), len(regrid.lon_out)
     depths = ocean[config.vdim].read(())
@@ -333,7 +359,7 @@ def run(config: UfsReplayConfig, debug: bool = False) -> None:
         ocean.close()
         return
 
-    step0 = _read_ocean_step(ocean, sel[0], VARS_3D, config)
+    step0 = _read_ocean_step(ocean, sel[0], config)
     if "deptho" in ocean.keys():
         step0["deptho"] = ocean["deptho"].read(())
     scalars, invariants = extract_invariants(
@@ -353,7 +379,7 @@ def run(config: UfsReplayConfig, debug: bool = False) -> None:
 
     nn_fill_ocean: dict = {}
     for k in range(n_time):
-        step = _read_ocean_step(ocean, sel[k], VARS_3D, config)
+        step = _read_ocean_step(ocean, sel[k], config)
         step.pop("deptho", None)
         res = process_ocean_step(
             step, pairs, regrid, invariants,
@@ -397,6 +423,13 @@ def run(config: UfsReplayConfig, debug: bool = False) -> None:
                 (atime.values > t_target - OCEAN_TIME_STEP * 3600 * 10**6)
                 & (atime.values <= t_target)
             )[0]
+            if win.size != OCEAN_TIME_STEP // ATMO_TIME_STEP:
+                raise ValueError(
+                    f"atmosphere window for ocean step {k} has "
+                    f"{win.size} 3-hourly samples, need "
+                    f"{OCEAN_TIME_STEP // ATMO_TIME_STEP} — the atmo "
+                    "store must cover every ocean output time"
+                )
             block = {n: atmo[n].read((win,)) for n in atmo_names}
             res = process_atmo_window(
                 block, regrid, invariants,
@@ -423,8 +456,13 @@ def run(config: UfsReplayConfig, debug: bool = False) -> None:
         atmo.close()
 
     coords = {"lat": regrid.lat_out, "lon": regrid.lon_out}
+    tchunk = min(config.output_time_chunk, n_time)
+    chunks = {
+        n: [tchunk] + list(arrays[n].shape[1:])
+        for n, d in dims.items() if d and d[0] == config.time_dim
+    }
     write_zarr(config.output_path, arrays, dims, coords=coords,
-               time=out_time)
+               time=out_time, chunks=chunks)
     logger.info("wrote %s (%d vars, %d steps)", config.output_path,
                 len(arrays), n_time)
 

@@ -61,7 +61,7 @@ def collective_byte_counts(hlo_text: str) -> dict[str, dict[str, int]]:
         k: {"count": 0, "bytes": 0} for k in _COLLECTIVES
     }
     op_re = re.compile(
-        r"%?[\w.\-]+\s*=\s*(.*?)\s+("
+        r"(?:ROOT\s+)?%?[\w.\-]+\s*=\s*(.*?)\s+("
         + "|".join(re.escape(k) for k in _COLLECTIVES)
         + r")(-start|-done)?\("
     )

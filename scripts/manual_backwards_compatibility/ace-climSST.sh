@@ -6,7 +6,7 @@
 set -e
 
 REPO_ROOT="$(cd "$(dirname "$0")/../.." && pwd)"
-WORKDIR=${1:-test_inference_ace_climsst}
+WORKDIR="$(realpath -m "${1:-test_inference_ace_climsst}")"
 
 mkdir -p "$WORKDIR"/initial_conditions "$WORKDIR"/forcing_data
 cd "$WORKDIR"

@@ -9,7 +9,7 @@
 set -e
 
 REPO_ROOT="$(cd "$(dirname "$0")/../.." && pwd)"
-WORKDIR=${1:-test_inference_ace2_era5}
+WORKDIR="$(realpath -m "${1:-test_inference_ace2_era5}")"
 
 mkdir -p "$WORKDIR"/initial_conditions "$WORKDIR"/forcing_data
 cd "$WORKDIR"

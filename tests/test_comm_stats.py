@@ -20,6 +20,7 @@ def test_parses_sync_and_async_forms():
   %ag = (bf16[8,4]{1,0}, bf16[16,4]{1,0}) all-gather-start(bf16[8,4]{1,0} %q), dimensions={0}
   %agd = bf16[16,4]{1,0} all-gather-done((bf16[8,4]{1,0}, bf16[16,4]{1,0}) %ag)
   %ar = f32[128]{0} all-reduce(f32[128]{0} %r), to_apply=%add
+  ROOT %ar2 = f32[64]{0} all-reduce(f32[64]{0} %s), to_apply=%add
   %other = f32[4]{0} add(f32[4]{0} %a, f32[4]{0} %b)
 """
     stats = collective_byte_counts(hlo)
@@ -27,7 +28,9 @@ def test_parses_sync_and_async_forms():
     # async all-gather: counted once, at the -start, with the gathered
     # (larger) tuple element
     assert stats["all-gather"] == {"count": 1, "bytes": 16 * 4 * 2}
-    assert stats["all-reduce"] == {"count": 1, "bytes": 128 * 4}
+    # includes the ROOT-form instruction (a collective as computation
+    # root is common in while-bodies)
+    assert stats["all-reduce"] == {"count": 2, "bytes": 128 * 4 + 64 * 4}
     assert "collective-permute" not in stats
     s = format_comm_stats(stats)
     assert "all-to-all:n=1" in s
