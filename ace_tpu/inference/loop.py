@@ -5,9 +5,23 @@ Pulls forcing windows, runs the scan-compiled rollout per window, threads
 the PrognosticState between windows, computes derived variables, and feeds
 writers/aggregators. Reports total_steps_per_second
 (reference: fme/ace/inference/inference.py:455-465).
+
+Unlike the reference's serial loop, the device and the host are
+double-buffered: window N's rollout + derived variables are dispatched
+(JAX dispatch is asynchronous) and its device->host copies started, then
+the HOST work for window N-1 — the netCDF/zarr write and the blocking
+transfer it needs — runs while the accelerator executes window N.
+Aggregator reductions stay on the accelerator (measured 5x faster than
+host-CPU-backend eager execution at 1-degree scale even over a remote
+tunnel), queued behind the already-dispatched next rollout. Disable
+with ``ACE_TPU_INFERENCE_PIPELINE=0`` (or ``pipeline=False``) to
+restore the fully synchronous ordering when debugging. The pipeline
+keeps one extra window of outputs alive on the device (~140 MB at the
+flagship 1-degree config).
 """
 
 import logging
+import os
 import time as _time
 
 import jax
@@ -31,6 +45,7 @@ def run_inference(
     forcing_deriver=None,
     placement=None,
     n_ensemble: int = 1,
+    pipeline: bool | None = None,
 ) -> dict:
     """Run an autoregressive rollout over streaming forcing windows.
 
@@ -42,6 +57,14 @@ def run_inference(
     forcing window over the mesh before prediction and gathers outputs
     to the host for writers/aggregators — the reference's per-rank batch
     scatter + root gather (fme/ace/data_loading/gridded_data.py:76-80).
+
+    ``pipeline`` — overlap host work for window N-1 with device compute
+    for window N (default: on, except under a multi-process placement
+    where every process must reach the gather collectives in lock-step
+    with its host work complete). With pipelining the ``forward_prediction``
+    timer records only dispatch time; the device wait surfaces inside
+    ``data_writer`` (the first host transfer blocks until the rollout
+    finishes).
     """
     timer = GlobalTimer.get_instance()
     info = stepper.dataset_info
@@ -55,6 +78,87 @@ def run_inference(
     target_iter = (
         forcing_data.target_windows(target_names) if target_names else None
     )
+    multiprocess = placement is not None and placement.multiprocess
+    if pipeline is None:
+        pipeline = not multiprocess
+    if os.environ.get("ACE_TPU_INFERENCE_PIPELINE") == "0":
+        pipeline = False
+
+    def finish(outputs, out_time, forcing_host, k):
+        """Host-side completion for one window: gather, derived
+        variables (multiprocess path), writer, aggregator, logging."""
+        nonlocal n_steps_done
+        if multiprocess:
+            # gather to host numpy once so writers and aggregators see
+            # full global arrays on the root process
+            with timer.context("data_writer"):
+                outputs_h = placement.fetch(outputs)
+        elif pipeline:
+            with timer.context("data_writer"):
+                # the async copies started at dispatch; this blocks until
+                # the rollout + derived pass have finished on device
+                outputs_h = jax.device_get(outputs)
+        else:
+            outputs_h = outputs
+        if multiprocess or not pipeline:
+            # the pipelined single-process path computes derived
+            # variables on device at dispatch time (so the D2H copy
+            # carries them); here they run post-gather
+            with timer.context("compute_derived_variables"):
+                if compute_derived_variables and vc is not None:
+                    outputs_h = compute_derived_for(
+                        outputs_h, vc, info.timestep,
+                        forcing_data={
+                            k_: v[:, 1:] for k_, v in forcing_host.items()
+                        },
+                    )
+        if writer is not None:
+            with timer.context("data_writer"):
+                # one overlapped device->host transfer for the whole dict
+                # (per-variable np.asarray would serialize the round trips)
+                writer.append_batch(jax.device_get(outputs_h), out_time)
+        if aggregator is not None:
+            with timer.context("aggregator"):
+                target = None
+                if target_iter is not None:
+                    target_window, _ = next(target_iter)
+                    target = {
+                        k_: v[:, 1:] for k_, v in target_window.data.items()
+                    }
+                    if n_ensemble > 1:
+                        target = {
+                            k_: np.repeat(
+                                np.asarray(v), n_ensemble, axis=0
+                            )
+                            for k_, v in target.items()
+                        }
+                    if compute_derived_variables and vc is not None:
+                        # derive for the reference data too so paired
+                        # metrics exist for derived variables (reference
+                        # loop.py:64-65 derives both sides)
+                        target = compute_derived_for(
+                            target, vc, info.timestep,
+                            forcing_data={
+                                k_: v[:, 1:]
+                                for k_, v in forcing_host.items()
+                            },
+                        )
+                # the pipelined path hands the aggregator the ORIGINAL
+                # device arrays: its reductions run on the accelerator
+                # (measured 5x faster than the host CPU backend's eager
+                # op-by-op execution at 1-degree scale, even over a
+                # remote tunnel), queued behind the next window's
+                # already-dispatched rollout
+                agg_in = outputs if pipeline and not multiprocess \
+                    else outputs_h
+                aggregator.record_batch(agg_in, target, time=out_time)
+        n_steps_done += out_time.values.shape[1]
+        logging.info(
+            f"window {k}: {n_steps_done}/{forcing_data.n_forward_steps} "
+            "steps done"
+        )
+
+    pending = None
     for window, k in forcing_data.windows():
         with timer.context("data_loading"):
             forcing_np = window.data
@@ -94,60 +198,35 @@ def run_inference(
                 state, forcing_np, rng=sub,
                 n_forward=window_time.values.shape[1] - 1,
             )
-            jax.block_until_ready(outputs)
-        if placement is not None and placement.multiprocess:
-            # gather to host numpy once so writers and aggregators see
-            # full global arrays on the root process
-            with timer.context("data_writer"):
-                outputs = placement.fetch(outputs)
-        with timer.context("compute_derived_variables"):
-            if compute_derived_variables and vc is not None:
-                outputs = compute_derived_for(
-                    outputs, vc, info.timestep,
-                    forcing_data={
-                        k_: v[:, 1:] for k_, v in forcing_host.items()
-                    },
-                )
+            if pipeline and not multiprocess:
+                if compute_derived_variables and vc is not None:
+                    # on-device, enqueued directly behind the rollout so
+                    # the async D2H copy carries the derived fields too
+                    # (dispatch-only: the actual compute overlaps the
+                    # next window's host work)
+                    outputs = compute_derived_for(
+                        outputs, vc, info.timestep,
+                        forcing_data={
+                            k_: v[:, 1:]
+                            for k_, v in forcing_host.items()
+                        },
+                    )
+                for leaf in jax.tree_util.tree_leaves(outputs):
+                    if hasattr(leaf, "copy_to_host_async"):
+                        leaf.copy_to_host_async()
+            else:
+                jax.block_until_ready(outputs)
         out_time = TimeCoord(
             window_time.values[:, 1:], window_time.calendar
         )
-        if writer is not None:
-            with timer.context("data_writer"):
-                # one overlapped device->host transfer for the whole dict
-                # (per-variable np.asarray would serialize the round trips)
-                writer.append_batch(jax.device_get(outputs), out_time)
-        if aggregator is not None:
-            with timer.context("aggregator"):
-                target = None
-                if target_iter is not None:
-                    target_window, _ = next(target_iter)
-                    target = {
-                        k_: v[:, 1:] for k_, v in target_window.data.items()
-                    }
-                    if n_ensemble > 1:
-                        target = {
-                            k_: np.repeat(
-                                np.asarray(v), n_ensemble, axis=0
-                            )
-                            for k_, v in target.items()
-                        }
-                    if compute_derived_variables and vc is not None:
-                        # derive for the reference data too so paired
-                        # metrics exist for derived variables (reference
-                        # loop.py:64-65 derives both sides)
-                        target = compute_derived_for(
-                            target, vc, info.timestep,
-                            forcing_data={
-                                k_: v[:, 1:]
-                                for k_, v in forcing_host.items()
-                            },
-                        )
-                aggregator.record_batch(outputs, target, time=out_time)
-        n_steps_done += out_time.values.shape[1]
-        logging.info(
-            f"window {k}: {n_steps_done}/{forcing_data.n_forward_steps} "
-            "steps done"
-        )
+        if pipeline:
+            if pending is not None:
+                finish(*pending)
+            pending = (outputs, out_time, forcing_host, k)
+        else:
+            finish(outputs, out_time, forcing_host, k)
+    if pending is not None:
+        finish(*pending)
     elapsed = _time.time() - t_start
     total_steps = n_steps_done * forcing_data.n_initial_conditions
     summary = {

@@ -109,6 +109,62 @@ def test_inference_windowing_invariance(trained, tmp_path):
     np.testing.assert_allclose(results[3], results[6], atol=1e-5)
 
 
+def test_inference_pipeline_matches_synchronous(trained, tmp_path,
+                                                monkeypatch):
+    """The double-buffered loop (host work for window N-1 overlapped with
+    window N's rollout) must be bit-identical to the fully synchronous
+    ordering (ace_tpu/inference/loop.py pipeline flag)."""
+    tmp_trained, data, ckpt = trained
+    results = {}
+    for tag, pipeline_env in (("sync", "0"), ("pipelined", "1")):
+        monkeypatch.setenv("ACE_TPU_INFERENCE_PIPELINE", pipeline_env)
+        out_dir = str(tmp_path / f"inf_{tag}")
+        config = {
+            "experiment_dir": out_dir,
+            "checkpoint_path": ckpt,
+            "n_forward_steps": N_FORWARD,
+            "forward_steps_in_memory": 2,
+            "logging": {"log_to_screen": False, "log_to_file": False},
+            "forcing_loader": {
+                "dataset": {"data_path": str(data.data_dir)},
+                "start_indices": {"list": [0, 1]},
+            },
+        }
+        config_path = tmp_path / f"inf_{tag}.yaml"
+        with open(config_path, "w") as f:
+            yaml.safe_dump(config, f)
+        from ace_tpu.inference.inference import main
+
+        main([str(config_path)])
+        from ace_tpu.data.store import open_file_dataset
+
+        ds = open_file_dataset(
+            os.path.join(out_dir, "autoregressive_predictions.nc")
+        )
+        results[tag] = {
+            k: ds[k].read(()) for k in ("prog_a", "diag_d", "time")
+        }
+        # diagnostics (aggregator output) must match too
+        diag = open_file_dataset(os.path.join(
+            out_dir, "diagnostics", "time_mean_diagnostics.nc"
+        ))
+        results[tag]["time_mean"] = {
+            k: diag[k].read(()) for k in diag.keys()
+        }
+    for k in results["sync"]:
+        if k == "time_mean":
+            continue
+        np.testing.assert_array_equal(
+            results["sync"][k], results["pipelined"][k], err_msg=k
+        )
+    for k in results["sync"]["time_mean"]:
+        np.testing.assert_allclose(
+            results["sync"]["time_mean"][k],
+            results["pipelined"]["time_mean"][k],
+            atol=0, rtol=0, err_msg=f"time_mean/{k}",
+        )
+
+
 def test_evaluator_entry(trained, tmp_path):
     tmp_trained, data, ckpt = trained
     out_dir = str(tmp_path / "evaluator")
