@@ -7,6 +7,7 @@ relative to the aggregated time mean. When target data is present, the
 correlation between generated and target index series is reported.
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.core.coordinates import LatLonCoordinates
@@ -50,23 +51,37 @@ class EnsoIndexAggregator:
         self._target: list[np.ndarray] = []
         self._years: list[np.ndarray] = []
         self._months: list[np.ndarray] = []
+        self._compute = None
 
     def record_batch(self, gen: TensorMapping,
                      target: TensorMapping | None = None, time=None):
         if self._sst_name not in gen:
             return
-        g = np.asarray(gen[self._sst_name])  # [B, T, H, W]
-        self._gen.append(np.tensordot(g, self._weights, axes=([-2, -1],
-                                                              [0, 1])))
+        # regional contraction on device (jitted); the small [B, T]
+        # series stay device-resident until finalization (one batched
+        # D2H — see aggregator/inference.py docstring)
+        if self._compute is None:
+            import jax
+
+            w = jnp.asarray(self._weights, jnp.float32)
+            self._compute = jax.jit(
+                lambda x: jnp.tensordot(
+                    jnp.asarray(x), w, axes=([-2, -1], [0, 1])
+                )
+            )
+        self._gen.append(self._compute(gen[self._sst_name]))
         if time is not None:
             comps = time.components()
             self._years.append(np.atleast_2d(comps["year"])[0])
             self._months.append(np.atleast_2d(comps["month"])[0])
         if target is not None and self._sst_name in target:
-            t = np.asarray(target[self._sst_name])
-            self._target.append(
-                np.tensordot(t, self._weights, axes=([-2, -1], [0, 1]))
-            )
+            self._target.append(self._compute(target[self._sst_name]))
+
+    def _drain(self):
+        import jax
+
+        self._gen = jax.device_get(self._gen)
+        self._target = jax.device_get(self._target)
 
     def _index(self, chunks):
         """Anomalies vs the per-calendar-month climatology followed by a
@@ -110,6 +125,7 @@ class EnsoIndexAggregator:
     def get_logs(self, label: str = "enso") -> dict[str, float]:
         if not self._gen:
             return {}
+        self._drain()
         logs = {}
         gen_idx = self._index(self._gen)
         logs[f"{label}/index_std"] = float(gen_idx.std())
@@ -125,6 +141,7 @@ class EnsoIndexAggregator:
         return logs
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
+        self._drain()
         out = {}
         if self._gen:
             out["gen_index"] = self._index(self._gen)
@@ -144,21 +161,30 @@ class IpoIndexAggregator:
             (_region_mask(coords, r["lat"], r["lon"]), r["weight"])
             for r in IPO_REGIONS
         ]
+        self._compute = None
         self._sst_name = sst_name
         self._gen: list[np.ndarray] = []
 
     def record_batch(self, gen: TensorMapping, target=None, time=None):
         if self._sst_name not in gen:
             return
-        g = np.asarray(gen[self._sst_name])
-        idx = sum(
-            w * np.tensordot(g, mask, axes=([-2, -1], [0, 1]))
-            for mask, w in self._weights
-        )
-        self._gen.append(idx)
+        if self._compute is None:
+            import jax
+
+            masks = [(jnp.asarray(m, jnp.float32), w)
+                     for m, w in self._weights]
+            self._compute = jax.jit(lambda g: sum(
+                w * jnp.tensordot(jnp.asarray(g), m,
+                                  axes=([-2, -1], [0, 1]))
+                for m, w in masks
+            ))
+        self._gen.append(self._compute(gen[self._sst_name]))
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
         if not self._gen:
             return {}
+        import jax
+
+        self._gen = jax.device_get(self._gen)
         series = np.concatenate(self._gen, axis=-1)
         return {"ipo_index": series - series.mean(axis=-1, keepdims=True)}

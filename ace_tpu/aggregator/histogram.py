@@ -185,6 +185,8 @@ class GlobalMeanAnnualAggregator:
         self._sums: dict[str, dict[int, float]] = {}
         self._counts: dict[str, dict[int, int]] = {}
         self._target_sums: dict[str, dict[int, float]] = {}
+        self._pending: list = []
+        self._compute = None
         # per-variable {year: reference annual global mean} from an
         # offline monthly-means dataset (reference: annual.py:285
         # process_monthly_reference -> get_r2 at :128-142)
@@ -198,33 +200,55 @@ class GlobalMeanAnnualAggregator:
                 (time.values[..., 1] - time.values[..., 0]).ravel()[0]
                 / 1e6
             )
-        for name, value in gen.items():
-            gm = np.asarray(
-                self._ops.area_weighted_mean(value, name=name)
-            )  # [batch, n_time]
-            sums = self._sums.setdefault(name, {})
-            counts = self._counts.setdefault(name, {})
-            for year in np.unique(years):
-                mask = years == year
-                sums[int(year)] = sums.get(int(year), 0.0) + float(
-                    gm[mask].sum()
+        # keep the per-window global means device-resident (one jitted
+        # program per window); the year bucketing runs at finalization
+        # after ONE batched D2H transfer (blocking reads / eager ops in
+        # record_batch — see aggregator/inference.py docstring)
+        if self._compute is None:
+            import jax
+
+            def compute(gen, target):
+                return (
+                    {name: self._ops.area_weighted_mean(v, name=name)
+                     for name, v in gen.items()},  # each [batch, n_time]
+                    {name: self._ops.area_weighted_mean(v, name=name)
+                     for name, v in (target or {}).items() if name in gen},
                 )
-                counts[int(year)] = counts.get(int(year), 0) + int(
-                    mask.sum()
-                )
-        if target is not None:
-            for name, value in target.items():
-                if name not in gen:
-                    continue
-                gm = np.asarray(
-                    self._ops.area_weighted_mean(value, name=name)
-                )
+
+            self._compute = jax.jit(compute)
+        g, t = self._compute(
+            dict(gen), dict(target) if target is not None else None
+        )
+        self._pending.append(
+            {"years": np.asarray(years), "gen": g, "target": t}
+        )
+
+    def _drain(self):
+        if not self._pending:
+            return
+        import jax
+
+        for window in jax.device_get(self._pending):
+            years = window["years"]
+            for name, gm in window["gen"].items():
+                sums = self._sums.setdefault(name, {})
+                counts = self._counts.setdefault(name, {})
+                for year in np.unique(years):
+                    mask = years == year
+                    sums[int(year)] = sums.get(int(year), 0.0) + float(
+                        gm[mask].sum()
+                    )
+                    counts[int(year)] = counts.get(int(year), 0) + int(
+                        mask.sum()
+                    )
+            for name, gm in window["target"].items():
                 tsums = self._target_sums.setdefault(name, {})
                 for year in np.unique(years):
                     mask = years == year
                     tsums[int(year)] = tsums.get(int(year), 0.0) + float(
                         gm[mask].sum()
                     )
+        self._pending = []
 
     def _min_samples(self) -> float:
         if not self._timestep_seconds:
@@ -240,6 +264,7 @@ class GlobalMeanAnnualAggregator:
         )
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
+        self._drain()
         out = {}
         for name, sums in self._sums.items():
             years = sorted(sums)
@@ -256,6 +281,7 @@ class GlobalMeanAnnualAggregator:
         return out
 
     def get_logs(self, label: str = "annual") -> dict[str, float]:
+        self._drain()
         logs = {}
         for name, sums in self._sums.items():
             years = self._complete_years(name)

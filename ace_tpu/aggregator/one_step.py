@@ -1,8 +1,15 @@
 """One-step validation aggregator: per-variable RMSE/bias/gradient-
 magnitude metrics and snapshot maps for single-step predictions
 (reference: fme/ace/aggregator/one_step/main.py:47 OneStepAggregator).
+
+record_batch keeps every per-batch reduction device-resident (pending
+list) and materializes them in one parallel D2H transfer at get_logs /
+flush time — a blocking read per metric per batch costs a device round
+trip each (see aggregator/inference.py docstring), which serializes the
+validation loop against the device queue.
 """
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -22,59 +29,79 @@ class OneStepAggregator:
         self._record_mean_maps = record_mean_maps
         self._map_sums: dict[str, np.ndarray] = {}
         self._map_counts: dict[str, int] = {}
+        self._pending: list = []
+        self._compute = jax.jit(self._compute_impl)
 
-    def record_batch(self, gen: TensorMapping, target: TensorMapping):
-        """gen/target: [batch, (time,) lat, lon] per variable."""
+    def _compute_impl(self, gen, target):
+        batch: dict = {"metrics": {}, "snapshots": {}, "maps": {}}
         for name in gen:
             if name not in target:
                 continue
             g, t = gen[name], target[name]
-            metrics = {
-                f"rmse/{name}": float(jnp.mean(
+            batch["metrics"].update({
+                f"rmse/{name}": jnp.mean(
                     self._ops.area_weighted_rmse(t, g, name=name)
-                )),
-                f"bias/{name}": float(jnp.mean(
+                ),
+                f"bias/{name}": jnp.mean(
                     self._ops.area_weighted_mean_bias(t, g, name=name)
-                )),
-                f"gradient_magnitude_percent_diff/{name}": float(jnp.mean(
+                ),
+                f"gradient_magnitude_percent_diff/{name}": jnp.mean(
                     self._ops.area_weighted_gradient_magnitude_percent_diff(
                         t, g, name=name
                     )
-                )),
-            }
-            for k, v in metrics.items():
-                self._sums[k] = self._sums.get(k, 0.0) + v
-                self._counts[k] = self._counts.get(k, 0) + 1
-            if self._record_snapshots and name not in self._snapshots:
-                g0 = np.asarray(g)
-                t0 = np.asarray(t)
+                ),
+            })
+            if self._record_snapshots:
+                # last batch wins at drain time (records in batch order)
+                g0, t0 = jnp.asarray(g), jnp.asarray(t)
                 while g0.ndim > 2:
                     g0, t0 = g0[0], t0[0]
-                self._snapshots[f"snapshot/gen/{name}"] = g0
-                self._snapshots[f"snapshot/error/{name}"] = g0 - t0
+                batch["snapshots"][name] = (g0, g0 - t0)
             if self._record_mean_maps:
-                g_map = np.asarray(jnp.mean(
+                g_map = jnp.mean(
                     jnp.asarray(g).reshape((-1,) + g.shape[-2:]), axis=0
-                ))
-                t_map = np.asarray(jnp.mean(
+                )
+                t_map = jnp.mean(
                     jnp.asarray(t).reshape((-1,) + t.shape[-2:]), axis=0
-                ))
+                )
+                batch["maps"][name] = (g_map, g_map - t_map)
+        return batch
+
+    def record_batch(self, gen: TensorMapping, target: TensorMapping):
+        """gen/target: [batch, (time,) lat, lon] per variable."""
+        self._pending.append(self._compute(dict(gen), dict(target)))
+
+    def _drain(self):
+        if not self._pending:
+            return
+        import jax
+
+        for batch in jax.device_get(self._pending):
+            for k, v in batch["metrics"].items():
+                self._sums[k] = self._sums.get(k, 0.0) + float(v)
+                self._counts[k] = self._counts.get(k, 0) + 1
+            for name, (g0, err) in batch["snapshots"].items():
+                self._snapshots[f"snapshot/gen/{name}"] = g0
+                self._snapshots[f"snapshot/error/{name}"] = err
+            for name, (g_map, bias_map) in batch["maps"].items():
                 self._map_sums[f"gen_map-{name}"] = (
                     self._map_sums.get(f"gen_map-{name}", 0.0) + g_map
                 )
                 self._map_sums[f"bias_map-{name}"] = (
-                    self._map_sums.get(f"bias_map-{name}", 0.0)
-                    + (g_map - t_map)
+                    self._map_sums.get(f"bias_map-{name}", 0.0) + bias_map
                 )
                 self._map_counts[name] = self._map_counts.get(name, 0) + 1
+        self._pending = []
 
     def get_logs(self, label: str = "one_step") -> dict[str, float]:
+        self._drain()
         return {
             f"{label}/{k}": self._sums[k] / self._counts[k]
             for k in self._sums
         }
 
     def get_snapshots(self) -> dict[str, np.ndarray]:
+        self._drain()
         return dict(self._snapshots)
 
     def flush_diagnostics(self, output_dir: str):
@@ -88,6 +115,7 @@ class OneStepAggregator:
 
         from ace_tpu.data.store import write_h5
 
+        self._drain()
         os.makedirs(output_dir, exist_ok=True)
         groups: dict[str, dict[str, np.ndarray]] = {
             "mean": {
@@ -136,40 +164,62 @@ class EnsembleOneStepAggregator:
         self._var_map: dict[str, np.ndarray] = {}
         self._n_ens: int | None = None
         self._count = 0
+        self._pending: list = []
+        self._compute = jax.jit(self._compute_impl)
 
     # zero-spread cells whose unbiased MSE is below this fraction of the
     # field's largest MSE are prescribed (reference ensemble.py:20)
     _PRESCRIBED_MSE_RTOL = 1e-6
 
-    def record_batch(self, gen: TensorMapping, target: TensorMapping):
+    def _compute_impl(self, gen, target):
         from ace_tpu.core.loss import get_crps
 
-        self._count += 1
+        batch: dict = {}
         for name in gen:
             if name not in target:
                 continue
             g = jnp.asarray(gen[name])  # [B, E, ...]
             t = jnp.asarray(target[name])  # [B, ...]
             self._n_ens = g.shape[1]
-            crps = float(jnp.mean(
-                get_crps(g, t[:, None], alpha=0.95)
-            ))
             mean = jnp.mean(g, axis=1)
             # per-cell maps: the SSR is spread/skill per grid cell, then
             # averaged (reference SSRBiasMetric keeps the spatial dims;
             # a ratio of global means differs wherever spread/skill vary
             # spatially, e.g. half-prescribed fields)
-            mse_map = np.asarray(jnp.mean((mean - t) ** 2, axis=0))
-            var_map = np.asarray(
-                jnp.mean(jnp.var(g, axis=1, ddof=1), axis=0)
-            )
-            scalar_mse = float(jnp.mean(
-                self._ops.area_weighted_mean((mean - t) ** 2, name=name)
-            ))
-            self._crps[name] = self._crps.get(name, 0.0) + crps
-            self._mse[name] = self._mse.get(name, 0.0) + scalar_mse
-            self._mse_map[name] = self._mse_map.get(name, 0.0) + mse_map
-            self._var_map[name] = self._var_map.get(name, 0.0) + var_map
+            batch[name] = {
+                "crps": jnp.mean(get_crps(g, t[:, None], alpha=0.95)),
+                "mse_map": jnp.mean((mean - t) ** 2, axis=0),
+                "var_map": jnp.mean(jnp.var(g, axis=1, ddof=1), axis=0),
+                "scalar_mse": jnp.mean(
+                    self._ops.area_weighted_mean((mean - t) ** 2, name=name)
+                ),
+            }
+        return batch
+
+    def record_batch(self, gen: TensorMapping, target: TensorMapping):
+        self._count += 1
+        self._pending.append(self._compute(dict(gen), dict(target)))
+
+    def _drain(self):
+        if not self._pending:
+            return
+        import jax
+
+        for batch in jax.device_get(self._pending):
+            for name, entry in batch.items():
+                self._crps[name] = (
+                    self._crps.get(name, 0.0) + float(entry["crps"])
+                )
+                self._mse[name] = (
+                    self._mse.get(name, 0.0) + float(entry["scalar_mse"])
+                )
+                self._mse_map[name] = (
+                    self._mse_map.get(name, 0.0) + entry["mse_map"]
+                )
+                self._var_map[name] = (
+                    self._var_map.get(name, 0.0) + entry["var_map"]
+                )
+        self._pending = []
 
     def _ssr_bias_map(self, name: str) -> np.ndarray:
         """(reference ensemble.py:110-173 SSRBiasMetric.get)."""
@@ -188,6 +238,7 @@ class EnsembleOneStepAggregator:
         return np.where(prescribed, 0.0, ssr)
 
     def get_logs(self, label: str = "ensemble") -> dict[str, float]:
+        self._drain()
         logs = {}
         n = max(self._count, 1)
         for name in self._crps:

@@ -3,8 +3,15 @@
 TrendEvaluatorAggregator): OLS slope of each variable against time in
 years, accumulated via running sums so memory is independent of rollout
 length.
+
+Per-window partial sums are computed on device (f32 over the <=~100
+(sample, step) pairs of one window) and accumulated across windows on
+the host in f64 after ONE batched D2H transfer at finalization —
+record_batch never blocks on a device value (see aggregator/inference.py
+docstring).
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.core.typing_ import TensorMapping
@@ -25,6 +32,8 @@ class TrendAggregator:
         self._target_sum_y: dict[str, np.ndarray] = {}
         self._target_sum_ty: dict[str, np.ndarray] = {}
         self._ref_us: int | None = None
+        self._pending: list = []
+        self._compute = None
 
     def _years(self, time: TimeCoord) -> np.ndarray:
         if self._ref_us is None:
@@ -42,22 +51,55 @@ class TrendAggregator:
         self._n += t.size
         self._sum_t += float(t.sum())
         self._sum_t2 += float((t**2).sum())
-        for name, value in gen.items():
-            arr = np.asarray(value, np.float64)
-            y = arr.sum(axis=(0, 1))
-            ty = (arr * t[..., None, None]).sum(axis=(0, 1))
-            self._sum_y[name] = self._sum_y.get(name, 0.0) + y
-            self._sum_ty[name] = self._sum_ty.get(name, 0.0) + ty
-            if target is not None and name in target:
-                tarr = np.asarray(target[name], np.float64)
+        if self._compute is None:
+            import jax
+
+            def compute(t_dev, gen, target):
+                t_dev = t_dev[..., None, None]
+                window = {"gen": {}, "target": {}}
+                for name, value in gen.items():
+                    arr = jnp.asarray(value)
+                    window["gen"][name] = (
+                        jnp.sum(arr, axis=(0, 1)),
+                        jnp.sum(arr * t_dev, axis=(0, 1)),
+                    )
+                    if target is not None and name in target:
+                        tarr = jnp.asarray(target[name])
+                        window["target"][name] = (
+                            jnp.sum(tarr, axis=(0, 1)),
+                            jnp.sum(tarr * t_dev, axis=(0, 1)),
+                        )
+                return window
+
+            self._compute = jax.jit(compute)
+        self._pending.append(self._compute(
+            np.asarray(t, np.float32), dict(gen),
+            dict(target) if target is not None else None,
+        ))
+
+    def _drain(self):
+        if not self._pending:
+            return
+        import jax
+
+        for window in jax.device_get(self._pending):
+            for name, (y, ty) in window["gen"].items():
+                self._sum_y[name] = (
+                    self._sum_y.get(name, 0.0) + y.astype(np.float64)
+                )
+                self._sum_ty[name] = (
+                    self._sum_ty.get(name, 0.0) + ty.astype(np.float64)
+                )
+            for name, (y, ty) in window["target"].items():
                 self._target_sum_y[name] = (
                     self._target_sum_y.get(name, 0.0)
-                    + tarr.sum(axis=(0, 1))
+                    + y.astype(np.float64)
                 )
                 self._target_sum_ty[name] = (
                     self._target_sum_ty.get(name, 0.0)
-                    + (tarr * t[..., None, None]).sum(axis=(0, 1))
+                    + ty.astype(np.float64)
                 )
+        self._pending = []
 
     def _slope(self, sum_y, sum_ty):
         denom = self._n * self._sum_t2 - self._sum_t**2
@@ -66,6 +108,7 @@ class TrendAggregator:
         return (self._n * sum_ty - self._sum_t * sum_y) / denom
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
+        self._drain()
         out = {}
         for name in self._sum_y:
             out[f"trend-gen-{name}"] = self._slope(

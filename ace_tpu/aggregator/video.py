@@ -7,8 +7,16 @@ generated and target fields, and (extended mode) bias, per-timestep
 ensemble RMSE, min/max error, and generated-ensemble variance. Windows
 are recorded in rollout order; the aggregator advances its own time
 cursor per batch.
+
+record_batch reduces each window over the batch axis on device and
+appends the [n_keep, H, W] partials to a pending list; the host-side
+f64 accumulation runs after a batched D2H transfer — at finalization,
+or every ``DRAIN_EVERY`` windows so device memory stays bounded (see
+aggregator/inference.py docstring for why record_batch must not block
+per window).
 """
 
+import jax.numpy as jnp
 import numpy as np
 
 from ace_tpu.core.typing_ import TensorMapping
@@ -16,6 +24,9 @@ from ace_tpu.core.typing_ import TensorMapping
 
 class VideoAggregator:
     """(reference: video.py:290)."""
+
+    # cap on device-resident pending windows before a forced drain
+    DRAIN_EVERY = 32
 
     def __init__(self, n_timesteps: int,
                  enable_extended_videos: bool = False):
@@ -29,6 +40,8 @@ class VideoAggregator:
         self._gen_sq_sum: dict[str, np.ndarray] = {}
         self._min_err: dict[str, np.ndarray] = {}
         self._max_err: dict[str, np.ndarray] = {}
+        self._pending: list = []
+        self._compute = None
 
     def _ensure(self, store, name, spatial, fill=0.0):
         if name not in store:
@@ -40,47 +53,88 @@ class VideoAggregator:
     def record_batch(self, gen: TensorMapping,
                      target: TensorMapping | None = None,
                      i_time_start: int | None = None):
-        first = np.asarray(next(iter(gen.values())))
+        first = next(iter(gen.values()))
         n_batch, n_time = first.shape[:2]
-        spatial = first.shape[2:]
         start = self._i_time if i_time_start is None else i_time_start
         end = min(start + n_time, self._n_timesteps)
-        sl = slice(start, end)
         n_keep = end - start
         if n_keep <= 0:
             return
-        if self._count is None:
-            self._count = np.zeros((self._n_timesteps,), np.int64)
-        self._count[sl] += n_batch
-        for name, value in gen.items():
-            arr = np.asarray(value, np.float64)[:, :n_keep]
-            self._ensure(self._gen_sum, name, spatial)[sl] += arr.sum(axis=0)
-            if self._extended:
-                self._ensure(self._gen_sq_sum, name, spatial)[sl] += (
-                    arr**2
-                ).sum(axis=0)
-            if target is not None and name in target:
-                tgt = np.asarray(target[name], np.float64)[:, :n_keep]
-                self._ensure(self._target_sum, name, spatial)[sl] += (
-                    tgt.sum(axis=0)
+        if self._compute is None:
+            import jax
+
+            def compute(gen, target, n_keep):
+                out = {}
+                for name, value in gen.items():
+                    arr = jnp.asarray(value)[:, :n_keep]
+                    entry = {"gen_sum": jnp.sum(arr, axis=0)}
+                    if self._extended:
+                        entry["gen_sq_sum"] = jnp.sum(arr * arr, axis=0)
+                    if target is not None and name in target:
+                        tgt = jnp.asarray(target[name])[:, :n_keep]
+                        entry["target_sum"] = jnp.sum(tgt, axis=0)
+                        if self._extended:
+                            err = arr - tgt
+                            entry["sq_err_sum"] = jnp.sum(err * err, axis=0)
+                            entry["min_err"] = jnp.min(err, axis=0)
+                            entry["max_err"] = jnp.max(err, axis=0)
+                    out[name] = entry
+                return out
+
+            self._compute = jax.jit(
+                compute, static_argnames=("n_keep",)
+            )
+        window = {"start": start, "n_keep": n_keep, "n_batch": n_batch,
+                  "vars": self._compute(
+                      dict(gen),
+                      dict(target) if target is not None else None,
+                      n_keep,
+                  )}
+        self._pending.append(window)
+        if i_time_start is None:
+            self._i_time += n_time
+        if len(self._pending) >= self.DRAIN_EVERY:
+            self._drain()
+
+    def _drain(self):
+        if not self._pending:
+            return
+        import jax
+
+        for window in jax.device_get(self._pending):
+            sl = slice(window["start"], window["start"] + window["n_keep"])
+            if self._count is None:
+                self._count = np.zeros((self._n_timesteps,), np.int64)
+            self._count[sl] += window["n_batch"]
+            for name, entry in window["vars"].items():
+                spatial = entry["gen_sum"].shape[1:]
+                self._ensure(self._gen_sum, name, spatial)[sl] += (
+                    entry["gen_sum"].astype(np.float64)
                 )
-                if self._extended:
-                    err = arr - tgt
+                if "gen_sq_sum" in entry:
+                    self._ensure(self._gen_sq_sum, name, spatial)[sl] += (
+                        entry["gen_sq_sum"].astype(np.float64)
+                    )
+                if "target_sum" in entry:
+                    self._ensure(self._target_sum, name, spatial)[sl] += (
+                        entry["target_sum"].astype(np.float64)
+                    )
+                if "sq_err_sum" in entry:
                     self._ensure(self._sq_err_sum, name, spatial)[sl] += (
-                        err**2
-                    ).sum(axis=0)
+                        entry["sq_err_sum"].astype(np.float64)
+                    )
                     mn = self._ensure(
                         self._min_err, name, spatial, fill=np.inf
                     )
                     mx = self._ensure(
                         self._max_err, name, spatial, fill=-np.inf
                     )
-                    mn[sl] = np.minimum(mn[sl], err.min(axis=0))
-                    mx[sl] = np.maximum(mx[sl], err.max(axis=0))
-        if i_time_start is None:
-            self._i_time += n_time
+                    mn[sl] = np.minimum(mn[sl], entry["min_err"])
+                    mx[sl] = np.maximum(mx[sl], entry["max_err"])
+        self._pending = []
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
+        self._drain()
         if self._count is None:
             return {}
         first = next(iter(self._gen_sum.values()))

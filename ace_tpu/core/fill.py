@@ -147,8 +147,14 @@ class SmoothFloodFill:
         return self._masks[name]
 
     def __call__(self, arr, name: str):
-        """Fill NaNs in [..., H, W] ``arr`` for variable ``name``."""
-        masks = self._get_masks(np.asarray(arr), name)
+        """Fill NaNs in [..., H, W] ``arr`` for variable ``name``.
+
+        Jit-traceable once the masks for ``name`` are cached (prime them
+        with a concrete array first — e.g. SpectrumAggregator._prime_masks);
+        the host conversion below only runs on a cache miss."""
+        if name not in self._masks:
+            self._get_masks(np.asarray(arr), name)
+        masks = self._masks[name]
         if masks is None:
             return jnp.asarray(arr)
         interior, valid, blurred_valid = masks
