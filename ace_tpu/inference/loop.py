@@ -83,6 +83,14 @@ def run_inference(
         pipeline = not multiprocess
     if os.environ.get("ACE_TPU_INFERENCE_PIPELINE") == "0":
         pipeline = False
+    # one compiled program for the whole derived-variable pass: the
+    # registry dispatch is shape-static, and eager per-op dispatch costs
+    # ~30 ms each over a remote accelerator (see aggregator/inference.py)
+    derive = jax.jit(
+        lambda outputs, forcing: compute_derived_for(
+            outputs, vc, info.timestep, forcing_data=forcing
+        )
+    )
 
     def finish(outputs, out_time, forcing_host, k):
         """Host-side completion for one window: gather, derived
@@ -136,12 +144,10 @@ def run_inference(
                         # derive for the reference data too so paired
                         # metrics exist for derived variables (reference
                         # loop.py:64-65 derives both sides)
-                        target = compute_derived_for(
-                            target, vc, info.timestep,
-                            forcing_data={
-                                k_: v[:, 1:]
-                                for k_, v in forcing_host.items()
-                            },
+                        target = derive(
+                            target,
+                            {k_: v[:, 1:]
+                             for k_, v in forcing_host.items()},
                         )
                 # the pipelined path hands the aggregator the ORIGINAL
                 # device arrays: its reductions run on the accelerator
@@ -204,12 +210,9 @@ def run_inference(
                     # the async D2H copy carries the derived fields too
                     # (dispatch-only: the actual compute overlaps the
                     # next window's host work)
-                    outputs = compute_derived_for(
-                        outputs, vc, info.timestep,
-                        forcing_data={
-                            k_: v[:, 1:]
-                            for k_, v in forcing_host.items()
-                        },
+                    outputs = derive(
+                        outputs,
+                        {k_: v[:, 1:] for k_, v in forcing_host.items()},
                     )
                 for leaf in jax.tree_util.tree_leaves(outputs):
                     if hasattr(leaf, "copy_to_host_async"):
