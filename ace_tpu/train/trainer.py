@@ -575,6 +575,7 @@ class Trainer:
     def train_one_epoch(self, epoch: int) -> dict[str, float]:
         self.train_data.set_epoch(epoch)
         totals: dict[str, float] = {}
+        pending_metrics: list = []
         count = 0
         skip = self._resume_skip_batches
         self._resume_skip_batches = 0
@@ -611,8 +612,10 @@ class Trainer:
             self.num_batches_seen += 1
             self._epoch_batches_seen += 1
             count += 1
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            # metrics stay device-resident: a float() here would block
+            # the host on every step, serializing dispatch against the
+            # device (one parallel transfer drains them at epoch end)
+            pending_metrics.append(metrics)
             if count % self.config.log_train_every_n_batches == 0:
                 wandb.log(
                     {"train_batch/loss": float(metrics["loss"])},
@@ -625,6 +628,11 @@ class Trainer:
                 and count % self.config.checkpoint_every_n_batches == 0
             ):
                 self._save_latest()
+        import jax as _jax
+
+        for m in _jax.device_get(pending_metrics):
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
         metrics_out = {k: v / max(count, 1) for k, v in totals.items()}
         if self.config.train_evaluation_batches > 0:
             # independent shuffle: offset the epoch seed so batches are
@@ -639,10 +647,10 @@ class Trainer:
                     params, batch.data, self._next_rng(), None,
                     batch.labels, batch.data_mask,
                 )
-                losses.append(float(m["loss"]))
+                losses.append(m["loss"])
             if losses:
                 metrics_out["loss_independent_shuffle"] = float(
-                    np.mean(losses)
+                    np.mean(_jax.device_get(losses))
                 )
             self.train_data.set_epoch(epoch)
         return metrics_out
@@ -670,14 +678,15 @@ class Trainer:
         )
         prognostic = stepper.prognostic_names
         forcing_names = stepper.forcing_window_names
+        pending_metrics: list = []
         for batch in self.valid_data:
             metrics = self._valid_step(
                 params, batch.data, self._next_rng(), None, batch.labels,
                 batch.data_mask,
             )
             count += 1
-            for k, v in metrics.items():
-                totals[k] = totals.get(k, 0.0) + float(v)
+            # device-resident until the loop ends (see train_one_epoch)
+            pending_metrics.append(metrics)
             # one-step maps/metrics (reference: OneStepAggregator during
             # validation, fme/ace/aggregator/one_step/main.py:47)
             ic = {k: batch.data[k][:, :1] for k in prognostic}
@@ -698,6 +707,11 @@ class Trainer:
                 if k in batch.data
             }
             one_step.record_batch(outputs, target)
+        import jax as _jax
+
+        for m in _jax.device_get(pending_metrics):
+            for k, v in m.items():
+                totals[k] = totals.get(k, 0.0) + float(v)
         result = {k: v / max(count, 1) for k, v in totals.items()}
         result.update(one_step.get_logs())
         if diagnostics_dir is not None:
