@@ -101,12 +101,14 @@ def run_inference(
             # full global arrays on the root process
             with timer.context("data_writer"):
                 outputs_h = placement.fetch(outputs)
-        elif pipeline:
+        elif pipeline and writer is not None:
             with timer.context("data_writer"):
                 # the async copies started at dispatch; this blocks until
                 # the rollout + derived pass have finished on device
                 outputs_h = jax.device_get(outputs)
         else:
+            # no writer (e.g. inline inference): the aggregator consumes
+            # the device arrays directly, so no host copy is needed
             outputs_h = outputs
         if multiprocess or not pipeline:
             # the pipelined single-process path computes derived
@@ -214,9 +216,10 @@ def run_inference(
                         outputs,
                         {k_: v[:, 1:] for k_, v in forcing_host.items()},
                     )
-                for leaf in jax.tree_util.tree_leaves(outputs):
-                    if hasattr(leaf, "copy_to_host_async"):
-                        leaf.copy_to_host_async()
+                if writer is not None:
+                    for leaf in jax.tree_util.tree_leaves(outputs):
+                        if hasattr(leaf, "copy_to_host_async"):
+                            leaf.copy_to_host_async()
             else:
                 jax.block_until_ready(outputs)
         out_time = TimeCoord(
