@@ -205,28 +205,53 @@ class CoupledInferenceConfig:
 
 
 class _PairedStats:
-    """Streaming per-variable paired RMSE/bias over a rollout."""
+    """Streaming per-variable paired RMSE/bias over a rollout.
+
+    One jitted program per record call, drained in one parallel D2H at
+    get_logs (see aggregator/inference.py docstring for why record must
+    not block or run eager ops)."""
 
     def __init__(self, area_weights):
         self._weights = area_weights
         self._sq: dict[str, float] = {}
         self._bias: dict[str, float] = {}
         self._n: dict[str, int] = {}
+        self._pending: list = []
+        self._compute = None
 
     def record(self, gen: TensorDict, target: TensorDict):
-        for name, g in gen.items():
-            if name not in target:
-                continue
-            t = jnp.asarray(target[name])
-            self._sq[name] = self._sq.get(name, 0.0) + float(
-                root_mean_squared_error(t, g, self._weights) ** 2
-            )
-            self._bias[name] = self._bias.get(name, 0.0) + float(
-                weighted_mean_bias(t, g, self._weights)
-            )
-            self._n[name] = self._n.get(name, 0) + 1
+        import jax
+
+        if self._compute is None:
+            def compute(gen, target):
+                out = {}
+                for name, g in gen.items():
+                    if name not in target:
+                        continue
+                    t = jnp.asarray(target[name])
+                    out[name] = (
+                        root_mean_squared_error(t, g, self._weights) ** 2,
+                        weighted_mean_bias(t, g, self._weights),
+                    )
+                return out
+
+            self._compute = jax.jit(compute)
+        self._pending.append(self._compute(dict(gen), dict(target)))
+        for name in gen:
+            if name in target:
+                self._n[name] = self._n.get(name, 0) + 1
 
     def get_logs(self, label: str) -> dict[str, float]:
+        if self._pending:
+            import jax
+
+            for window in jax.device_get(self._pending):
+                for name, (sq, bias) in window.items():
+                    self._sq[name] = self._sq.get(name, 0.0) + float(sq)
+                    self._bias[name] = (
+                        self._bias.get(name, 0.0) + float(bias)
+                    )
+            self._pending = []
         logs = {}
         for name, n in self._n.items():
             logs[f"{label}/rmse/{name}"] = float(

@@ -207,63 +207,102 @@ class GenerationMetricsAggregator:
         self._maps: dict[str, dict[str, np.ndarray]] = {}
         self._spectra: dict[str, dict[str, jnp.ndarray]] = {}
         self._ranks: dict[str, np.ndarray] = {}
+        # per-batch device reductions, drained in one parallel D2H at
+        # finalization (see aggregator/inference.py docstring)
+        self._pending: list = []
+        self._compute = None
 
-    def _acc(self, key, metric, value):
-        d = self._sums.setdefault(key, {})
-        d[metric] = d.get(metric, 0.0) + float(value)
-
-    def record_batch(self, target, prediction, coarse):
-        self._n += 1
+    def _compute_impl(self, target, prediction, coarse):
+        out: dict[str, dict] = {}
         for k, pred in prediction.items():
             if k not in target:
                 continue
             tgt = jnp.asarray(target[k])          # [B, H, W]
             pred = jnp.asarray(pred)              # [B, S, H, W]
             n_samples = pred.shape[1]
-            crps_map = np.asarray(
-                jnp.mean(compute_crps(tgt, pred), axis=0)
-            )
-            self._acc(k, "crps", crps_map.mean())
-            kmaps = self._maps.setdefault(k, {})
-            kmaps["crps"] = kmaps.get("crps", 0.0) + crps_map
+            entry: dict = {
+                "crps_map": jnp.mean(compute_crps(tgt, pred), axis=0),
+            }
             # bicubic-upsampled coarse baseline (deterministic: CRPS = MAE)
             if k in coarse:
                 interp = interpolate_bicubic(
                     jnp.asarray(coarse[k]), self._factor
                 )
-                mae_map = np.asarray(
-                    jnp.mean(jnp.abs(tgt - interp), axis=0)
+                entry["interp_mae_map"] = jnp.mean(
+                    jnp.abs(tgt - interp), axis=0
                 )
-                kmaps["interp_mae"] = (
-                    kmaps.get("interp_mae", 0.0) + mae_map
-                )
-                self._acc(k, "interp_mae", mae_map.mean())
-                self._acc(
-                    k, "interp_mse", jnp.mean((tgt - interp) ** 2)
-                )
-                self._spectra.setdefault(k, {})["coarse"] = (
-                    self._spectra.get(k, {}).get("coarse", 0.0)
-                    + compute_zonal_power_spectrum(interp).mean(axis=0)
+                entry["interp_mse"] = jnp.mean((tgt - interp) ** 2)
+                entry["spectrum_coarse"] = (
+                    compute_zonal_power_spectrum(interp).mean(axis=0)
                 )
             folded = pred.reshape(-1, *pred.shape[2:])  # [B*S, H, W]
             tgt_rep = jnp.repeat(tgt, n_samples, axis=0)
-            self._acc(k, "mse", jnp.mean((folded - tgt_rep) ** 2))
-            self._acc(k, "psnr", compute_psnr(folded, tgt_rep, True))
+            entry["mse"] = jnp.mean((folded - tgt_rep) ** 2)
+            entry["psnr"] = compute_psnr(folded, tgt_rep, True)
             if min(folded.shape[-2:]) >= 11:
-                self._acc(k, "ssim", compute_ssim(folded, tgt_rep, True))
-            sp = self._spectra.setdefault(k, {})
-            sp["prediction"] = sp.get("prediction", 0.0) + (
+                entry["ssim"] = compute_ssim(folded, tgt_rep, True)
+            entry["spectrum_prediction"] = (
                 compute_zonal_power_spectrum(folded).mean(axis=0)
             )
-            sp["target"] = sp.get("target", 0.0) + (
+            entry["spectrum_target"] = (
                 compute_zonal_power_spectrum(tgt).mean(axis=0)
             )
             # rank histogram counts (n_samples+1 possible ranks)
-            ranks = np.asarray(compute_rank(tgt, pred)).ravel()
-            counts = np.bincount(ranks, minlength=n_samples + 1)
-            self._ranks[k] = self._ranks.get(k, 0) + counts
+            ranks = compute_rank(tgt, pred).ravel()
+            entry["rank_counts"] = jnp.bincount(
+                ranks, length=n_samples + 1
+            )
+            out[k] = entry
+        return out
+
+    def record_batch(self, target, prediction, coarse):
+        import jax
+
+        self._n += 1
+        if self._compute is None:
+            self._compute = jax.jit(self._compute_impl)
+        self._pending.append(self._compute(
+            dict(target), dict(prediction), dict(coarse)
+        ))
+
+    def _acc(self, key, metric, value):
+        d = self._sums.setdefault(key, {})
+        d[metric] = d.get(metric, 0.0) + float(value)
+
+    def _drain(self):
+        if not self._pending:
+            return
+        import jax
+
+        for batch in jax.device_get(self._pending):
+            for k, entry in batch.items():
+                crps_map = entry["crps_map"]
+                self._acc(k, "crps", crps_map.mean())
+                kmaps = self._maps.setdefault(k, {})
+                kmaps["crps"] = kmaps.get("crps", 0.0) + crps_map
+                if "interp_mae_map" in entry:
+                    mae_map = entry["interp_mae_map"]
+                    kmaps["interp_mae"] = (
+                        kmaps.get("interp_mae", 0.0) + mae_map
+                    )
+                    self._acc(k, "interp_mae", mae_map.mean())
+                    self._acc(k, "interp_mse", entry["interp_mse"])
+                self._acc(k, "mse", entry["mse"])
+                self._acc(k, "psnr", entry["psnr"])
+                if "ssim" in entry:
+                    self._acc(k, "ssim", entry["ssim"])
+                sp = self._spectra.setdefault(k, {})
+                for src in ("prediction", "target", "coarse"):
+                    key = f"spectrum_{src}"
+                    if key in entry:
+                        sp[src] = sp.get(src, 0.0) + entry[key]
+                self._ranks[k] = (
+                    self._ranks.get(k, 0) + entry["rank_counts"]
+                )
+        self._pending = []
 
     def get_logs(self, label: str = "generation") -> dict[str, float]:
+        self._drain()
         logs = {}
         for k, d in self._sums.items():
             crps = d.get("crps", np.nan) / self._n
@@ -291,6 +330,7 @@ class GenerationMetricsAggregator:
         return logs
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
+        self._drain()
         out = {}
         for k, sp in self._spectra.items():
             for src, v in sp.items():
