@@ -389,8 +389,11 @@ def run_coupled_inference(config: CoupledInferenceConfig) -> dict[str, float]:
             ocean_f_windows[0][1].calendar,
         )
         if writers:
-            writers["atmosphere"].append_batch(a_out, atmos_time)
-            writers["ocean"].append_batch(o_out, ocean_time)
+            # one parallel D2H for both components (per-variable
+            # np.asarray inside the writer would serialize round trips)
+            a_host, o_host = jax.device_get((a_out, o_out))
+            writers["atmosphere"].append_batch(a_host, atmos_time)
+            writers["ocean"].append_batch(o_host, ocean_time)
         if config.evaluate:
             atmos_target = {k: v[:, 1:] for k, v in atmos_forcing.items()}
             ocean_target = {k: v[:, 1:] for k, v in ocean_forcing.items()}
