@@ -252,3 +252,48 @@ def test_norm_series_diagnostics(dataset_info):
     )
     series = ds["weighted_mean_gen_series-prog_a"].read(())
     np.testing.assert_allclose(series, 2.0, atol=1e-6)
+
+
+def test_record_after_finalize_keeps_accumulating(dataset_info):
+    """The jitted pending/drain design (aggregator/inference.py module
+    docstring) must behave like plain accumulation even when get_logs /
+    get_diagnostics (which drain device state) interleave with further
+    record_batch calls."""
+    rng = np.random.RandomState(0)
+    time = _monthly_time(4, 1)
+
+    def batch(seed):
+        r = np.random.RandomState(seed)
+        return {"prog_a": r.randn(1, 4, NLAT, NLON).astype(np.float32)}
+
+    cfg = InferenceAggregatorConfig(
+        log_histograms=True, log_seasonal_means=True,
+        log_near_zero_fraction=True, log_trends=True, log_video=True,
+    )
+    # interleaved: drain (get_logs) between the two windows
+    agg_a = cfg.build(dataset_info, n_timesteps=8)
+    agg_a.record_batch(batch(1), batch(11), time=time)
+    mid_logs = agg_a.get_logs()
+    assert np.isfinite(mid_logs["time_mean/rmse/prog_a"])
+    agg_a.record_batch(batch(2), batch(12), time=time)
+    # uninterrupted control
+    agg_b = cfg.build(dataset_info, n_timesteps=8)
+    agg_b.record_batch(batch(1), batch(11), time=time)
+    agg_b.record_batch(batch(2), batch(12), time=time)
+    logs_a, logs_b = agg_a.get_logs(), agg_b.get_logs()
+    assert set(logs_a) == set(logs_b)
+    for k in logs_b:
+        np.testing.assert_allclose(
+            logs_a[k], logs_b[k], rtol=1e-6, err_msg=k
+        )
+    diags_a, diags_b = {}, {}
+    for agg, out in ((agg_a, diags_a), (agg_b, diags_b)):
+        for label, sub in agg._aggregators.items():
+            if hasattr(sub, "get_diagnostics"):
+                for k, v in sub.get_diagnostics().items():
+                    out[f"{label}/{k}"] = np.asarray(v)
+    assert set(diags_a) == set(diags_b)
+    for k in diags_b:
+        np.testing.assert_allclose(
+            diags_a[k], diags_b[k], rtol=1e-6, err_msg=k
+        )
