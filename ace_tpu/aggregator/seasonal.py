@@ -133,13 +133,17 @@ class NearZeroFractionAggregator:
                     if self._weights is not None:
                         w = self._weights / self._weights.mean()
                         near = near * w
-                    out[name] = jnp.sum(near)
+                    # reduce only the spatial axes on device: each
+                    # [sample, step] partial stays below one grid's worth
+                    # of counts (< 2^24 even at 0.25 degrees), so the f32
+                    # sum is exact; the [B, T] partials are summed in f64
+                    # on the host at finalization
+                    out[name] = jnp.sum(
+                        near, axis=tuple(range(2, near.ndim))
+                    )
                 return out
 
             self._compute = jax.jit(compute)
-        # per-window device scalars, summed on host in f64 at
-        # finalization (a running f32 device sum would lose integer
-        # precision past 2^24 counts on long rollouts)
         sums = self._compute(dict(gen))
         for name, value in gen.items():
             self._near_zero.setdefault(name, []).append(sums[name])
@@ -151,9 +155,11 @@ class NearZeroFractionAggregator:
         import jax
 
         counts = jax.device_get(self._near_zero)
+        # per-window partials are [B, T] (windows may differ in T); sum
+        # each in f64 on the host
         return {
             f"{label}/{name}": float(
-                np.sum(np.asarray(counts[name], np.float64))
+                sum(np.asarray(c, np.float64).sum() for c in counts[name])
             ) / self._total[name]
             for name in counts
         }

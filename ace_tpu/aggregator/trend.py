@@ -51,6 +51,13 @@ class TrendAggregator:
         self._n += t.size
         self._sum_t += float(t.sum())
         self._sum_t2 += float((t**2).sum())
+        # center t within the window before forming t*y on device: the
+        # slope numerator n*sum_ty - sum_t*sum_y is a small difference of
+        # large terms, so f32 partials of raw t*y (t ~ decades from the
+        # epoch) would round visibly; with dt = t - mean(t) the device
+        # partial sum(dt*y) is well-conditioned (|dt| <= window length in
+        # years) and sum_ty is recovered exactly in f64 at drain time
+        t_mean = float(t.mean())
         if self._compute is None:
             import jax
 
@@ -72,32 +79,34 @@ class TrendAggregator:
                 return window
 
             self._compute = jax.jit(compute)
-        self._pending.append(self._compute(
-            np.asarray(t, np.float32), dict(gen),
+        self._pending.append((t_mean, self._compute(
+            np.asarray(t - t_mean, np.float32), dict(gen),
             dict(target) if target is not None else None,
-        ))
+        )))
 
     def _drain(self):
         if not self._pending:
             return
         import jax
 
-        for window in jax.device_get(self._pending):
-            for name, (y, ty) in window["gen"].items():
-                self._sum_y[name] = (
-                    self._sum_y.get(name, 0.0) + y.astype(np.float64)
-                )
+        for t_mean, window in jax.device_get(self._pending):
+            # device partials are centered: sum(dt*y); undo the shift in
+            # f64: sum(t*y) = sum(dt*y) + t_mean * sum(y)
+            for name, (y, dty) in window["gen"].items():
+                y64 = y.astype(np.float64)
+                self._sum_y[name] = self._sum_y.get(name, 0.0) + y64
                 self._sum_ty[name] = (
-                    self._sum_ty.get(name, 0.0) + ty.astype(np.float64)
+                    self._sum_ty.get(name, 0.0)
+                    + dty.astype(np.float64) + t_mean * y64
                 )
-            for name, (y, ty) in window["target"].items():
+            for name, (y, dty) in window["target"].items():
+                y64 = y.astype(np.float64)
                 self._target_sum_y[name] = (
-                    self._target_sum_y.get(name, 0.0)
-                    + y.astype(np.float64)
+                    self._target_sum_y.get(name, 0.0) + y64
                 )
                 self._target_sum_ty[name] = (
                     self._target_sum_ty.get(name, 0.0)
-                    + ty.astype(np.float64)
+                    + dty.astype(np.float64) + t_mean * y64
                 )
         self._pending = []
 

@@ -25,7 +25,11 @@ from ace_tpu.core.typing_ import TensorMapping
 class VideoAggregator:
     """(reference: video.py:290)."""
 
-    # cap on device-resident pending windows before a forced drain
+    # caps on device-resident pending partials before a forced drain:
+    # by estimated bytes (the binding constraint at high resolution —
+    # extended mode holds up to 6 [n_keep, H, W] f32 arrays per
+    # variable per window) and, as a backstop, by window count
+    DRAIN_BYTES = 256 * 1024 * 1024
     DRAIN_EVERY = 32
 
     def __init__(self, n_timesteps: int,
@@ -41,6 +45,7 @@ class VideoAggregator:
         self._min_err: dict[str, np.ndarray] = {}
         self._max_err: dict[str, np.ndarray] = {}
         self._pending: list = []
+        self._pending_bytes = 0
         self._compute = None
 
     def _ensure(self, store, name, spatial, fill=0.0):
@@ -91,9 +96,17 @@ class VideoAggregator:
                       n_keep,
                   )}
         self._pending.append(window)
+        self._pending_bytes += sum(
+            int(np.prod(a.shape)) * a.dtype.itemsize
+            for entry in window["vars"].values()
+            for a in entry.values()
+        )
         if i_time_start is None:
             self._i_time += n_time
-        if len(self._pending) >= self.DRAIN_EVERY:
+        if (
+            len(self._pending) >= self.DRAIN_EVERY
+            or self._pending_bytes >= self.DRAIN_BYTES
+        ):
             self._drain()
 
     def _drain(self):
@@ -132,6 +145,7 @@ class VideoAggregator:
                     mn[sl] = np.minimum(mn[sl], entry["min_err"])
                     mx[sl] = np.maximum(mx[sl], entry["max_err"])
         self._pending = []
+        self._pending_bytes = 0
 
     def get_diagnostics(self) -> dict[str, np.ndarray]:
         self._drain()

@@ -81,8 +81,21 @@ def run_inference(
     multiprocess = placement is not None and placement.multiprocess
     if pipeline is None:
         pipeline = not multiprocess
-    if os.environ.get("ACE_TPU_INFERENCE_PIPELINE") == "0":
+    env_pipeline = os.environ.get("ACE_TPU_INFERENCE_PIPELINE")
+    if env_pipeline == "0":
         pipeline = False
+    elif env_pipeline == "1":
+        if multiprocess:
+            # the gather collectives require every process to reach them
+            # in lock-step with host work complete; pipelining would
+            # deadlock, so the explicit enable is refused loudly rather
+            # than silently ignored
+            logging.warning(
+                "ACE_TPU_INFERENCE_PIPELINE=1 ignored: multiprocess "
+                "placements run the serial loop"
+            )
+        else:
+            pipeline = True
     # one compiled program for the whole derived-variable pass: the
     # registry dispatch is shape-static, and eager per-op dispatch costs
     # ~30 ms each over a remote accelerator (see aggregator/inference.py)
