@@ -22,6 +22,21 @@ the plain einsum, which all-reduces the FULL spectral tensor and leaves
 it replicated on every device (measured: 36 all-reduce, 0 all-to-all in
 the compiled SFNO forward; see tests/test_distributed_sht.py).
 
+Communication/compute pipelining: the channel axis is batch-like in
+both the DFT and Legendre einsums (no reduction ever crosses channels),
+so the transform can be split into channel chunks that each run the
+full a2a->DFT->a2a->a2a->Legendre->a2a chain independently — chunk
+k+1's all-to-all has no data dependency on chunk k's matmul, so XLA's
+latency-hiding scheduler puts the async collectives in flight behind
+the MXU work (the same design as distributed DISCO,
+ops/distributed_disco.py:120-208, where the SHT's 4 a2a per transform
+are the dominant flagship collective: 32 per train step,
+MULTICHIP_r04). Numerics match the unchunked
+transform to matmul-blocking tolerance (channel chunking changes no
+reduction; the backend may tile the batch-like channel axis
+differently), verified in tests/test_distributed_sht.py. Default 2 chunks on spatial meshes;
+``ACE_TPU_SHT_PIPELINE=N`` or the constructor arg overrides (1 = off).
+
 Spectral filters that are diagonal in (l, m) — the SFNO "diagonal" and
 "dhconv" operator types — apply locally on the [L/h, M/w, C] shard with
 full channels, exactly like the reference's spatially-parallel SFNO.
@@ -45,6 +60,44 @@ def _pad_to(n: int, mult: int) -> int:
     return (mult - n % mult) % mult
 
 
+def _resolve_pipeline_chunks(pipeline_chunks) -> int:
+    if pipeline_chunks is None:
+        import os
+
+        pipeline_chunks = int(os.environ.get("ACE_TPU_SHT_PIPELINE", "2"))
+    return max(1, int(pipeline_chunks))
+
+
+def _chunked(fn, n_chunks: int, n_in: int, chunk_mult: int):
+    """Wrap a per-shard transform so its first ``n_in`` array arguments
+    are split into ``n_chunks`` channel chunks (last axis), each run
+    through the full collective+matmul chain independently, and the
+    outputs concatenated back. Falls back to one chunk when the channel
+    count does not split into per-chunk multiples of ``chunk_mult``
+    (the a2a split granularity, ph*pw)."""
+    if n_chunks == 1:
+        return fn
+
+    def wrapped(*args):
+        ins, rest = args[:n_in], args[n_in:]
+        c = ins[0].shape[-1]
+        if c % (n_chunks * chunk_mult) != 0:
+            return fn(*args)
+        parts = [
+            fn(*chunk_ins, *rest)
+            for chunk_ins in zip(
+                *(jnp.split(a, n_chunks, axis=-1) for a in ins)
+            )
+        ]
+        if isinstance(parts[0], tuple):
+            return tuple(
+                jnp.concatenate(p, axis=-1) for p in zip(*parts)
+            )
+        return jnp.concatenate(parts, axis=-1)
+
+    return wrapped
+
+
 class DistributedRealSHT:
     """Forward SHT over a (data, h, w) mesh; channels-last only.
 
@@ -57,11 +110,12 @@ class DistributedRealSHT:
 
     def __init__(self, mesh, nlat, nlon, lmax=None, mmax=None,
                  grid="legendre-gauss", norm="ortho", csphase=True,
-                 precision=jax.lax.Precision.HIGH):
+                 precision=jax.lax.Precision.HIGH, pipeline_chunks=None):
         self.mesh = mesh
         self.ph = int(mesh.shape[H_AXIS])
         self.pw = int(mesh.shape[W_AXIS])
         self.precision = precision
+        self.pipeline_chunks = _resolve_pipeline_chunks(pipeline_chunks)
         # pure-numpy precompute (this runs inside flax setup, i.e. under
         # a jit trace — jnp intermediates would become tracers)
         from ace_tpu.ops.legendre import precompute_legpoly
@@ -128,7 +182,8 @@ class DistributedRealSHT:
         spec = P(DATA_AXIS if batch_sharded else None,
                  H_AXIS, W_AXIS, None)
         return jax.shard_map(
-            fwd, mesh=self.mesh,
+            _chunked(fwd, self.pipeline_chunks, 1, self.ph * self.pw),
+            mesh=self.mesh,
             in_specs=(spec, P(), P(), P(W_AXIS, None, None)),
             out_specs=(spec, spec),
         )
@@ -137,7 +192,10 @@ class DistributedRealSHT:
         """Forward SHT returning (real, imag) float32 arrays — the
         no-complex hot path (see ace_tpu/models/sfno.py use_pair)."""
         b, k0, j0, c0 = x.shape
-        cpad = _pad_to(c0, self.ph * self.pw)
+        # pad channels to the chunked-a2a granularity so the pipelined
+        # schedule applies (padded channels are zero work sliced off
+        # below; at most chunks*ph*pw-1 extra)
+        cpad = _pad_to(c0, self.pipeline_chunks * self.ph * self.pw)
         pads = (
             (0, 0),
             (0, self.k_padded - k0),
@@ -168,11 +226,12 @@ class DistributedInverseRealSHT:
 
     def __init__(self, mesh, nlat, nlon, lmax=None, mmax=None,
                  grid="legendre-gauss", norm="ortho", csphase=True,
-                 precision=jax.lax.Precision.HIGH):
+                 precision=jax.lax.Precision.HIGH, pipeline_chunks=None):
         self.mesh = mesh
         self.ph = int(mesh.shape[H_AXIS])
         self.pw = int(mesh.shape[W_AXIS])
         self.precision = precision
+        self.pipeline_chunks = _resolve_pipeline_chunks(pipeline_chunks)
         from ace_tpu.ops.legendre import precompute_legpoly
         from ace_tpu.ops.sht import _dft_matrices, quadrature_for_grid
 
@@ -235,7 +294,8 @@ class DistributedInverseRealSHT:
         spec = P(DATA_AXIS if batch_sharded else None,
                  H_AXIS, W_AXIS, None)
         return jax.shard_map(
-            inv, mesh=self.mesh,
+            _chunked(inv, self.pipeline_chunks, 2, self.ph * self.pw),
+            mesh=self.mesh,
             in_specs=(spec, spec, P(), P(), P(W_AXIS, None, None)),
             out_specs=spec,
         )
@@ -245,7 +305,7 @@ class DistributedInverseRealSHT:
         the no-complex hot path (see ace_tpu/models/sfno.py use_pair).
         Inputs smaller than (l_padded, m_padded) are zero-padded."""
         b, l0, m0, c0 = cr.shape
-        cpad = _pad_to(c0, self.ph * self.pw)
+        cpad = _pad_to(c0, self.pipeline_chunks * self.ph * self.pw)
         pads = (
             (0, 0),
             (0, self.l_padded - l0),

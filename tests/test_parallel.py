@@ -55,6 +55,43 @@ def test_sfno_forward_mesh_invariance(mesh_shape):
     np.testing.assert_allclose(result, reference, atol=2e-4)
 
 
+@pytest.mark.medium_duration
+@pytest.mark.parametrize("mesh_shape,nlat,nlon", [
+    # non-dividing spatial splits: 18 lat over h=4, 34 lon over w=4 —
+    # the zero-pad uneven-split path (ops/distributed_sht.py) at model
+    # level (reference: thd.compute_split_shapes,
+    # model_torch_distributed.py:200-267)
+    ((1, 4, 2), 18, 34),
+    ((1, 2, 4), 18, 34),
+])
+def test_sfno_forward_mesh_invariance_uneven(mesh_shape, nlat, nlon):
+    """Full-model forward on an uneven (h, w) split must match the
+    single-device result: flagship h-sharding (180 lat over h=8 etc.)
+    relies on the zero-pad path for every non-dividing decomposition."""
+    model = SphericalFourierNeuralOperatorNet(
+        img_shape=(nlat, nlon), in_chans=3, out_chans=3, embed_dim=16,
+        num_layers=2, operator_type="dhconv",
+    )
+    x = jnp.asarray(
+        np.random.RandomState(0).randn(4, nlat, nlon, 3), jnp.float32
+    )
+    params = model.init(jax.random.PRNGKey(0), x)
+    fwd = jax.jit(lambda p, x: model.apply(p, x))
+    reference = np.asarray(fwd(params, x))
+    mesh = MeshConfig(*mesh_shape).build()
+    ph, pw = mesh_shape[1], mesh_shape[2]
+    # uneven axes cannot be device_put spatially-sharded; enter
+    # batch-sharded and let the jitted program re-shard (model inputs
+    # are padded to mesh multiples inside the distributed transforms)
+    spec = P("data", "h" if nlat % ph == 0 else None,
+             "w" if nlon % pw == 0 else None, None)
+    with jax.set_mesh(mesh):
+        xs = jax.device_put(x, NamedSharding(mesh, spec))
+        ps = jax.device_put(params, NamedSharding(mesh, P()))
+        result = np.asarray(fwd(ps, xs))
+    np.testing.assert_allclose(result, reference, atol=2e-4)
+
+
 @pytest.mark.parametrize("mesh_shape", [(2, 2, 2), (1, 2, 4)])
 def test_rollout_mesh_invariance(mesh_shape):
     """Multi-step rollout with corrector must match across decompositions."""
