@@ -35,3 +35,11 @@ test_multiprocess:
 .PHONY: bench
 bench:
 	python bench.py
+
+# Render the HTML docs site (README + docs/*.md + generated config
+# reference) into docs/_site (reference: /root/reference/docs sphinx
+# tree; this image has no sphinx, scripts/build_docs.py renders with
+# the markdown+pygments stack).
+.PHONY: docs
+docs:
+	python scripts/build_docs.py docs/_site

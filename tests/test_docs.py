@@ -32,3 +32,22 @@ def test_all_registered_builders_documented():
     content = docs_gen.generate()
     for name in registry.ModuleSelector.get_registry().registered_types:
         assert f"- `{name}`" in content, name
+
+
+def test_docs_site_builds(tmp_path):
+    """`make docs` analogue: the static site renders every page with
+    nav + highlighted code (reference: docs.yaml builds the sphinx
+    site per-commit)."""
+    import sys
+
+    sys.path.insert(0, "scripts")
+    from build_docs import build
+
+    out = tmp_path / "site"
+    slugs = build(str(out))
+    assert "index" in slugs and "config_reference" in slugs
+    for slug in slugs:
+        page = (out / f"{slug}.html").read_text()
+        assert "<nav>" in page and "</main>" in page
+    # config reference is regenerated, not read from the committed file
+    assert "StepperConfig" in (out / "config_reference.html").read_text()
