@@ -44,6 +44,18 @@ _ACTIVATIONS = {
 }
 
 
+
+def _sht_input(transform, x):
+    """SHT operand cast: distributed transforms cast to f32 internally
+    AFTER their first (grid-space) all-to-all, so passing the native
+    activation dtype halves that transfer's bytes; single-device
+    transforms take f32 up front (identical values either way — the
+    bf16->f32 cast commutes exactly with a transpose)."""
+    if getattr(transform, "casts_input", False):
+        return x
+    return x.astype(jnp.float32)
+
+
 class SpectralConvS2(nn.Module):
     """Driscoll-Healy spectral convolution on S2 (reference:
     fme/ace/models/modulus/s2convolutions.py:47 SpectralConvS2).
@@ -118,15 +130,17 @@ class SpectralConvS2(nn.Module):
         residual = full_x
         if use_pair:
             xr_full, xi_full = self.forward_transform.forward_pair(
-                x.astype(jnp.float32)
+                _sht_input(self.forward_transform, x)
             )
         else:
-            coeffs = self.forward_transform(x.astype(jnp.float32))
+            coeffs = self.forward_transform(
+                _sht_input(self.forward_transform, x)
+            )
         if scale_residual:
             if use_pair:
                 rr, ri = (
                     self.forward_transform.forward_pair(
-                        full_x.astype(jnp.float32)
+                        _sht_input(self.forward_transform, full_x)
                     )
                     if use_proj
                     else (xr_full, xi_full)
@@ -136,7 +150,9 @@ class SpectralConvS2(nn.Module):
                 ).astype(in_dtype)
             else:
                 residual = self.inverse_transform(
-                    self.forward_transform(full_x.astype(jnp.float32))
+                    self.forward_transform(
+                        _sht_input(self.forward_transform, full_x)
+                    )
                     if use_proj else coeffs
                 ).astype(in_dtype)
 

@@ -150,14 +150,20 @@ class DistributedRealSHT:
         # batch-1 dummy) run with the batch replicated per data slice
         self._mapped_whole_batch = self._build(batch_sharded=False)
 
+    # the transform casts to f32 internally AFTER the first (grid-space)
+    # all-to-all, so callers should pass their native activation dtype:
+    # under the bf16 AMP path this halves that transfer's bytes, and the
+    # cast commutes exactly with the (compute-free) transpose
+    casts_input = True
+
     def _build(self, batch_sharded: bool = True):
         prec = self.precision
         def fwd(x, fc, fs, w_mblock):
             # block shapes: x [b, k/ph, j/pw, c]; w_mblock [M/pw, L, K]
-            x = x.astype(jnp.float32)
             x = jax.lax.all_to_all(
                 x, W_AXIS, split_axis=3, concat_axis=2, tiled=True
             )  # [b, k/ph, J, c/pw]
+            x = x.astype(jnp.float32)
             xr = jnp.einsum("bkjc,jm->bkmc", x, fc, precision=prec,
                             preferred_element_type=jnp.float32)
             xi = jnp.einsum("bkjc,jm->bkmc", x, fs, precision=prec,
@@ -266,12 +272,14 @@ class DistributedInverseRealSHT:
     def _build(self, batch_sharded: bool = True):
         prec = self.precision
         def inv(cr, ci, ic, isin, pct_mblock):
-            z = jnp.concatenate(
-                [cr.astype(jnp.float32), ci.astype(jnp.float32)], axis=0
-            )  # [2b, L/ph, M/pw, c]
+            # first a2a rides the caller's dtype (bf16 filter outputs
+            # under AMP — half the bytes); the f32 cast commutes exactly
+            # with the compute-free transpose
+            z = jnp.concatenate([cr, ci], axis=0)  # [2b, L/ph, M/pw, c]
             z = jax.lax.all_to_all(
                 z, H_AXIS, split_axis=3, concat_axis=1, tiled=True
             )  # [2b, L, M/pw, c/ph]
+            z = z.astype(jnp.float32)
             z = jnp.einsum("blmc,mlk->bkmc", z, pct_mblock, precision=prec,
                            preferred_element_type=jnp.float32)
             z = jax.lax.all_to_all(
