@@ -70,6 +70,8 @@ class Stepper:
         # input spatial masking (reference: single_module.py:1063
         # args.apply_input_process_func)
         self.input_masker = input_masker or (lambda data: dict(data))
+        # jitted-rollout cache for predict() (built lazily; see predict)
+        self._predict_jitted = None
         if (
             input_masker is None
             and provider is not None
@@ -230,7 +232,16 @@ class Stepper:
         missing = set(self.forcing_window_names) - set(forcing_subset)
         if missing:
             raise ValueError(f"forcing data missing variables {sorted(missing)}")
-        outputs, diags, final_state = self.predict_fn(
+        # jit the rollout once per (shape, n_forward) signature: an eager
+        # predict_fn re-TRACES the whole scan body (the full network) on
+        # every call — measured seconds per window at flagship scale in
+        # the inference loop and the coupled outer loop
+        if self._predict_jitted is None:
+            self._predict_jitted = jax.jit(
+                self.predict_fn,
+                static_argnames=("deterministic", "n_forward"),
+            )
+        outputs, diags, final_state = self._predict_jitted(
             params, ic.data, forcing_subset, ic.stepper_state, rng,
             n_forward=n_forward,
         )
