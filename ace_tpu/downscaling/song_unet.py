@@ -17,6 +17,7 @@ a rename + transpose.
 import dataclasses
 import math
 from collections.abc import Sequence
+from typing import Any
 
 import jax
 import jax.numpy as jnp
@@ -135,6 +136,9 @@ class Conv2d(nn.Module):
     down: bool = False
     resample_filter: Sequence[int] = (1, 1)
     init_weight: float = 1.0
+    # computation dtype (params stay f32; bf16 here is the AMP analogue
+    # of the reference's autocast UNet benchmarks)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
@@ -150,7 +154,7 @@ class Conv2d(nn.Module):
                 self.out_channels, (self.kernel, self.kernel),
                 padding=pad, use_bias=self.bias,
                 kernel_init=_scaled_xavier_uniform(self.init_weight),
-                name="conv",
+                dtype=self.dtype, name="conv",
             )(x)
         return x
 
@@ -161,13 +165,14 @@ class Linear(nn.Module):
     features: int
     use_bias: bool = True
     init_weight: float = 1.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         return nn.Dense(
             self.features, use_bias=self.use_bias,
             kernel_init=_scaled_xavier_uniform(self.init_weight),
-            name="linear",
+            dtype=self.dtype, name="linear",
         )(x)
 
 
@@ -211,13 +216,15 @@ class Attention(nn.Module):
     num_heads: int
     eps: float = 1e-5
     init_attn_weight: float = 1.0
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
         y = GroupNorm(channels=c, eps=self.eps, name="norm")(x)
         qkv = Conv2d(c, c * 3, kernel=1,
-                     init_weight=self.init_attn_weight, name="qkv")(y)
+                     init_weight=self.init_attn_weight,
+                     dtype=self.dtype, name="qkv")(y)
         # torch reshapes channels-first [B, heads, C/heads, 3, HW]; in
         # channels-last the channel axis carries the same
         # (heads, C/heads, 3) ordering
@@ -225,12 +232,17 @@ class Attention(nn.Module):
         qkv = qkv.reshape(b, h * w, self.num_heads, dk, 3)
         q, k, v = (qkv[..., 0], qkv[..., 1], qkv[..., 2])
         # [B, HW, heads, dk] -> attention over HW
-        logits = jnp.einsum("bqhd,bkhd->bhqk", q, k) / math.sqrt(dk)
-        attn = jax.nn.softmax(logits, axis=-1)
+        logits = jnp.einsum(
+            "bqhd,bkhd->bhqk", q, k,
+            preferred_element_type=jnp.float32,
+        ) / math.sqrt(dk)
+        # softmax in f32 regardless of computation dtype
+        attn = jax.nn.softmax(logits, axis=-1).astype(v.dtype)
         out = jnp.einsum("bhqk,bkhd->bqhd", attn, v)
-        out = out.reshape(b, h, w, c)
+        out = out.reshape(b, h, w, c).astype(x.dtype)
         # init_zero in SongUNetv2's block_kwargs is xavier * 1e-5
-        out = Conv2d(c, c, kernel=1, init_weight=1e-5, name="proj")(out)
+        out = Conv2d(c, c, kernel=1, init_weight=1e-5,
+                     dtype=self.dtype, name="proj")(out)
         return x + out
 
 
@@ -251,6 +263,7 @@ class UNetBlock(nn.Module):
     eps: float = 1e-6
     resample_filter: Sequence[int] = (1, 1)
     init_attn_weight: float = math.sqrt(0.2)
+    dtype: Any = jnp.float32
 
     @nn.compact
     def __call__(self, x, emb, deterministic: bool = True):
@@ -259,20 +272,21 @@ class UNetBlock(nn.Module):
                       name="norm0")(x)
         x = Conv2d(self.in_channels, self.out_channels, kernel=3,
                    up=self.up, down=self.down,
-                   resample_filter=self.resample_filter, name="conv0")(x)
+                   resample_filter=self.resample_filter,
+                   dtype=self.dtype, name="conv0")(x)
         params = Linear(self.out_channels, name="affine")(emb)
         x = GroupNorm(channels=self.out_channels, eps=self.eps, act="silu",
                       name="norm1")(x + params[:, None, None, :])
         if self.dropout > 0.0:
             x = nn.Dropout(self.dropout)(x, deterministic=deterministic)
         x = Conv2d(self.out_channels, self.out_channels, kernel=3,
-                   init_weight=1e-5, name="conv1")(x)
+                   init_weight=1e-5, dtype=self.dtype, name="conv1")(x)
         if (self.out_channels != self.in_channels or self.up
                 or self.down):
             skip = Conv2d(self.in_channels, self.out_channels, kernel=1,
                           up=self.up, down=self.down,
                           resample_filter=self.resample_filter,
-                          name="skip")(orig)
+                          dtype=self.dtype, name="skip")(orig)
         else:
             skip = orig
         x = (x + skip) * self.skip_scale
@@ -280,7 +294,7 @@ class UNetBlock(nn.Module):
             x = Attention(
                 out_channels=self.out_channels, num_heads=self.num_heads,
                 eps=self.eps, init_attn_weight=self.init_attn_weight,
-                name="attn",
+                dtype=self.dtype, name="attn",
             )(x)
             x = x * self.skip_scale
         return x
@@ -406,7 +420,7 @@ class SongUNetV2(nn.Module):
             up=up, down=down, attention=plan.attn, num_heads=1,
             dropout=self.dropout,
             resample_filter=tuple(self.resample_filter),
-            name=plan.name,
+            dtype=jnp.dtype(self.dtype), name=plan.name,
         )
 
     @nn.compact
@@ -467,6 +481,7 @@ class SongUNetV2(nn.Module):
         for plan in enc_plan:
             if plan.kind == "conv":
                 h = Conv2d(plan.cin, plan.cout, kernel=3,
+                           dtype=jnp.dtype(self.dtype),
                            name=plan.name)(x)
                 if self.additive_pos_embed:
                     pe = self.param(
@@ -487,6 +502,7 @@ class SongUNetV2(nn.Module):
                 aux = _depthwise_down(aux, rfilt)
             elif plan.kind == "aux_skip":
                 x = x + Conv2d(plan.cin, plan.cout, kernel=1,
+                               dtype=jnp.dtype(self.dtype),
                                name=plan.name)(aux)
                 skips[-1] = x
             elif plan.kind == "aux_residual":
@@ -533,6 +549,7 @@ class SongUNetV2(nn.Module):
             elif plan.kind == "aux_conv":
                 tmp = Conv2d(plan.cin, plan.cout, kernel=3,
                              init_weight=1e-5,
+                             dtype=jnp.dtype(self.dtype),
                              name=plan.name)(nn.silu(tmp))
                 aux_out = tmp if aux_out is None else tmp + aux_out
             elif plan.kind in ("in0", "in1"):

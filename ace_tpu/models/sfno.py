@@ -335,6 +335,14 @@ class SpectralConvS2(nn.Module):
             # 4 einsums
             outr = ein(xr, wr) - ein(xi, wi)
             outi = ein(xr, wi) + ein(xi, wr)
+            if amp_bf16 and is_dist:
+                # match the Pallas kernel's AMP output dtype (bf16 =
+                # the reference's autocast _contract output) on the
+                # distributed path the kernel cannot serve: the inverse
+                # transform's first all-to-all then moves half the
+                # bytes (its f32 cast happens after the transfer)
+                outr = outr.astype(jnp.bfloat16)
+                outi = outi.astype(jnp.bfloat16)
 
         if self.lora_rank > 0 and self.operator_type == "dhconv":
             r = self.lora_rank

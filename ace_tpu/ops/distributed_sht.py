@@ -60,6 +60,29 @@ def _pad_to(n: int, mult: int) -> int:
     return (mult - n % mult) % mult
 
 
+def _wire_a2a(x, axis_name, split_axis, concat_axis):
+    """all_to_all that GUARANTEES the wire dtype equals x.dtype.
+
+    For bf16 operands XLA's simplifier merges the downstream matmul's
+    promotion convert across the collective (even across an
+    optimization_barrier — verified in compiled HLO), silently doubling
+    the transfer to f32. Bitcasting to u16 for the transfer makes the
+    rewrite impossible (converting an integer tensor is not
+    semantics-preserving) and is itself a free reinterpretation.
+    """
+    if x.dtype == jnp.bfloat16:
+        xi = jax.lax.bitcast_convert_type(x, jnp.uint16)
+        xi = jax.lax.all_to_all(
+            xi, axis_name, split_axis=split_axis,
+            concat_axis=concat_axis, tiled=True,
+        )
+        return jax.lax.bitcast_convert_type(xi, jnp.bfloat16)
+    return jax.lax.all_to_all(
+        x, axis_name, split_axis=split_axis, concat_axis=concat_axis,
+        tiled=True,
+    )
+
+
 def _resolve_pipeline_chunks(pipeline_chunks) -> int:
     if pipeline_chunks is None:
         import os
@@ -160,10 +183,12 @@ class DistributedRealSHT:
         prec = self.precision
         def fwd(x, fc, fs, w_mblock):
             # block shapes: x [b, k/ph, j/pw, c]; w_mblock [M/pw, L, K]
-            x = jax.lax.all_to_all(
-                x, W_AXIS, split_axis=3, concat_axis=2, tiled=True
+            # grid-space transfer rides the caller's dtype (bf16 under
+            # AMP = half the bytes; see _wire_a2a); exact — bf16 inputs
+            # carry no information a pre-cast would preserve
+            x = _wire_a2a(
+                x, W_AXIS, split_axis=3, concat_axis=2
             )  # [b, k/ph, J, c/pw]
-            x = x.astype(jnp.float32)
             xr = jnp.einsum("bkjc,jm->bkmc", x, fc, precision=prec,
                             preferred_element_type=jnp.float32)
             xi = jnp.einsum("bkjc,jm->bkmc", x, fs, precision=prec,
@@ -273,13 +298,11 @@ class DistributedInverseRealSHT:
         prec = self.precision
         def inv(cr, ci, ic, isin, pct_mblock):
             # first a2a rides the caller's dtype (bf16 filter outputs
-            # under AMP — half the bytes); the f32 cast commutes exactly
-            # with the compute-free transpose
+            # under AMP — half the bytes; see _wire_a2a)
             z = jnp.concatenate([cr, ci], axis=0)  # [2b, L/ph, M/pw, c]
-            z = jax.lax.all_to_all(
-                z, H_AXIS, split_axis=3, concat_axis=1, tiled=True
+            z = _wire_a2a(
+                z, H_AXIS, split_axis=3, concat_axis=1
             )  # [2b, L, M/pw, c/ph]
-            z = z.astype(jnp.float32)
             z = jnp.einsum("blmc,mlk->bkmc", z, pct_mblock, precision=prec,
                            preferred_element_type=jnp.float32)
             z = jax.lax.all_to_all(

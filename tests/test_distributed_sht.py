@@ -416,3 +416,46 @@ def test_chunked_pipeline_fallback_on_indivisible_channels():
                                atol=1e-6)
     np.testing.assert_allclose(np.asarray(ci2), np.asarray(ci1),
                                atol=1e-6)
+
+
+def test_grid_space_a2a_rides_bf16():
+    """bf16 inputs must cross the first (grid-space) all-to-all as
+    2-byte lanes: XLA's simplifier merges the DFT einsum's promotion
+    convert across the collective (even across an optimization_barrier),
+    silently doubling the transfer — so the transform bitcasts bf16 to
+    u16 for the wire (_wire_a2a), which no rewrite can widen.
+    Compiled-HLO regression; f32 spectral a2as are unaffected."""
+    mesh = _mesh(1, 2, 2)
+    nlat, nlon = 16, 32
+    dsht = DistributedRealSHT(mesh, nlat, nlon, pipeline_chunks=1)
+    with jax.set_mesh(mesh):
+        x = jax.device_put(
+            jnp.zeros((2, nlat, nlon, 16), jnp.bfloat16),
+            NamedSharding(mesh, P("data", "h", "w", None)),
+        )
+        jitted = jax.jit(lambda v: dsht.forward_pair(v))
+        hlo = jitted.lower(x).compile().as_text()
+        cr, ci = jitted(x)
+    a2a_dtypes = []
+    for line in hlo.splitlines():
+        st = line.strip()
+        if re.search(r"all-to-all", st) and "=" in st and "done" not in st:
+            m = re.match(r"%?[\w.\-]+ = \(?([a-z0-9]+)\[", st)
+            if m:
+                a2a_dtypes.append(m.group(1))
+    assert "u16" in a2a_dtypes, a2a_dtypes  # the bitcast wire dtype
+    # values still match the f32-input transform to bf16 tolerance
+    sht = RealSHT(nlat, nlon, channels_last=True)
+    rng = np.random.RandomState(0)
+    x_np = rng.randn(2, nlat, nlon, 16).astype(np.float32)
+    xb = jnp.asarray(x_np, jnp.bfloat16)
+    with jax.set_mesh(mesh):
+        xbs = jax.device_put(
+            xb, NamedSharding(mesh, P("data", "h", "w", None))
+        )
+        cr, ci = dsht.forward_pair(xbs)
+    ref_r, ref_i = sht.forward_pair(jnp.asarray(np.asarray(xb), jnp.float32))
+    np.testing.assert_allclose(
+        np.asarray(cr)[:, : sht.lmax, : sht.mmax], np.asarray(ref_r),
+        atol=2e-4,
+    )
