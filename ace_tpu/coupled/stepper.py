@@ -166,8 +166,9 @@ class CoupledStepper:
         self._config = config
         self.ocean = ocean
         self.atmosphere = atmosphere
-        # jitted coupled-rollout cache (built lazily; see predict)
-        self._predict_jitted = None
+        # jitted exchange caches (built lazily; see _predict_impl)
+        self._exchange_pre = None
+        self._exchange_post = None
         self._validate()
         a_dt = self._component_timestep(config.atmosphere, atmosphere)
         o_dt = self._component_timestep(config.ocean, ocean)
@@ -450,12 +451,15 @@ class CoupledStepper:
         ocean_forcing: TensorMapping,
         rng: jax.Array | None = None,
     ) -> tuple[TensorDict, TensorDict, CoupledPrognosticState]:
-        """Coupled rollout (jitted: the outer loop unrolls at trace
-        time and the whole exchange — prescriber blend, window slicing,
-        flux averaging — compiles into one program with the component
-        rollouts; the eager form re-dispatched ~100 host ops per outer
-        step, measured 3.25 -> 11.35 -> 15+ atmosphere steps/s at
-        SamudrACE scale across the predict-jit fixes).
+        """Coupled rollout. The per-outer-step EXCHANGE (prescriber
+        blend, ocean-state -> atmosphere forcings, flux averaging)
+        compiles into two small cached programs and each component's
+        rollout is its own jitted program — four dispatches per outer
+        step instead of ~100 eager ops (measured 3.25 -> 11.35 -> 15.7
+        atmosphere steps/s at SamudrACE scale on one v5e). A fully
+        fused per-window program was measured to exceed the remote-
+        compile transport limits at flagship scale, so the exchange
+        stays a separate (tiny) program.
 
         atmosphere_forcing: [B, n_outer*n_inner + 1, ...] fields from the
             atmosphere dataset (exogenous + ocean-fraction etc.).
@@ -466,59 +470,8 @@ class CoupledStepper:
         """
         if rng is None:
             rng = jax.random.PRNGKey(0)
-        # under an outer transform (e.g. the coupled train loss inside
-        # grad, which places traced params on the component steppers)
-        # the wrapper jit's closure would capture those tracers and
-        # leak; inline tracing there is free anyway
-        leaves = jax.tree_util.tree_leaves(
-            (self.atmosphere.params, self.ocean.params,
-             initial_condition.atmosphere_data.data,
-             initial_condition.ocean_data.data,
-             dict(atmosphere_forcing), dict(ocean_forcing), rng)
-        )
-        if any(isinstance(l, jax.core.Tracer) for l in leaves):
-            return self._predict_impl(
-                initial_condition, atmosphere_forcing, ocean_forcing, rng
-            )
-        if self._predict_jitted is None:
-            def run(a_data, a_st, o_data, o_st, atmos_forcing,
-                    ocean_forcing, rng):
-                ic = CoupledPrognosticState(
-                    atmosphere_data=PrognosticState(
-                        data=a_data, stepper_state=a_st
-                    ),
-                    ocean_data=PrognosticState(
-                        data=o_data, stepper_state=o_st
-                    ),
-                )
-                a_out, o_out, final = self._predict_impl(
-                    ic, atmos_forcing, ocean_forcing, rng
-                )
-                return (
-                    a_out, o_out,
-                    final.atmosphere_data.data,
-                    final.atmosphere_data.stepper_state,
-                    final.ocean_data.data,
-                    final.ocean_data.stepper_state,
-                )
-
-            self._predict_jitted = jax.jit(run)
-        a_out, o_out, fa_data, fa_st, fo_data, fo_st = (
-            self._predict_jitted(
-                initial_condition.atmosphere_data.data,
-                initial_condition.atmosphere_data.stepper_state,
-                initial_condition.ocean_data.data,
-                initial_condition.ocean_data.stepper_state,
-                dict(atmosphere_forcing), dict(ocean_forcing), rng,
-            )
-        )
-        return a_out, o_out, CoupledPrognosticState(
-            atmosphere_data=PrognosticState(
-                data=fa_data, stepper_state=fa_st
-            ),
-            ocean_data=PrognosticState(
-                data=fo_data, stepper_state=fo_st
-            ),
+        return self._predict_impl(
+            initial_condition, atmosphere_forcing, ocean_forcing, rng
         )
 
     def _predict_impl(
@@ -564,59 +517,83 @@ class CoupledStepper:
             interpolate=ocean_cfg.interpolate,
         )
 
+        # exchange as two small cached jitted programs (closures carry
+        # only static config — no parameters — so they inline safely
+        # when _predict_impl itself runs under an outer transform)
+        if self._exchange_pre is None:
+            def exchange_pre(ocean_data, atmos_window, atmos_ic):
+                win = dict(atmos_window)
+                win.update(self._forcings_from_ocean(
+                    ocean_data, win, n_inner
+                ))
+                new_ic = dict(atmos_ic)
+                if sst_atmos_name in new_ic:
+                    ic_ts = new_ic[sst_atmos_name]
+                    n_ic = ic_ts.shape[1]
+                    new_ic[sst_atmos_name] = prescriber(
+                        {ofrac_name: win[ofrac_name][:, :n_ic]},
+                        {sst_atmos_name: ic_ts},
+                        {sst_atmos_name: win[sst_atmos_name][:, :n_ic]},
+                    )[sst_atmos_name]
+                return win, new_ic
+
+            def exchange_post(a_out, shared_window, ocean_window):
+                win = dict(ocean_window)
+                for k in self._atmosphere_to_ocean_forcing_names:
+                    avg = jnp.mean(a_out[k], axis=1, keepdims=True)
+                    win[k] = jnp.concatenate([avg, avg], axis=1)
+                for k in self._shared_forcing_exogenous_names:
+                    avg = jnp.mean(
+                        shared_window[k][:, 1:], axis=1, keepdims=True
+                    )
+                    win[k] = jnp.concatenate([avg, avg], axis=1)
+                return win
+
+            self._exchange_pre = jax.jit(exchange_pre)
+            self._exchange_post = jax.jit(exchange_post)
+
         atmos_outputs: list[TensorDict] = []
         ocean_outputs: list[TensorDict] = []
         for i_outer in range(n_outer):
             rng, k_a, k_o = jax.random.split(rng, 3)
             sl = slice(i_outer * n_inner, (i_outer + 1) * n_inner + 1)
-            atmos_window = {
+            atmos_window_raw = {
                 k: v[:, sl]
                 for k, v in atmosphere_forcing.items()
                 if k in self.atmosphere_forcing_window_names
             }
             # the ocean state (IC of this outer step) supplies the SST —
             # renamed — and every other ocean output the atmosphere
-            # needs, constant over the inner steps
-            atmos_window.update(self._forcings_from_ocean(
-                ocean_state.data, atmos_window, n_inner
-            ))
-            # prescribe the current ocean SST onto the atmosphere IC over
-            # the ocean mask at the top of EVERY outer step, so the first
-            # inner step's input carries this outer step's coupled SST
-            # (reference :986 _prescribe_ic_sst, called per outer step)
+            # needs, constant over the inner steps; the current ocean
+            # SST is also prescribed onto the atmosphere IC over the
+            # ocean mask (reference :986 _prescribe_ic_sst)
+            atmos_window, new_ic = self._exchange_pre(
+                ocean_state.data, atmos_window_raw, atmos_state.data
+            )
             if sst_atmos_name in atmos_state.data:
-                ic_ts = atmos_state.data[sst_atmos_name]
-                n_ic = ic_ts.shape[1]
-                blended = prescriber(
-                    {ofrac_name: atmos_window[ofrac_name][:, :n_ic]},
-                    {sst_atmos_name: ic_ts},
-                    {sst_atmos_name: atmos_window[sst_atmos_name][:, :n_ic]},
-                )[sst_atmos_name]
                 atmos_state = dataclasses.replace(
-                    atmos_state,
-                    data={**atmos_state.data, sst_atmos_name: blended},
+                    atmos_state, data=new_ic
                 )
             a_out, atmos_state = self.atmosphere.predict(
                 atmos_state, atmos_window, rng=k_a
             )
             atmos_outputs.append(a_out)
 
-            ocean_window = {
+            ocean_window_raw = {
                 k: v[:, i_outer : i_outer + 2]
                 for k, v in ocean_forcing.items()
                 if k in self.ocean_forcing_window_names
             }
-            # atmosphere-generated fluxes, time-averaged over inner steps,
-            # aligned as next-step forcing for the single ocean step
-            for k in self._atmosphere_to_ocean_forcing_names:
-                avg = jnp.mean(a_out[k], axis=1, keepdims=True)
-                ocean_window[k] = jnp.concatenate([avg, avg], axis=1)
-            for k in self._shared_forcing_exogenous_names:
-                avg = jnp.mean(
-                    atmosphere_forcing[k][:, sl][:, 1:], axis=1,
-                    keepdims=True,
-                )
-                ocean_window[k] = jnp.concatenate([avg, avg], axis=1)
+            # atmosphere-generated fluxes + shared exogenous forcings,
+            # time-averaged over inner steps, aligned as next-step
+            # forcing for the single ocean step
+            shared_window = {
+                k: atmosphere_forcing[k][:, sl]
+                for k in self._shared_forcing_exogenous_names
+            }
+            ocean_window = self._exchange_post(
+                a_out, shared_window, ocean_window_raw
+            )
             o_out, ocean_state = self.ocean.predict(
                 ocean_state, ocean_window, rng=k_o, n_forward=1
             )
