@@ -66,6 +66,13 @@ def run_inference(
     ``data_writer`` (the first host transfer blocks until the rollout
     finishes).
     """
+    from ace_tpu.inference.data_writer import NullDataWriter
+
+    if isinstance(writer, NullDataWriter):
+        # a no-op writer must not trigger the writer path's full
+        # device->host fetch of every window (measured minutes per run
+        # over a slow transport with save_prediction_files=false)
+        writer = None
     timer = GlobalTimer.get_instance()
     info = stepper.dataset_info
     # hybrid sigma-pressure drives atmosphere derived variables; a
